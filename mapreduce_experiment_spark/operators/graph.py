@@ -1,0 +1,234 @@
+"""Triangle-enumeration pipeline — the reference's complete capability
+surface, re-expressed as Catalyst plans.
+
+Reference dataflow (SURVEY §exec summary; mapreducePredictionTwitter100.java):
+``textFile → flatMapToPair(parse+symmetrize) → groupByKey →
+flatMapToPair(candidate pairs + sentinel-0 edge markers) → groupByKey →
+flatMap(close triangles) → distinct → collect``.
+
+Here the hand-rolled tagged-groupByKey join (T100:52-153) becomes real
+joins; the sentinel value 0 and its "no node ID 0" data-model
+constraint (T100:58) disappear entirely. Two semantic modes (SURVEY
+finding 3):
+
+- ``simple`` (default): drop self-loops, dedup edges → the standard
+  triangle set of the simple graph. Equals the reference's output on
+  clean input (verified on every self-loop-free bundled dataset).
+- ``faithful``: reproduces the reference's degenerate output on dirty
+  input (self-loops ⇒ triangles like (1,1,2)) — derived analytically
+  from edge multiplicities rather than by simulating multiset
+  adjacency lists, so it is still all joins and still scales.
+
+Scale notes (SURVEY §4, §7 hard parts):
+
+- The primary plan is **degree-oriented**: each edge is oriented from
+  its lower-(degree, id) endpoint, so every triangle is counted from
+  its lowest-degree corner. This bounds per-node candidate fan-out by
+  O(m^0.5) instead of O(max_degree) — the standard literature
+  optimization the reference lacks — and is what survives heavy-tailed
+  degree distributions at 100 TB.
+- Edge dedup happens BEFORE the 2-path self-join (the reference
+  dedups only at the very end, after a quadratic candidate explosion:
+  4,055,477 raw emissions for 587,314 distinct on 100k.txt).
+- No ``collect()`` anywhere; adjacency lists exist only as a parity
+  demo (:func:`adjacency`), never on the triangle path.
+- AQE skew-join handles residual hot keys (session.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+# --- §2 row 3: edge symmetrization ---------------------------------------
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Emit both orientations of every edge (T100:29-39).
+
+    A narrow union of two projections — no shuffle.
+    """
+    return edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+# --- derived: simple-graph normalization (SURVEY finding 3) ---------------
+def canonical_edges(edges: DataFrame) -> DataFrame:
+    """Undirected edges as canonical ``u < v`` pairs, deduped, no self-loops.
+
+    One shuffle (the distinct); every downstream join reuses it.
+    """
+    return (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("u"),
+                F.greatest("src", "dst").alias("v"))
+        .distinct()
+    )
+
+
+def edge_multiplicity(edges: DataFrame) -> DataFrame:
+    """Unordered-pair multiplicities, self-loops included —
+    the faithful-mode base table: ``(u, v, mult)`` with ``u <= v``."""
+    return (
+        edges.select(F.least("src", "dst").alias("u"),
+                     F.greatest("src", "dst").alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("mult"))
+    )
+
+
+# --- §2 row 4-5: adjacency lists (parity demo only) ------------------------
+def adjacency(edges: DataFrame, as_string: bool = False) -> DataFrame:
+    """Sorted adjacency list per node (T100:42 + in-task sort T100:68-74).
+
+    The reference materializes this with groupByKey (full value
+    shuffle, no combiner) and then ``collect()``s it to the driver
+    (T100:45). Here it is a hash aggregate; it exists for parity and
+    debugging — the triangle path never builds it (collect_list does
+    not scale on heavy-tailed graphs; SURVEY §7 hard part b).
+
+    ``as_string=True`` renders the list as a comma-joined string for
+    cross-engine comparisons.
+    """
+    adj = (
+        symmetrize(edges)
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.array_sort(F.collect_list("dst")).alias("neighbors"))
+    )
+    if as_string:
+        adj = adj.select(
+            "node",
+            F.concat_ws(
+                ",", F.transform("neighbors", lambda x: x.cast("string"))
+            ).alias("neighbors"),
+        )
+    return adj
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """Simple-graph degree per node."""
+    ce = canonical_edges(edges)
+    return (
+        ce.select(F.col("u").alias("node"))
+        .union(ce.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+
+
+# --- §2 row 6: candidate pair generation (open triads) ---------------------
+def candidate_pair_counts(edges: DataFrame) -> DataFrame:
+    """Open-triad count per center node: C(degree, 2) on the simple graph.
+
+    The reference materializes every candidate pair and collects them
+    to the driver (T100:76-90, 17.9M pairs on 100k.txt). The count is
+    the scalable summary: a degree aggregate and a scalar expression,
+    no quadratic blowup.
+    """
+    return degrees(edges).select(
+        "node",
+        (F.col("degree") * (F.col("degree") - 1) / 2).cast("long")
+        .alias("n_candidate_pairs"),
+    )
+
+
+# --- §2 rows 6-9: triangle enumeration --------------------------------------
+def _oriented(edges: DataFrame) -> DataFrame:
+    """Orient each simple edge from its lower-(degree, id) endpoint.
+
+    Degree-ordered orientation: out-degree in the oriented graph is
+    O(sqrt(m)) even for hubs, so the 2-path join below cannot explode
+    on heavy-tailed inputs. The reference pairs neighbors of EVERY
+    node including hubs (T100:76-83) — O(d_max²).
+    """
+    ce = canonical_edges(edges)
+    deg = degrees(edges)
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("deg_v"))
+    return (
+        ce.join(du, "u").join(dv, "v")
+        .select(
+            F.when(
+                (F.col("deg_u") < F.col("deg_v"))
+                | ((F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("lo"), F.col("v").alias("hi")),
+            ).otherwise(
+                F.struct(F.col("v").alias("lo"), F.col("u").alias("hi"))
+            ).alias("e")
+        )
+        .select("e.lo", "e.hi")
+    )
+
+
+def triangles(edges: DataFrame, mode: str = "simple") -> DataFrame:
+    """Enumerate triangles as canonical ``(a, b, c)``, ``a <= b <= c``.
+
+    ``simple``: 2-path self-join on the degree-oriented edge set,
+    closed by a semi-join against it — the idiomatic replacement for
+    the reference's candidate-generation + sentinel-marker +
+    groupByKey closure (T100:52-153). Each triangle is produced
+    exactly once, so the reference's final ``distinct()`` over 4M raw
+    emissions (T100:164) is unnecessary.
+
+    ``faithful``: reproduces the reference's degenerate self-loop
+    semantics (SURVEY finding 3) from the edge-multiplicity table:
+    sorted(x, y, w) is a triangle iff {x,y} is an input edge and w's
+    multiset adjacency contains x and y at distinct positions. On
+    self-loop-free input the two modes agree (verified against the
+    survey's golden counts).
+    """
+    if mode == "simple":
+        o = _oriented(edges)
+        p1 = o.select(F.col("lo").alias("w"), F.col("hi").alias("x"))
+        p2 = o.select(F.col("lo").alias("w"), F.col("hi").alias("y"))
+        # Open triads from the low corner; x<y dedups the unordered pair.
+        triads = p1.join(p2, "w").where(F.col("x") < F.col("y"))
+        # Close against the undirected canonical edge set.
+        closing = canonical_edges(edges).select(
+            F.col("u").alias("x"), F.col("v").alias("y")
+        )
+        tri = triads.join(closing, ["x", "y"], "inner")
+        abc = F.array_sort(F.array("w", "x", "y"))
+        return tri.select(
+            abc.getItem(0).alias("a"),
+            abc.getItem(1).alias("b"),
+            abc.getItem(2).alias("c"),
+        )
+    if mode == "faithful":
+        m = edge_multiplicity(edges).cache()
+        # multadj(w, x): occurrences of x in w's multiset adjacency.
+        # A self-loop line (w,w) symmetrizes to two entries (T100:29-39),
+        # so its adjacency contribution is doubled.
+        madj = m.select(
+            F.col("u").alias("w"), F.col("v").alias("x"),
+            F.when(F.col("u") == F.col("v"), F.col("mult") * 2)
+             .otherwise(F.col("mult")).alias("m"),
+        )
+        madj = madj.union(
+            madj.where(F.col("w") != F.col("x"))
+                .select(F.col("x").alias("w"), F.col("w").alias("x"), "m")
+        )
+        pair = m.select(F.col("u").alias("x"), F.col("v").alias("y"))
+        ax = madj.select(F.col("w"), F.col("x"), F.col("m").alias("m_x"))
+        ay = madj.select(F.col("w"), F.col("x").alias("y"), F.col("m").alias("m_y"))
+        tri = (
+            pair.join(ax, "x").join(ay, ["w", "y"])
+            .where(
+                ((F.col("x") != F.col("y")) & (F.col("m_x") >= 1) & (F.col("m_y") >= 1))
+                | ((F.col("x") == F.col("y")) & (F.col("m_x") >= 2))
+            )
+        )
+        abc = F.array_sort(F.array("x", "y", "w"))
+        return tri.select(
+            abc.getItem(0).alias("a"),
+            abc.getItem(1).alias("b"),
+            abc.getItem(2).alias("c"),
+        ).distinct()
+    raise ValueError(f"unknown mode: {mode!r} (use 'simple' or 'faithful')")
+
+
+def triangle_count(edges: DataFrame, mode: str = "simple") -> DataFrame:
+    """Total triangle count (§2 derived operator; the published metric)."""
+    return triangles(edges, mode=mode).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )

@@ -1,0 +1,141 @@
+"""Graph (reference-parity) queries over the driver's test tables.
+
+The test dirs carry no ``edges`` parquet, so every query derives the
+edge list from ``lineitem``: parts co-purchased within an order form
+an undirected edge (FIXTURES.md §2). The derivation is part of both
+the Spark plan and the oracle SQL, so the comparison covers it too.
+
+Coverage of SURVEY §2: row 1-2 (scan+parse: parquet scan with pruned
+columns + the text reader exercised in tests), row 3 (symmetrize),
+rows 4-5 (adjacency), row 6 (candidate pairs), rows 6-9 (triangles,
+via joins), row 9 (distinct), derived rows (degrees, triangle count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import graph as G
+from ..sources.tables import derive_edges
+from .registry import register
+
+# Shared DuckDB CTE: the same edge derivation the Spark side performs.
+_EDGES_CTE = """
+WITH edges AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a
+  JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+"""
+
+_DEGREES_CTE = _EDGES_CTE + """
+, nodes AS (
+  SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+), degrees AS (
+  SELECT node, count(*) AS degree FROM nodes GROUP BY node
+)
+"""
+
+
+@register("edges_derive", oracle=_EDGES_CTE + "SELECT src, dst FROM edges")
+def q_edges_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan + parse + dedup: the engine's edge source (§2 rows 1-2, 9)."""
+    return derive_edges(spark, sf_dir)
+
+
+@register(
+    "symmetrize",
+    oracle=_EDGES_CTE
+    + "SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges",
+)
+def q_symmetrize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge symmetrization (§2 row 3, T100:29-39)."""
+    return G.symmetrize(derive_edges(spark, sf_dir))
+
+
+@register(
+    "adjacency",
+    oracle=_EDGES_CTE + """
+SELECT node, string_agg(nbr, ',' ORDER BY nbr) AS neighbors
+FROM (
+  SELECT src AS node, CAST(dst AS VARCHAR) AS nbr FROM edges
+  UNION ALL
+  SELECT dst AS node, CAST(src AS VARCHAR) AS nbr FROM edges
+) GROUP BY node
+""",
+)
+def q_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted adjacency lists (§2 rows 4-5, T100:42,68-74), rendered as
+    strings for cross-engine value comparison.
+
+    NOTE: the oracle sorts neighbors lexicographically to match —
+    Spark sorts the long array numerically then casts, so the Spark
+    side re-sorts the string forms. See q impl.
+    """
+    adj = G.adjacency(derive_edges(spark, sf_dir))
+    # String-sort the rendered neighbors so both engines agree on order.
+    return adj.select(
+        "node",
+        F.concat_ws(
+            ",",
+            F.array_sort(F.transform("neighbors", lambda x: x.cast("string"))),
+        ).alias("neighbors"),
+    )
+
+
+@register(
+    "degrees",
+    oracle=_DEGREES_CTE + "SELECT node, degree FROM degrees",
+)
+def q_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.degrees(derive_edges(spark, sf_dir))
+
+
+@register(
+    "candidate_pairs",
+    oracle=_DEGREES_CTE + """
+SELECT node, CAST(degree * (degree - 1) / 2 AS BIGINT) AS n_candidate_pairs
+FROM degrees
+""",
+)
+def q_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-triad (candidate pair) counts per center node (§2 row 6)."""
+    return G.candidate_pair_counts(derive_edges(spark, sf_dir))
+
+
+_TRIANGLES_SQL = _EDGES_CTE + """
+SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+FROM edges e1
+JOIN edges e2 ON e2.src = e1.dst
+JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+"""
+
+
+@register("triangles", oracle=_TRIANGLES_SQL)
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full triangle enumeration (§2 rows 6-9) — the reference's
+    *intended* end-to-end output (its own code never materializes it;
+    SURVEY findings 1-2)."""
+    return G.triangles(derive_edges(spark, sf_dir), mode="simple")
+
+
+@register(
+    "triangle_count",
+    oracle="SELECT count(*) AS n_triangles FROM (" + _TRIANGLES_SQL + ")",
+    headline=True,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count — the flagship metric (driver t1 smoke)."""
+    return G.triangle_count(derive_edges(spark, sf_dir), mode="simple")
+
+
+@register("triangles_faithful", oracle=_TRIANGLES_SQL)
+def q_triangles_faithful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faithful-mode triangles (SURVEY finding 3). The derived edge
+    list is already simple (no self-loops, no duplicates), so faithful
+    ≡ simple here and the same oracle applies; the degenerate-input
+    behavior is covered by unit tests on dirty micro-fixtures."""
+    return G.triangles(derive_edges(spark, sf_dir), mode="faithful")

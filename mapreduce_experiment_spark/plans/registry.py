@@ -1,0 +1,74 @@
+"""Named-query registry — the driver contract's backing store.
+
+Every operator the engine claims (SURVEY §2 plus north-star
+extensions) registers here as a ``(spark, sf_dir) -> DataFrame``
+callable, optionally paired with the ANSI-SQL oracle DuckDB runs on
+the same parquet tables. ``__spark_entry__.py`` just re-exports these.
+
+Conventions (driver contract):
+
+- Every computed column is aliased identically in the Spark plan and
+  the oracle SQL — the driver sorts columns by name before hashing.
+- Floating-point aggregates are rounded (ROUND(x, 2..6)) on BOTH
+  sides so summation-order drift between engines can't flip a hash.
+- Queries must be deterministic sets (no LIMIT without a total order).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None → driver does rows-only check
+    headline: bool = False  # included in bench.py
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None, headline: bool = False):
+    """Decorator: add a (spark, sf_dir) -> DataFrame query to the registry."""
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        _REGISTRY[name] = QuerySpec(name, fn, oracle, headline)
+        return fn
+    return deco
+
+
+def QUERIES() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_all()
+    return {n: s.fn for n, s in _REGISTRY.items()}
+
+
+def ORACLE_SQL() -> dict[str, str]:
+    _load_all()
+    return {n: s.oracle for n, s in _REGISTRY.items() if s.oracle is not None}
+
+
+def SPECS() -> dict[str, QuerySpec]:
+    _load_all()
+    return dict(_REGISTRY)
+
+
+_loaded = False
+
+
+def _load_all() -> None:
+    """Import every module that registers queries (idempotent)."""
+    global _loaded
+    if _loaded:
+        return
+    from . import queries_graph  # noqa: F401
+    for mod in ("queries_relational", "queries_dedup", "queries_similarity",
+                "queries_text", "queries_events", "queries_multimodal"):
+        try:
+            __import__(f"{__package__}.{mod}", fromlist=[mod])
+        except ImportError:
+            pass  # module not built yet (incremental rounds)
+    _loaded = True

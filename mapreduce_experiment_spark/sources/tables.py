@@ -1,0 +1,57 @@
+"""Parquet table access for the driver's test data.
+
+Loads are plain ``spark.read.parquet`` — columnar scan with predicate
+pushdown and column pruning supplied by Catalyst (the reference's text
+scan, mapreducePredictionTwitter100.java:24, gets neither). Schemas
+come from the parquet footers; :mod:`..schemas` documents them.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import TABLE_NAMES
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one test table, e.g. ``load_table(spark, sf_dir, 'lineitem')``."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                names: tuple[str, ...] = TABLE_NAMES) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str,
+                   names: tuple[str, ...] = TABLE_NAMES) -> None:
+    """Register the test tables as temp views for the SQL API."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def derive_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive an undirected edge list from ``lineitem`` (FIXTURES.md §2).
+
+    The driver's test dirs carry no ``edges`` parquet, so graph queries
+    build one: parts co-purchased within the same order form an edge.
+    This yields a dense, heavy-tailed co-occurrence graph with real
+    triangles (unlike the bipartite (orderkey, suppkey) projection).
+
+    Edges are emitted canonically oriented (``src < dst``) and
+    deduplicated — the engine's simple-graph semantics (SURVEY
+    finding 3). The self-join shuffles once on ``l_orderkey``; both
+    sides prune to two columns at the scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("src"),
+                F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )

@@ -1,0 +1,71 @@
+"""Local mirror of the driver's DuckDB-oracle comparison.
+
+Runs a registry query on Spark and its oracle SQL on DuckDB over the
+same parquet tables, then compares row count, schema (column names),
+and values order-insensitively — the same gate the driver applies at
+sf=0.01, so mismatches surface locally first.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from mapreduce_experiment_spark.schemas import TABLE_NAMES
+
+
+def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+            )
+    return con.sql(sql).df()
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    # Row-order-insensitive: sort by the stringified row.
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    key = df.astype(str).agg("|".join, axis=1)
+    return df.loc[key.sort_values(kind="mergesort").index].reset_index(drop=True)
+
+
+def assert_matches(spark_df, oracle_pdf: pd.DataFrame, name: str = "?") -> None:
+    got = _normalize(spark_df.toPandas())
+    want = _normalize(oracle_pdf)
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: column mismatch {list(got.columns)} vs {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: row count {len(got)} vs {len(want)}"
+    for c in got.columns:
+        g, w = got[c].to_numpy(), want[c].to_numpy()
+        if np.issubdtype(g.dtype, np.floating) or np.issubdtype(w.dtype, np.floating):
+            g = g.astype(float)
+            w = w.astype(float)
+            both_nan = np.isnan(g) & np.isnan(w)
+            exact = (g == w) | both_nan
+            if not exact.all():
+                close = np.isclose(g, w, rtol=0, atol=1e-9) | both_nan
+                bad = np.flatnonzero(~exact)[:5]
+                detail = [(got[c].iloc[i], want[c].iloc[i]) for i in bad]
+                assert close.all(), f"{name}.{c}: float mismatch {detail}"
+                raise AssertionError(
+                    f"{name}.{c}: floats close but not exact (driver hash "
+                    f"would fail): {detail} — round harder in both engines"
+                )
+        else:
+            eq = pd.Series(g).astype(str).eq(pd.Series(w).astype(str))
+            if not eq.all():
+                i = int(np.flatnonzero(~eq.to_numpy())[0])
+                raise AssertionError(
+                    f"{name}.{c}: value mismatch at sorted row {i}: "
+                    f"{got[c].iloc[i]!r} vs {want[c].iloc[i]!r}"
+                )

@@ -1,0 +1,117 @@
+"""Graph operator tests: micro-fixtures (both semantic modes), the
+reference's bundled datasets against the survey's golden counts, and
+property-based invariants."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from mapreduce_experiment_spark.operators import graph as G
+from mapreduce_experiment_spark.sources.edges import read_edge_list
+from tests.conftest import REFERENCE_RESOURCES
+
+EDGE_SCHEMA = "src long, dst long"
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame([(int(a), int(b)) for a, b in pairs], EDGE_SCHEMA)
+
+
+def _tri_set(df):
+    return {(r.a, r.b, r.c) for r in df.collect()}
+
+
+# --- micro-fixtures (FIXTURES.md §1) ---------------------------------------
+
+def test_simple_mode_micro(spark):
+    # K4 minus nothing: 4 triangles; plus an isolated edge.
+    e = _edges(spark, [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (9, 10)])
+    assert _tri_set(G.triangles(e)) == {
+        (1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)
+    }
+
+
+def test_self_loop_divergence_micro(spark):
+    """The FIXTURES.md micro-fixture: faithful mode reproduces the
+    reference's degenerate self-loop triangles; simple mode drops them."""
+    e = _edges(spark, [(1, 1), (1, 2), (2, 3), (1, 3)])
+    assert _tri_set(G.triangles(e, mode="simple")) == {(1, 2, 3)}
+    assert _tri_set(G.triangles(e, mode="faithful")) == {
+        (1, 1, 1), (1, 1, 2), (1, 1, 3), (1, 2, 3)
+    }
+
+
+def test_duplicate_edges_do_not_inflate(spark):
+    e = _edges(spark, [(1, 2), (2, 1), (1, 2), (2, 3), (1, 3), (1, 3)])
+    for mode in ("simple", "faithful"):
+        assert _tri_set(G.triangles(e, mode=mode)) == {(1, 2, 3)}, mode
+
+
+def test_symmetrize_doubles_rows(spark):
+    e = _edges(spark, [(1, 2), (3, 4)])
+    sym = G.symmetrize(e)
+    assert sym.count() == 4
+    assert {(r.src, r.dst) for r in sym.collect()} == {
+        (1, 2), (2, 1), (3, 4), (4, 3)
+    }
+
+
+def test_adjacency_sorted(spark):
+    e = _edges(spark, [(2, 1), (1, 3), (1, 10)])
+    adj = {r.node: list(r.neighbors) for r in G.adjacency(e).collect()}
+    assert adj[1] == [2, 3, 10]
+    assert adj[10] == [1]
+
+
+def test_candidate_pair_counts(spark):
+    # Node 1 has degree 3 -> C(3,2)=3 open triads.
+    e = _edges(spark, [(1, 2), (1, 3), (1, 4)])
+    counts = {r.node: r.n_candidate_pairs
+              for r in G.candidate_pair_counts(e).collect()}
+    assert counts == {1: 3, 2: 0, 3: 0, 4: 0}
+
+
+# --- reference bundled datasets vs survey goldens (BASELINE.md) -------------
+
+GOLDENS = {  # dataset -> (faithful distinct, simple-graph distinct)
+    "50.txt": (0, 0),
+    "10k.txt": (91_769, 91_769),
+    "30k.txt": (159_148, None),  # has 1 self-loop; simple-graph golden differs
+    "100k.txt": (587_314, 587_199),
+}
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("fname,expected", sorted(GOLDENS.items()))
+def test_reference_dataset_goldens(spark, fname, expected):
+    path = os.path.join(REFERENCE_RESOURCES, fname)
+    if not os.path.exists(path):
+        pytest.skip(f"{path} not present")
+    edges = read_edge_list(spark, path)
+    faithful, simple = expected
+    assert G.triangle_count(edges, mode="faithful").collect()[0].n_triangles == faithful
+    if simple is not None:
+        assert G.triangle_count(edges, mode="simple").collect()[0].n_triangles == simple
+
+
+# --- property-based invariants (SURVEY §5.2 item 4) --------------------------
+
+edge_lists = st.lists(
+    st.tuples(st.integers(1, 12), st.integers(1, 12)),
+    min_size=1, max_size=25,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(pairs=edge_lists)
+def test_triangles_invariant_under_orientation_and_duplication(spark, pairs):
+    base = _edges(spark, pairs)
+    flipped = _edges(spark, [(b, a) for a, b in pairs])
+    doubled = _edges(spark, pairs + pairs)
+    want = _tri_set(G.triangles(base))
+    assert _tri_set(G.triangles(flipped)) == want
+    assert _tri_set(G.triangles(doubled)) == want
