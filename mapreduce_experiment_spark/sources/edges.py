@@ -28,9 +28,13 @@ def read_edge_list(spark: SparkSession, path: str, sep: str = r"\s+",
     """
     lines = spark.read.text(path)
     parts = F.split(F.trim(F.col("value")), sep)
+    # try_cast, not cast: Spark 4 runs ANSI mode by default, where a
+    # plain cast of a malformed token throws (the reference's behavior,
+    # SURVEY §1.1) instead of yielding null.
     df = lines.select(
-        parts.getItem(0).cast("long").alias("src"),
-        parts.getItem(1).cast("long").alias("dst"),
+        parts.getItem(0).try_cast("long").alias("src"),
+        F.when(F.size(parts) >= 2, parts.getItem(1))
+         .otherwise(F.lit(None)).try_cast("long").alias("dst"),
     )
     if permissive:
         df = df.where(F.col("src").isNotNull() & F.col("dst").isNotNull())
