@@ -1,0 +1,81 @@
+"""Generic relational operators.
+
+SURVEY §2 decomposes the reference into relational primitives and
+lists whole categories the reference lacks (filters, named joins,
+numeric aggregation, windows, sorts, top-k, set ops — §2 "capability
+categories absent"). This module supplies the reusable forms; the
+registry binds them to concrete queries over the test tables.
+
+Everything here is a declarative Catalyst plan: broadcast and
+sort-merge selection, pushdown, and codegen come from the optimizer.
+Helpers take explicit deterministic tie-breakers so results are
+set-stable across engines (required for the oracle hash compare).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_k_per_group(df: DataFrame, partition_by: Sequence[str],
+                    order_by: Sequence[Column], k: int,
+                    rank_col: str = "rn") -> DataFrame:
+    """Top-k rows per group via a ranking window.
+
+    ``order_by`` must include a unique tie-breaker for deterministic
+    output. One shuffle on the partition keys; AQE handles skewed
+    groups. At 100 TB this beats a global sort by never materializing
+    an order beyond each group's top-k (rank + filter pipelines in a
+    single window stage).
+    """
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w).cast("long"))
+        .where(F.col(rank_col) <= k)
+    )
+
+
+def running_total(df: DataFrame, partition_by: Sequence[str],
+                  order_by: Sequence[Column], value: Column,
+                  alias: str = "running_total") -> DataFrame:
+    """Cumulative sum per group (ROWS UNBOUNDED PRECEDING..CURRENT)."""
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(alias, F.sum(value).over(w))
+
+
+def lag_diff(df: DataFrame, partition_by: Sequence[str],
+             order_by: Sequence[Column], value: Column,
+             diff: Column, alias: str) -> DataFrame:
+    """Attach a difference against the previous row per group.
+
+    ``diff`` is an expression over ``value`` and ``F.col('_prev')``.
+    """
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return (
+        df.withColumn("_prev", F.lag(value).over(w))
+        .withColumn(alias, diff)
+        .drop("_prev")
+    )
+
+
+def pivot_counts(df: DataFrame, group_by: str, pivot_col: str,
+                 values: Sequence[str]) -> DataFrame:
+    """Count pivot with a FIXED value list (scale rule: never let Spark
+    scan for distinct pivot values on 100 TB) and zero-filled cells so
+    the result matches conditional-aggregation SQL."""
+    out = df.groupBy(group_by).pivot(pivot_col, list(values)).count()
+    return out.select(
+        group_by,
+        *[
+            F.coalesce(F.col(f"`{v}`"), F.lit(0)).cast("long")
+             .alias(v.lower().replace(" ", "_").replace("-", "_"))
+            for v in values
+        ],
+    )

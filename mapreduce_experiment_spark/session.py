@@ -57,6 +57,11 @@ def get_session(app_name: str = "mapreduce_experiment_spark",
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # The driver's events.parquet stores TIMESTAMP(NANOS), which
+        # Spark rejects by default (PARQUET_TYPE_ILLEGAL). Read nanos
+        # as raw int64; sources.tables converts to a real timestamp
+        # (integer µs arithmetic — the data is µs-aligned).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

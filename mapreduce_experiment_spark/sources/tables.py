@@ -18,7 +18,14 @@ from ..schemas import TABLE_NAMES
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test table, e.g. ``load_table(spark, sf_dir, 'lineitem')``."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), surfaced as int64 via
+        # spark.sql.legacy.parquet.nanosAsLong (session.py). Convert
+        # with integer division — a double roundtrip would lose
+        # precision at 1.7e18 ns.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str,

@@ -30,12 +30,14 @@ def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
-    # Row-order-insensitive: sort by the stringified row.
+    # Row-order-insensitive: canonical multi-column sort.
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
-    key = df.astype(str).agg("|".join, axis=1)
-    return df.loc[key.sort_values(kind="mergesort").index].reset_index(drop=True)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort",
+                            na_position="last")
+    return df.reset_index(drop=True)
 
 
 def assert_matches(spark_df, oracle_pdf: pd.DataFrame, name: str = "?") -> None:
