@@ -1,0 +1,92 @@
+"""Portable text primitives: tokenization, shingling, shingle hashing.
+
+Every helper has a Spark-Column form and a DuckDB-SQL form that are
+kept semantically identical, so dedup/similarity queries can be
+oracle-checked value-for-value. The shared hash is the first 15 hex
+digits of md5 (a 60-bit integer) — md5 is bit-identical across
+engines, and 15 hex digits fit in int64.
+
+All array transforms here are Spark higher-order functions
+(JVM-side, no Python UDFs): tokenize → shingle → hash is a single
+narrow projection, embarrassingly parallel at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 31-bit Mersenne prime: keeps a*h+b inside int64 (a,h < 2^31).
+MERSENNE31 = 2_147_483_647
+
+
+def tokenize(col: Column) -> Column:
+    """Lowercased alphanumeric word tokens."""
+    return F.filter(
+        F.split(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "), " +"),
+        lambda x: x != "",
+    )
+
+
+def tokenize_sql(expr: str) -> str:
+    return (
+        "list_filter(string_split_regex(regexp_replace(lower("
+        f"{expr}), '[^a-z0-9]+', ' ', 'g'), ' +'), x -> x <> '')"
+    )
+
+
+def shingles(tokens: Column, n: int = 3) -> Column:
+    """Distinct word n-grams as strings (set semantics for Jaccard).
+
+    Guarded for short docs: Spark's ``sequence(1, size-n+1)`` would
+    count DOWN when size < n (default step -1), yielding garbage
+    indices — return an empty array instead.
+    """
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+        )
+    )
+    empty = F.array().cast("array<string>")
+    return F.when(F.size(tokens) >= n, grams).otherwise(empty)
+
+
+def shingles_sql(tokens_expr: str, n: int = 3) -> str:
+    return (
+        f"list_distinct(list_transform(range(1, len({tokens_expr}) - {n - 2}),"
+        f" i -> array_to_string(list_slice({tokens_expr}, i, i + {n - 1}), ' ')))"
+    )
+
+
+def hash60(col: Column) -> Column:
+    """60-bit integer hash of a string: int(md5[:15], 16)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def hash60_sql(expr: str) -> str:
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def shingle_hashes(text: Column, n: int = 3) -> Column:
+    """Distinct 60-bit hashes of the text's word n-grams."""
+    return F.transform(shingles(tokenize(text), n), hash60)
+
+
+def shingle_hashes_sql(expr: str, n: int = 3) -> str:
+    sh = shingles_sql(tokenize_sql(expr), n)
+    return f"list_transform({sh}, s -> {hash60_sql('s')})"
+
+
+def minhash_params(k: int, seed: int = 1_234_567) -> list[tuple[int, int]]:
+    """k fixed (a, b) permutation constants from a deterministic LCG —
+    baked identically into the Spark plan and the oracle SQL."""
+    params = []
+    x = seed
+    for _ in range(k):
+        x = (1_103_515_245 * x + 12_345) % (1 << 31)
+        a = (x | 1) % MERSENNE31 or 1
+        x = (1_103_515_245 * x + 12_345) % (1 << 31)
+        b = x % MERSENNE31
+        params.append((a, b))
+    return params

@@ -1,0 +1,155 @@
+"""Embedding similarity search.
+
+Two paths, same output contract (query_id, neighbor_id, rank, cos):
+
+- **Brute force**: queries × corpus with a per-query top-k window.
+  Exact; the right plan when the query set is small (broadcast) even
+  at a 100 TB corpus — the corpus is scanned once, map-side, and only
+  k rows per query survive per partition before the final merge.
+- **IVF** (inverted file): corpus vectors are pre-assigned to their
+  nearest centroid (one narrow pass + a broadcast of centroids);
+  queries probe the ``nprobe`` nearest centroids and search only
+  those buckets. Sub-linear scan at scale; deterministic here
+  (centroids are fixed seed vectors) so it is value-testable against
+  a mirrored SQL oracle.
+
+Everything is built from joins + higher-order functions; ranking uses
+quantized cosine (6dp) with id tie-breaks for cross-engine stability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import as_double, cosine, q6
+
+N_CENTROIDS = 16
+N_PROBE = 4
+
+
+def _prep(embeddings: DataFrame) -> DataFrame:
+    return embeddings.select(
+        "vec_id", as_double(F.col("embedding")).alias("vec")
+    )
+
+
+def embedding_near_dup_pairs(embeddings: DataFrame,
+                             threshold: float = 0.45) -> DataFrame:
+    """All-pairs cosine near-duplicates (quadratic — small inputs;
+    LSH/IVF bucketing is the scale path for this, too)."""
+    v = _prep(embeddings)
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("va"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", q6(cosine(F.col("va"), F.col("vb"))).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def knn_bruteforce(embeddings: DataFrame, n_queries: int = 10,
+                   k: int = 5) -> DataFrame:
+    """Exact top-k cosine neighbors for the query set ``vec_id <
+    n_queries`` over the corpus ``vec_id >= n_queries``.
+
+    The query side is tiny → Catalyst broadcasts it; the corpus scan
+    is map-side and the only shuffle is the per-query top-k window on
+    ``query_id``.
+    """
+    v = _prep(embeddings)
+    queries = v.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qv"))
+    corpus = v.where(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("nv"))
+    scored = (
+        F.broadcast(queries).crossJoin(corpus)
+        .select("query_id", "neighbor_id",
+                q6(cosine(F.col("qv"), F.col("nv"))).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def ivf_assignments(embeddings: DataFrame,
+                    n_centroids: int = N_CENTROIDS) -> DataFrame:
+    """Assign every corpus vector to its nearest centroid.
+
+    Centroids are the seed vectors ``vec_id < n_centroids`` — a
+    deterministic stand-in for k-means (which would converge to
+    data-dependent floats and break value-level oracle checks).
+    One broadcast join + one argmax window; no iteration.
+    """
+    v = _prep(embeddings)
+    centroids = v.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"), F.col("vec").alias("cv"))
+    corpus = v.where(F.col("vec_id") >= n_centroids)
+    scored = (
+        corpus.crossJoin(F.broadcast(centroids))
+        .select("vec_id",
+                "centroid_id",
+                q6(cosine(F.col("vec"), F.col("cv"))).alias("cos"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "centroid_id")
+    )
+
+
+def knn_ivf(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
+            n_centroids: int = N_CENTROIDS, nprobe: int = N_PROBE) -> DataFrame:
+    """Approximate top-k: probe the ``nprobe`` nearest centroids per
+    query and search only their buckets.
+
+    At 100 TB the bucketed corpus is written partitioned by
+    ``centroid_id`` so a probe prunes partitions at the scan; here the
+    pruning is the equi-join on centroid_id.
+    """
+    v = _prep(embeddings)
+    queries = v.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qv"))
+    centroids = v.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"), F.col("vec").alias("cv"))
+
+    probe_scored = (
+        F.broadcast(queries).crossJoin(F.broadcast(centroids))
+        .select("query_id", "centroid_id",
+                q6(cosine(F.col("qv"), F.col("cv"))).alias("ccos"))
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("ccos").desc(), F.col("centroid_id"))
+    probes = (
+        probe_scored.withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", "centroid_id")
+    )
+
+    # Bucketed corpus (excludes queries AND centroid seeds, matching
+    # ivf_assignments' corpus definition).
+    buckets = ivf_assignments(embeddings, n_centroids).where(
+        F.col("vec_id") >= n_queries)
+    corpus = v.select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("vec").alias("nv"))
+
+    cands = (
+        probes.join(buckets, "centroid_id")
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .join(corpus, "neighbor_id")
+        .join(F.broadcast(queries), "query_id")
+        .select("query_id", "neighbor_id",
+                q6(cosine(F.col("qv"), F.col("nv"))).alias("cos"))
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(wk).cast("long"))
+        .where(F.col("rank") <= k)
+    )

@@ -1,0 +1,162 @@
+"""Dedup queries over ``documents`` with value-level DuckDB oracles.
+
+The Spark plans and the oracle SQL share one source of truth for
+every constant (hash function, MinHash permutation params, band
+layout, SimHash bit width) — generated from
+:mod:`..functions.textfns` / :mod:`..operators.dedup` — so signatures
+match bit-for-bit across engines.
+
+Oracle strategy per query:
+
+- ``exact_dedup_groups`` / ``*_signatures``: same computation, same
+  values.
+- ``minhash_dedup_pairs``: oracle is EXACT all-pairs Jaccard — it
+  validates LSH recall, not just implementation agreement (the banded
+  join must find every pair ≥ threshold; P(miss) < 1e-14 at J=0.8
+  with b=32, r=2).
+- ``simhash_near_dups``: oracle is exact all-pairs Hamming; the Spark
+  side uses the pigeonhole-banded join (guaranteed-complete for
+  hamming ≤ 7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.textfns import (
+    MERSENNE31,
+    hash60_sql,
+    minhash_params,
+    shingle_hashes_sql,
+)
+from ..operators import dedup as D
+from ..sources.tables import load_table
+from .registry import register
+
+_HS = shingle_hashes_sql("text")
+
+_SH_CTE = f"""
+WITH sh AS (
+  SELECT doc_id, {_HS} AS hs
+  FROM documents
+  WHERE len({_HS}) > 0
+)
+"""
+
+_P = MERSENNE31
+
+
+def _minhash_sql_exprs() -> list[str]:
+    return [
+        f"list_min(list_transform(hs, h -> ({a} * (h % {_P}) + {b}) % {_P}))"
+        for a, b in minhash_params(D.K)
+    ]
+
+
+_JACCARD_SQL = (
+    "floor((len(list_intersect(a.hs, b.hs)) * 1.0"
+    " / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))))"
+    " * 1000000 + 0.5) / 1000000.0"
+)
+
+
+@register(
+    "exact_dedup_groups",
+    oracle="""
+SELECT md5(text) AS text_md5, min(doc_id) AS canonical_id,
+       count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+""",
+)
+def q_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content digest (one shuffle on the
+    digest; at 100 TB, hash first so the shuffle moves 32-byte keys,
+    not document bodies)."""
+    return D.exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "minhash_signatures",
+    oracle=_SH_CTE + f"""
+SELECT doc_id,
+       array_to_string([{', '.join(_minhash_sql_exprs())}], ',') AS signature
+FROM sh
+""",
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-permutation MinHash signatures, rendered as a CSV string for
+    cross-engine value comparison."""
+    from pyspark.sql import functions as F
+    sigs = D.minhash_signatures(load_table(spark, sf_dir, "documents"))
+    return sigs.select(
+        "doc_id",
+        F.concat_ws(",", F.col("sig").cast("array<string>")).alias("signature"),
+    )
+
+
+@register(
+    "minhash_dedup_pairs",
+    oracle=_SH_CTE + f"""
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, {_JACCARD_SQL} AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE {_JACCARD_SQL} >= 0.8
+""",
+    headline=True,
+)
+def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via MinHash-LSH + exact verify (threshold 0.8).
+    Oracle is exhaustive all-pairs Jaccard, so this checks recall."""
+    return D.minhash_dedup_pairs(load_table(spark, sf_dir, "documents"),
+                                 threshold=0.8)
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=_SH_CTE + f"""
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, {_JACCARD_SQL} AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE {_JACCARD_SQL} >= 0.5
+""",
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs 3-gram Jaccard at a looser threshold (0.5) —
+    the quadratic baseline the LSH path replaces at scale."""
+    return D.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"),
+                                 threshold=0.5)
+
+
+def _simhash_sql(hs: str = "hs") -> str:
+    terms = [
+        f"(CASE WHEN list_sum(list_transform({hs},"
+        f" h -> ((h >> {j}) & 1) * 2 - 1)) >= 0"
+        f" THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(D.SIMHASH_BITS)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "simhash_signatures",
+    oracle=_SH_CTE + f"""
+SELECT doc_id, {_simhash_sql()} AS simhash FROM sh
+""",
+)
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "simhash_near_dups",
+    oracle=_SH_CTE + f"""
+, sigs AS (SELECT doc_id, {_simhash_sql()} AS simhash FROM sh)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+""",
+)
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups (Hamming ≤ 6 of 48 bits) via pigeonhole-banded
+    equi-join; oracle is exact all-pairs Hamming."""
+    return D.simhash_near_dup_pairs(load_table(spark, sf_dir, "documents"),
+                                    max_hamming=6)

@@ -1,0 +1,114 @@
+"""Similarity-search queries over ``embeddings`` with mirrored oracles.
+
+The oracle SQL reproduces the same algorithm (same fold, same 6-dp
+quantization, same centroid seeds and tie-breaks), so brute-force AND
+IVF results are value-checked — the IVF check verifies bucket
+assignment and probe pruning, not just "returns rows".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.vectors import cosine_sql, q6_sql
+from ..operators import similarity as S
+from ..sources.tables import load_table
+from .registry import register
+
+
+def _q6cos(a: str, b: str) -> str:
+    return q6_sql(cosine_sql(a, b))
+
+
+_V_CTE = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)
+"""
+
+
+@register(
+    "embedding_near_dups",
+    oracle=_V_CTE + f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_q6cos('a.vec', 'b.vec')} AS cos_sim
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE {_q6cos('a.vec', 'b.vec')} >= 0.45
+""",
+)
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = S.embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.45)
+    return df.withColumnRenamed("cos", "cos_sim")
+
+
+_KNN_BF_SQL = _V_CTE + f"""
+, q AS (SELECT vec_id AS query_id, vec AS qv FROM v WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, vec AS nv FROM v WHERE vec_id >= 10),
+s AS (SELECT query_id, neighbor_id, {_q6cos('qv', 'nv')} AS cos_sim FROM q, c),
+r AS (SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5
+"""
+
+
+@register("knn_bruteforce", oracle=_KNN_BF_SQL, headline=True)
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = S.knn_bruteforce(load_table(spark, sf_dir, "embeddings"),
+                          n_queries=10, k=5)
+    return df.withColumnRenamed("cos", "cos_sim")
+
+
+_IVF_ASSIGN_SQL = _V_CTE + f"""
+, cents AS (SELECT vec_id AS centroid_id, vec AS cv FROM v
+            WHERE vec_id < {S.N_CENTROIDS}),
+corp AS (SELECT vec_id, vec FROM v WHERE vec_id >= {S.N_CENTROIDS}),
+scored AS (SELECT vec_id, centroid_id, {_q6cos('vec', 'cv')} AS c
+           FROM corp, cents),
+r AS (SELECT vec_id, centroid_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY c DESC, centroid_id) AS rn
+      FROM scored)
+"""
+
+
+@register(
+    "ivf_assignments",
+    oracle=_IVF_ASSIGN_SQL + "SELECT vec_id, centroid_id FROM r WHERE rn = 1",
+)
+def q_ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.ivf_assignments(load_table(spark, sf_dir, "embeddings"))
+
+
+_KNN_IVF_SQL = _IVF_ASSIGN_SQL + f"""
+, assign AS (SELECT vec_id, centroid_id FROM r WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, vec AS qv FROM v WHERE vec_id < 10),
+probe_s AS (SELECT query_id, centroid_id, {_q6cos('qv', 'cv')} AS ccos
+            FROM q, cents),
+probe_r AS (SELECT query_id, centroid_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY ccos DESC, centroid_id) AS prn
+            FROM probe_s),
+probes AS (SELECT query_id, centroid_id FROM probe_r WHERE prn <= {S.N_PROBE}),
+buckets AS (SELECT vec_id FROM assign
+            JOIN probes USING (centroid_id) WHERE vec_id >= 10),
+cand AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+                {_q6cos('q.qv', 'v.vec')} AS cos_sim
+         FROM probes p
+         JOIN assign a USING (centroid_id)
+         JOIN q ON q.query_id = p.query_id
+         JOIN v ON v.vec_id = a.vec_id
+         WHERE a.vec_id >= 10),
+ranked AS (SELECT query_id, neighbor_id, cos_sim,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rank
+           FROM cand)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@register("knn_ivf", oracle=_KNN_IVF_SQL)
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = S.knn_ivf(load_table(spark, sf_dir, "embeddings"),
+                   n_queries=10, k=5)
+    return df.withColumnRenamed("cos", "cos_sim")
