@@ -1,0 +1,109 @@
+"""Text-analysis operators for LLM-data pipelines over ``documents``.
+
+All pure-expression (tokenize/regex/higher-order functions — no UDFs,
+so the whole suite stays in whole-stage codegen and scales linearly):
+
+- language ID: stopword-hit scoring across candidate languages
+  (n-gram-heuristic family; deterministic argmax with fixed tie order)
+- quality scoring: length / alpha-ratio / stopword-ratio / mean token
+  length combined into a bounded score
+- token counting: whitespace words plus a BPE-ish regex segmentation
+  (alnum runs + single punctuation marks)
+- fingerprinting: min-hash over rolling word 5-grams (winnowing-style
+  single-value document fingerprint)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textfns import hash60, shingles, tokenize
+
+# Fixed stopword inventories (shared with the oracle SQL).
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu", "den", "von", "mit"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "los", "por"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "du", "est", "dans"),
+}
+LANGS = tuple(STOPWORDS)  # fixed order = deterministic tie-break
+
+BPE_ISH = "[a-z0-9]+|[^a-z0-9\\s]"
+
+
+def _hits(tokens: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(tokens, lambda t: t.isin(*words))).cast("long")
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    toks = tokenize(text)
+    return {lang: _hits(toks, words) for lang, words in STOPWORDS.items()}
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Predict language by stopword hits; ties resolve in LANGS order,
+    zero hits → 'und' (undetermined)."""
+    scores = lang_scores(F.col(text_col))
+    best = F.greatest(*[scores[lg] for lg in LANGS])
+    pred = F.when(best == 0, F.lit("und"))
+    for lg in LANGS:
+        pred = pred.when(scores[lg] == best, F.lit(lg))
+    cols = [scores[lg].alias(f"hits_{lg}") for lg in LANGS]
+    return docs.select("doc_id", *cols, pred.alias("pred_lang"))
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features + a bounded composite score.
+
+    All ratios come from integer counts quantized with floor(+0.5), so
+    the values are cross-engine deterministic.
+    """
+    text = F.col(text_col)
+    toks = tokenize(text)
+    n_chars = F.length(text).cast("long")
+    n_alpha = F.length(F.regexp_replace(F.lower(text), "[^a-z]", "")).cast("long")
+    n_tokens = F.size(toks).cast("long")
+    n_stop = _hits(toks, STOPWORDS["en"])
+    total_tok_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    q6 = lambda c: F.floor(c * 1_000_000 + 0.5) / 1_000_000.0  # noqa: E731
+    alpha_ratio = q6(n_alpha.cast("double") / n_chars)
+    stop_ratio = q6(n_stop.cast("double") / n_tokens)
+    mean_tok_len = q6(total_tok_chars.cast("double") / n_tokens)
+    # Bounded composite: rewards alpha-heavy, stopword-bearing prose
+    # with mid-length tokens (heuristic in the C4/Gopher-rules family).
+    score = q6(
+        F.least(alpha_ratio * 0.5 + stop_ratio * 2.0
+                + F.least(mean_tok_len / 10.0, F.lit(0.3)), F.lit(1.0))
+    )
+    return docs.select(
+        "doc_id", n_chars.alias("n_chars"), n_tokens.alias("n_tokens"),
+        alpha_ratio.alias("alpha_ratio"), stop_ratio.alias("stop_ratio"),
+        mean_tok_len.alias("mean_tok_len"), score.alias("quality_score"),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens vs BPE-ish regex segments (alnum runs +
+    individual punctuation)."""
+    text = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        F.size(tokenize(text)).cast("long").alias("n_words"),
+        F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_ISH), 0))
+         .cast("long").alias("n_bpe_ish"),
+    )
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text",
+                 n: int = 5) -> DataFrame:
+    """Single-value rolling-hash fingerprint: min 60-bit hash over
+    word n-grams (n=5). Equal fingerprints ⇒ near-identical prefixes
+    of content; used for cheap shard-level dedup sweeps."""
+    grams = shingles(tokenize(F.col(text_col)), n)
+    fp = F.array_min(F.transform(grams, hash60))
+    return (
+        docs.select("doc_id", fp.alias("fingerprint"))
+        .where(F.col("fingerprint").isNotNull())
+    )

@@ -1,0 +1,83 @@
+"""Event sessionization / time-window queries over ``events``.
+
+Time arithmetic is integer microseconds on both engines; money-like
+``value`` sums are cent-quantized (see functions/compare.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import events as EV
+from ..sources.tables import load_table
+from .registry import register
+
+_GAP_US = EV.SESSION_GAP_MIN * 60 * 1_000_000
+
+_SESSION_CTE = f"""
+WITH x AS (
+  SELECT event_id, user_id, ts, value, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_us
+  FROM events
+), f AS (
+  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > {_GAP_US}
+                 THEN 1 ELSE 0 END AS new_s
+  FROM x
+), s AS (
+  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS session_id
+  FROM f
+)
+"""
+
+
+@register(
+    "sessionize_events",
+    oracle=_SESSION_CTE + "SELECT event_id, user_id, session_id FROM s",
+)
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event session assignment (30-min inactivity gap)."""
+    s = EV.sessionize(load_table(spark, sf_dir, "events"))
+    return s.select("event_id", "user_id", "session_id")
+
+
+@register(
+    "session_stats",
+    oracle=_SESSION_CTE + """
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       (max(us) - min(us)) / 1000000.0 AS duration_s,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+FROM s GROUP BY user_id, session_id
+""",
+    headline=True,
+)
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return EV.session_stats(load_table(spark, sf_dir, "events"))
+
+
+_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+@register("hourly_event_counts", oracle=_HOURLY_SQL)
+def q_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return EV.hourly_event_counts(load_table(spark, sf_dir, "events"))
+
+
+@register("streaming_hourly_counts", oracle=_HOURLY_SQL)
+def q_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same hourly rollup computed by a Structured Streaming query
+    (watermark + event-time windows, availableNow replay) — 1-hour
+    tumbling windows align with date_trunc, so the batch oracle
+    applies unchanged."""
+    from ..streaming import streaming_hourly_counts
+    return streaming_hourly_counts(spark, sf_dir)

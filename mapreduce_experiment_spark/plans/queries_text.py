@@ -1,0 +1,108 @@
+"""Text-analysis queries over ``documents`` with mirrored oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.textfns import hash60_sql, shingles_sql, tokenize_sql
+from ..operators import text as TX
+from ..sources.tables import load_table
+from .registry import register
+
+_TOKS = tokenize_sql("text")
+_T_CTE = f"WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)\n"
+
+
+def _hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in TX.STOPWORDS[lang])
+    return (
+        f"CAST(len(list_filter(toks, x -> list_contains([{words}], x)))"
+        " AS BIGINT)"
+    )
+
+
+_LANG_SCORE_CTE = _T_CTE + f"""
+, s AS (
+  SELECT doc_id,
+         {', '.join(f'{_hits_sql(lg)} AS hits_{lg}' for lg in TX.LANGS)}
+  FROM t
+)
+"""
+
+_BEST = "greatest(" + ", ".join(f"hits_{lg}" for lg in TX.LANGS) + ")"
+_PRED = (
+    f"CASE WHEN {_BEST} = 0 THEN 'und' "
+    + " ".join(f"WHEN hits_{lg} = {_BEST} THEN '{lg}'" for lg in TX.LANGS)
+    + " END"
+)
+
+
+@register(
+    "lang_id",
+    oracle=_LANG_SCORE_CTE + f"""
+SELECT doc_id, {', '.join(f'hits_{lg}' for lg in TX.LANGS)},
+       {_PRED} AS pred_lang
+FROM s
+""",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID (n-gram-heuristic family)."""
+    return TX.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+_Q6 = "floor(({}) * 1000000 + 0.5) / 1000000.0"
+_ALPHA = "CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT)"
+_NSTOP = _hits_sql("en")
+_TOKCHARS = "list_sum(list_transform(toks, x -> length(x)))"
+
+
+@register(
+    "quality_scores",
+    oracle=_T_CTE + f"""
+, f AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         {_Q6.format(f"{_ALPHA} * 1.0 / length(text)")} AS alpha_ratio,
+         {_Q6.format(f"{_NSTOP} * 1.0 / len(toks)")} AS stop_ratio,
+         {_Q6.format(f"{_TOKCHARS} * 1.0 / len(toks)")} AS mean_tok_len
+  FROM t
+)
+SELECT doc_id, n_chars, n_tokens, alpha_ratio, stop_ratio, mean_tok_len,
+       {_Q6.format("least(alpha_ratio * 0.5 + stop_ratio * 2.0"
+                   " + least(mean_tok_len / 10.0, 0.3), 1.0)")} AS quality_score
+FROM f
+""",
+)
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.quality_features(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "token_counts",
+    oracle=_T_CTE + f"""
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_words,
+       CAST(len(regexp_extract_all(lower(text), '{TX.BPE_ISH}')) AS BIGINT)
+         AS n_bpe_ish
+FROM t
+""",
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.token_counts(load_table(spark, sf_dir, "documents"))
+
+
+_GRAMS5 = shingles_sql("toks", 5)
+
+
+@register(
+    "fingerprints",
+    oracle=_T_CTE + f"""
+SELECT doc_id,
+       list_min(list_transform({_GRAMS5}, s -> {hash60_sql('s')})) AS fingerprint
+FROM t
+WHERE len({_GRAMS5}) > 0
+""",
+)
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.fingerprints(load_table(spark, sf_dir, "documents"))

@@ -1,0 +1,74 @@
+"""Structured Streaming pipelines over the events table.
+
+The reference is batch-only (SURVEY §2: "no streaming of any kind");
+this is north-star surface. Pattern: ``readStream`` over the parquet
+file source (stand-in for Kafka), event-time tumbling windows with a
+watermark, memory sink driven to completion with ``availableNow`` so
+a batch replay is deterministic and value-checkable against the batch
+oracle.
+
+At scale the same plan runs continuously: the file source becomes
+Kafka, the memory sink becomes a parquet/Delta sink with checkpoints,
+and the watermark bounds state for late data.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Matches the parquet footer (ts is TIMESTAMP(NANOS) → int64 under
+# nanosAsLong; converted after read like sources.tables.load_table).
+_EVENTS_RAW = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+_COUNTER = itertools.count()
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The file stream source wants a directory; select just the events
+    # file from the shared sf_dir with a glob filter.
+    stream = (
+        spark.readStream.schema(_EVENTS_RAW)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return stream.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event type, computed by
+    a real streaming query (watermark + window agg), drained with
+    ``availableNow`` and returned as a static DataFrame."""
+    events = read_event_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0)
+                .alias("total_value"),
+        )
+    )
+    name = f"stream_hourly_{next(_COUNTER)}"
+    q = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("window.start").alias("hour"),
+        "event_type", "n_events", "total_value",
+    )

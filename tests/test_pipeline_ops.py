@@ -1,0 +1,101 @@
+"""Micro-fixture unit tests for the LLM-pipeline operators (dedup,
+text, events, multimodal) — behavior the oracle gate can't isolate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_experiment_spark.operators import (
+    dedup as D,
+    events as EV,
+    multimodal as MM,
+    text as TX,
+)
+
+DOC_SCHEMA = "doc_id long, text string"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, DOC_SCHEMA)
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    near = base.replace("lazy", "sleepy", 1)          # one-word edit
+    other = "completely different content about spark plans " * 8
+    docs = _docs(spark, [(1, base), (2, near), (3, other)])
+    pairs = {(r.id_a, r.id_b) for r in
+             D.minhash_dedup_pairs(docs, threshold=0.5).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_exact_dedup_groups(spark):
+    docs = _docs(spark, [(1, "same text"), (2, "same text"), (3, "other")])
+    rows = {r.canonical_id: r.n_copies
+            for r in D.exact_dedup_groups(docs).collect()}
+    assert rows == {1: 2, 3: 1}
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    docs = _docs(spark, [(1, "alpha beta gamma delta epsilon"),
+                         (2, "alpha beta gamma delta epsilon")])
+    pairs = D.simhash_near_dup_pairs(docs, max_hamming=0).collect()
+    assert [(p.id_a, p.id_b, p.hamming) for p in pairs] == [(1, 2, 0)]
+
+
+def test_short_docs_dropped_not_garbled(spark):
+    # < 3 tokens → no shingles → excluded (and no negative-step
+    # sequence garbage; regression for the Spark sequence() pitfall).
+    docs = _docs(spark, [(1, "two words"), (2, "one two three four")])
+    sigs = D.minhash_signatures(docs)
+    assert [r.doc_id for r in sigs.collect()] == [2]
+
+
+def test_lang_id_stopword_scoring(spark):
+    docs = _docs(spark, [
+        (1, "the cat and the dog of it is that for"),
+        (2, "der hund und die katze ist ein zu den"),
+        (3, "xyzzy qwerty plugh"),
+    ])
+    out = {r.doc_id: r.pred_lang for r in TX.lang_id(docs).collect()}
+    assert out == {1: "en", 2: "de", 3: "und"}
+
+
+def test_token_counts_bpe_ish(spark):
+    docs = _docs(spark, [(1, "Hello, world! a-b")])
+    r = TX.token_counts(docs).collect()[0]
+    # words: hello world a b; bpe-ish: hello , world ! a - b
+    assert (r.n_words, r.n_bpe_ish) == (4, 7)
+
+
+def test_sessionize_gap(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", 7),
+        (2, "2024-01-01 00:10:00", 7),   # same session (10 min)
+        (3, "2024-01-01 01:00:00", 7),   # 50 min gap -> new session
+        (4, "2024-01-01 00:00:00", 8),   # other user
+    ]
+    events = spark.createDataFrame(rows, "event_id long, ts string, user_id long") \
+        .withColumn("ts", F.col("ts").cast("timestamp")) \
+        .withColumn("value", F.lit(1.0))
+    out = {r.event_id: r.session_id for r in EV.sessionize(events).collect()}
+    assert out == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_media_features_shape_and_determinism(spark):
+    docs = _docs(spark, [(1, "abc abc"), (2, "zzzz")])
+    media = MM.build_media_table(docs)
+    feats = MM.extract_features(media).collect()
+    assert len(feats) == 2
+    byid = {r.media_id: r for r in feats}
+    # 'abc abc' -> bytes a(97)%16=1 b=2 c=3 space=0; counts: b0=1,b1=2,b2=2,b3=2
+    r = byid[1]
+    assert (r.b0, r.b1, r.b2, r.b3) == (1, 2, 2, 2)
+    assert sum(getattr(r, f"b{i}") for i in range(16)) == 7
+
+
+def test_decode_image_is_stubbed():
+    import pytest
+    with pytest.raises((NotImplementedError, Exception)):
+        MM.decode_image(b"not an image")
