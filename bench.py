@@ -1,0 +1,57 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <scale factor>}
+
+Each query is materialized with the noop sink (full execution, no
+driver collect — the reference's collect()-based "benchmark"
+measured driver serialization as much as compute; SURVEY §3.1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mapreduce_experiment_spark.plans.registry import SPECS  # noqa: E402
+from mapreduce_experiment_spark.session import get_session  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_from_dir(path: str) -> float:
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> None:
+    spark = get_session(app_name="spark-graft-bench")
+    specs = {n: s for n, s in SPECS().items() if s.headline}
+    # Untimed warm-up: JIT/codegen compilation and filesystem metadata
+    # otherwise land entirely on the first timed query.
+    spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")) \
+        .limit(1000).write.format("noop").mode("overwrite").save()
+    timings: dict[str, float] = {}
+    for name, spec in sorted(specs.items()):
+        t0 = time.perf_counter()
+        df = spec.fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+    }))
+
+
+if __name__ == "__main__":
+    main()

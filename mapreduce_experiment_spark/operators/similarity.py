@@ -22,16 +22,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import as_double, cosine, q6
+from ..functions.vectors import as_double, dot, q6
 
 N_CENTROIDS = 16
 N_PROBE = 4
 
 
 def _prep(embeddings: DataFrame) -> DataFrame:
+    """Vectors as doubles with the norm precomputed ONCE per vector —
+    the per-pair cosine is then a single dot product, not three
+    (norms recomputed per pair would triple the dominant cost)."""
+    vec = as_double(F.col("embedding"))
     return embeddings.select(
-        "vec_id", as_double(F.col("embedding")).alias("vec")
+        "vec_id", vec.alias("vec"), F.sqrt(dot(vec, vec)).alias("norm")
     )
+
+
+def _cos(va: F.Column, vb: F.Column, na: F.Column, nb: F.Column) -> F.Column:
+    return q6(dot(va, vb) / (na * nb))
 
 
 def embedding_near_dup_pairs(embeddings: DataFrame,
@@ -39,12 +47,16 @@ def embedding_near_dup_pairs(embeddings: DataFrame,
     """All-pairs cosine near-duplicates (quadratic — small inputs;
     LSH/IVF bucketing is the scale path for this, too)."""
     v = _prep(embeddings)
-    a = v.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("va"))
-    b = v.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"))
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("va"),
+                 F.col("norm").alias("na"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"),
+                 F.col("norm").alias("nb"))
     return (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", q6(cosine(F.col("va"), F.col("vb"))).alias("cos"))
+        .select("id_a", "id_b",
+                _cos(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+                .alias("cos"))
         .where(F.col("cos") >= threshold)
     )
 
@@ -60,13 +72,16 @@ def knn_bruteforce(embeddings: DataFrame, n_queries: int = 10,
     """
     v = _prep(embeddings)
     queries = v.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("vec").alias("qv"))
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qv"),
+        F.col("norm").alias("qn"))
     corpus = v.where(F.col("vec_id") >= n_queries).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("nv"))
+        F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("nv"),
+        F.col("norm").alias("nn"))
     scored = (
         F.broadcast(queries).crossJoin(corpus)
         .select("query_id", "neighbor_id",
-                q6(cosine(F.col("qv"), F.col("nv"))).alias("cos"))
+                _cos(F.col("qv"), F.col("nv"), F.col("qn"), F.col("nn"))
+                .alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id"))
@@ -87,13 +102,15 @@ def ivf_assignments(embeddings: DataFrame,
     """
     v = _prep(embeddings)
     centroids = v.where(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("centroid_id"), F.col("vec").alias("cv"))
+        F.col("vec_id").alias("centroid_id"), F.col("vec").alias("cv"),
+        F.col("norm").alias("cn"))
     corpus = v.where(F.col("vec_id") >= n_centroids)
     scored = (
         corpus.crossJoin(F.broadcast(centroids))
         .select("vec_id",
                 "centroid_id",
-                q6(cosine(F.col("vec"), F.col("cv"))).alias("cos"))
+                _cos(F.col("vec"), F.col("cv"), F.col("norm"), F.col("cn"))
+                .alias("cos"))
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cos").desc(), F.col("centroid_id"))
@@ -115,14 +132,17 @@ def knn_ivf(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
     """
     v = _prep(embeddings)
     queries = v.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("vec").alias("qv"))
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qv"),
+        F.col("norm").alias("qn"))
     centroids = v.where(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("centroid_id"), F.col("vec").alias("cv"))
+        F.col("vec_id").alias("centroid_id"), F.col("vec").alias("cv"),
+        F.col("norm").alias("cn"))
 
     probe_scored = (
         F.broadcast(queries).crossJoin(F.broadcast(centroids))
         .select("query_id", "centroid_id",
-                q6(cosine(F.col("qv"), F.col("cv"))).alias("ccos"))
+                _cos(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"))
+                .alias("ccos"))
     )
     wp = Window.partitionBy("query_id").orderBy(
         F.col("ccos").desc(), F.col("centroid_id"))
@@ -137,7 +157,7 @@ def knn_ivf(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
     buckets = ivf_assignments(embeddings, n_centroids).where(
         F.col("vec_id") >= n_queries)
     corpus = v.select(F.col("vec_id").alias("neighbor_id"),
-                      F.col("vec").alias("nv"))
+                      F.col("vec").alias("nv"), F.col("norm").alias("nn"))
 
     cands = (
         probes.join(buckets, "centroid_id")
@@ -145,7 +165,8 @@ def knn_ivf(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
         .join(corpus, "neighbor_id")
         .join(F.broadcast(queries), "query_id")
         .select("query_id", "neighbor_id",
-                q6(cosine(F.col("qv"), F.col("nv"))).alias("cos"))
+                _cos(F.col("qv"), F.col("nv"), F.col("qn"), F.col("nn"))
+                .alias("cos"))
     )
     wk = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id"))
