@@ -73,6 +73,58 @@ def q_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EV.hourly_event_counts(load_table(spark, sf_dir, "events"))
 
 
+@register(
+    "session_window_stats",
+    oracle=_SESSION_CTE + f"""
+SELECT user_id,
+       min(ts) AS window_start,
+       max(ts) + INTERVAL {EV.SESSION_GAP_MIN} MINUTE AS window_end,
+       count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+FROM s GROUP BY user_id, session_id
+""",
+)
+def q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same sessions via Spark's NATIVE session_window operator
+    (gap-merged event-time windows); window_end is last event + gap by
+    definition, which the gap-and-island oracle reproduces."""
+    from pyspark.sql import functions as F
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", f"{EV.SESSION_GAP_MIN} minutes"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0)
+                 .alias("total_value"))
+        .select("user_id",
+                F.col("session_window.start").alias("window_start"),
+                F.col("session_window.end").alias("window_end"),
+                "n_events", "total_value")
+    )
+
+
+@register(
+    "stateful_streaming_sessions",
+    oracle=_SESSION_CTE + """
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+FROM s GROUP BY user_id, session_id
+""",
+)
+def q_stateful_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user keyed session state across micro-batches. Under the
+    single-batch availableNow drain its emitted set equals batch
+    sessionization, so the batch oracle value-checks it."""
+    from ..streaming.sessions import stateful_session_stats
+    return stateful_session_stats(spark, sf_dir)
+
+
 @register("streaming_hourly_counts", oracle=_HOURLY_SQL)
 def q_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same hourly rollup computed by a Structured Streaming query

@@ -1,0 +1,110 @@
+"""Stateful streaming sessionization (applyInPandasWithState).
+
+A custom per-user session operator the built-in aggregations can't
+express: arbitrary per-session accumulators (exact integer cents,
+event counts, bounds) with explicit keyed state that survives across
+micro-batches. State schema holds the trailing open session; each
+batch emits every session touched in that batch (emit-on-batch-close
+with amendment — downstream consumers keep the latest row per
+(user_id, session_id)).
+
+Under an ``availableNow`` drain of a single parquet file the whole
+stream is one micro-batch, so the emitted set equals the batch
+sessionization exactly — which is how the driver value-checks this
+operator against the same SQL oracle as the batch path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators.events import SESSION_GAP_MIN
+from .pipeline import _COUNTER, read_event_stream
+
+_OUT_SCHEMA = (
+    "user_id long, session_id long, n_events long, "
+    "session_start timestamp, session_end timestamp, total_value double"
+)
+# Trailing open session: (session_id, start_us, last_us, n, cents)
+_STATE_SCHEMA = "session_id long, start_us long, last_us long, n long, cents long"
+
+
+def _sessionize_group(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    gap_us: int,
+) -> Iterator[pd.DataFrame]:
+    user_id = key[0]
+    if state.exists:
+        sid, start_us, last_us, n, cents = state.get
+    else:
+        sid, start_us, last_us, n, cents = 0, None, None, 0, 0
+
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    if len(batch) == 0:
+        yield pd.DataFrame(columns=[
+            "user_id", "session_id", "n_events",
+            "session_start", "session_end", "total_value"])
+        return
+    batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+    ts_us = batch["ts"].astype("int64") // 1000  # ns -> us, exact
+    val_cents = (batch["value"] * 100).round().astype("int64")
+
+    out: list[tuple] = []
+    touched: set[int] = set()
+    for us, cent in zip(ts_us.to_numpy(), val_cents.to_numpy()):
+        if last_us is None or us - last_us > gap_us:
+            if last_us is not None:
+                out.append((user_id, sid, n, start_us, last_us, cents))
+            sid += 1
+            start_us, n, cents = int(us), 0, 0
+            touched.add(sid)
+        last_us = int(us)
+        n += 1
+        cents += int(cent)
+    out.append((user_id, sid, n, start_us, last_us, cents))  # trailing
+
+    state.update((sid, start_us, last_us, n, cents))
+    df = pd.DataFrame(out, columns=[
+        "user_id", "session_id", "n_events", "start_us", "last_us", "cents"])
+    yield pd.DataFrame({
+        "user_id": df["user_id"],
+        "session_id": df["session_id"],
+        "n_events": df["n_events"],
+        "session_start": pd.to_datetime(df["start_us"], unit="us"),
+        "session_end": pd.to_datetime(df["last_us"], unit="us"),
+        "total_value": df["cents"] / 100.0,
+    })
+
+
+def stateful_session_stats(spark: SparkSession, sf_dir: str,
+                           gap_minutes: int = SESSION_GAP_MIN) -> DataFrame:
+    """Run the stateful sessionizer over the event stream and drain it
+    (availableNow) into a static DataFrame."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    events = read_event_stream(spark, sf_dir).select(
+        "user_id", "event_id", "ts", "value")
+
+    def fn(key, pdfs, state):
+        return _sessionize_group(key, pdfs, state, gap_us)
+
+    result = events.groupBy("user_id").applyInPandasWithState(
+        fn, _OUT_SCHEMA, _STATE_SCHEMA, "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    name = f"stateful_sessions_{next(_COUNTER)}"
+    q = (
+        result.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
