@@ -1,0 +1,169 @@
+"""Profiling / robustness queries: SQL-API entry, grouping sets, full
+outer join, exact distribution stats, salted hot-key aggregation, and
+a generic column profiler."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table, register_views
+from .registry import register
+
+
+@register(
+    "grouping_sets_sql",
+    oracle="""
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+)
+def q_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exercises the engine's SQL entry point (spark.sql over
+    registered views — SURVEY §3.4 entry 3) with GROUPING SETS."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
+
+
+@register(
+    "nation_participants_full_outer",
+    oracle="""
+WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_customers
+           FROM customer GROUP BY c_nationkey),
+s AS (SELECT s_nationkey AS nk, count(*) AS n_suppliers
+      FROM supplier GROUP BY s_nationkey)
+SELECT coalesce(c.nk, s.nk) AS nationkey,
+       coalesce(n_customers, 0) AS n_customers,
+       coalesce(n_suppliers, 0) AS n_suppliers
+FROM c FULL OUTER JOIN s ON c.nk = s.nk
+""",
+)
+def q_nation_participants_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (load_table(spark, sf_dir, "customer")
+            .groupBy(F.col("c_nationkey").alias("nk"))
+            .agg(F.count(F.lit(1)).alias("n_customers")))
+    sup = (load_table(spark, sf_dir, "supplier")
+           .groupBy(F.col("s_nationkey").alias("nk2"))
+           .agg(F.count(F.lit(1)).alias("n_suppliers")))
+    return (
+        cust.join(sup, cust.nk == sup.nk2, "full_outer")
+        .select(
+            F.coalesce("nk", "nk2").alias("nationkey"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+@register(
+    "value_distribution_stats",
+    oracle="""
+WITH q AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+a AS (SELECT event_type, count(*) AS n, sum(cents) AS s, sum(cents * cents) AS ss,
+             min(cents) AS mn, max(cents) AS mx
+      FROM q GROUP BY event_type)
+SELECT event_type, n,
+       mn / 100.0 AS min_value,
+       mx / 100.0 AS max_value,
+       floor(s * 10000.0 / (100 * n) + 0.5) / 10000.0 AS mean_value,
+       floor((ss - s * 1.0 * s / n) * 10000.0 / ((n - 1) * 10000) + 0.5)
+         / 10000.0 AS variance
+FROM a
+""",
+)
+def q_value_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution stats with EXACT integer moments: sum and
+    sum-of-squares over cents are int64 (order-independent), so mean
+    and sample variance are bit-deterministic across engines — no
+    Welford-vs-naive or summation-order drift."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    a = ev.select("event_type", cents.alias("cents")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("ss"),
+        F.min("cents").alias("mn"),
+        F.max("cents").alias("mx"),
+    )
+    return a.select(
+        "event_type", "n",
+        (F.col("mn") / 100.0).alias("min_value"),
+        (F.col("mx") / 100.0).alias("max_value"),
+        (F.floor(F.col("s") * 10000.0 / (100 * F.col("n")) + 0.5) / 10000.0)
+            .alias("mean_value"),
+        (F.floor(
+            (F.col("ss") - F.col("s") * 1.0 * F.col("s") / F.col("n"))
+            * 10000.0 / ((F.col("n") - 1) * 10000) + 0.5
+        ) / 10000.0).alias("variance"),
+    )
+
+
+@register(
+    "event_type_counts_salted",
+    oracle="""
+SELECT event_type, count(*) AS n_events
+FROM events GROUP BY event_type
+""",
+)
+def q_event_type_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation for pathologically hot keys (5
+    distinct event types over every row). Stage 1 aggregates on
+    (key, salt) spreading each hot key over 32 reducers; stage 2
+    combines the 32 partials. For algebraic aggregates Spark's own
+    partial aggregation usually suffices — explicit salting is the
+    pattern for when it doesn't (e.g. exact distinct under skew)."""
+    ev = load_table(spark, sf_dir, "events")
+    salted = ev.withColumn("_salt", (F.col("event_id") % 32).cast("int"))
+    partial = (salted.groupBy("event_type", "_salt")
+               .agg(F.count(F.lit(1)).alias("pn")))
+    return (partial.groupBy("event_type")
+            .agg(F.sum("pn").alias("n_events")))
+
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount")
+
+
+@register(
+    "lineitem_profile",
+    oracle=f"""
+SELECT * FROM (
+  {" UNION ALL ".join(
+    f'''SELECT '{c}' AS column_name,
+           count(*) AS n_rows,
+           count({c}) AS n_non_null,
+           count(DISTINCT {c}) AS n_distinct,
+           CAST(round(min({c}) * 100) AS BIGINT) / 100.0 AS min_value,
+           CAST(round(max({c}) * 100) AS BIGINT) / 100.0 AS max_value
+    FROM lineitem'''
+    for c in _PROFILE_COLS)}
+)
+""",
+)
+def q_lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler (data-quality sweep): one stats row per column.
+    All three columns profile in ONE scan each via a union of narrow
+    aggregates — Catalyst prunes each branch's read schema to its
+    single column."""
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(li.agg(
+            F.lit(c).alias("column_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(c).alias("n_non_null"),
+            F.countDistinct(c).alias("n_distinct"),
+            (F.round(F.min(c) * 100, 0).cast("long") / 100.0).alias("min_value"),
+            (F.round(F.max(c) * 100, 0).cast("long") / 100.0).alias("max_value"),
+        ))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

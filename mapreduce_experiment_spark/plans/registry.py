@@ -66,7 +66,8 @@ def _load_all() -> None:
         return
     from . import queries_graph  # noqa: F401
     for mod in ("queries_relational", "queries_dedup", "queries_similarity",
-                "queries_text", "queries_events", "queries_multimodal"):
+                "queries_text", "queries_events", "queries_multimodal",
+                "queries_asof", "queries_profiling"):
         try:
             __import__(f"{__package__}.{mod}", fromlist=[mod])
         except ImportError:
