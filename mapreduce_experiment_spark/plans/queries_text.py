@@ -92,6 +92,73 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.token_counts(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "token_frequencies",
+    oracle=_T_CTE + """
+SELECT token, n FROM (
+  SELECT token, count(*) AS n,
+         row_number() OVER (ORDER BY count(*) DESC, token) AS rn
+  FROM (SELECT unnest(toks) AS token FROM t)
+  GROUP BY token
+) WHERE rn <= 100
+""",
+    headline=True,
+)
+def q_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: the canonical MapReduce wordcount, Spark-first
+    — explode → hash aggregate (map-side partial) → top-100. At 100 TB
+    the partial aggregation means the shuffle carries one row per
+    (partition, distinct token), not per token occurrence."""
+    from pyspark.sql import functions as F
+
+    from ..functions.textfns import tokenize
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        counts.orderBy(F.col("n").desc(), F.col("token"))
+        .limit(100)
+        .select("token", "n")
+    )
+
+
+_PII_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}"
+_PII_PHONE = "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+
+@register(
+    "pii_redaction",
+    oracle=f"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                      '{_PII_PHONE}', '<PHONE>', 'g') AS redacted,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phones
+FROM documents
+""",
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass (emails/phones → placeholder tokens) with
+    per-doc match counts — conservative regex subset that parses
+    identically under Java regex and RE2."""
+    from pyspark.sql import functions as F
+    docs = load_table(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
+        _PII_PHONE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL), 0))
+         .cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_PHONE), 0))
+         .cast("long").alias("n_phones"),
+    )
+
+
 _GRAMS5 = shingles_sql("toks", 5)
 
 
