@@ -132,6 +132,26 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.triangle_count(derive_edges(spark, sf_dir), mode="simple")
 
 
+@register(
+    "streaming_triangle_count",
+    oracle="SELECT count(*) AS n_triangles FROM (" + _TRIANGLES_SQL + ")",
+)
+def q_streaming_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship workload as an INCREMENTAL streaming pipeline:
+    edges replayed in micro-batches (4 files, one per trigger), each
+    batch emitting only the triangles it completes against the
+    accumulated edge state (streaming/triangles.py). The final set
+    equals batch-mode enumeration, so the same oracle applies."""
+    import tempfile
+
+    from ..streaming.triangles import streaming_triangles
+    work = tempfile.mkdtemp(prefix="stream_tri_")
+    edges_dir = f"{work}/edges_in"
+    derive_edges(spark, sf_dir).repartition(4).write.parquet(edges_dir)
+    tris = streaming_triangles(spark, edges_dir, work)
+    return tris.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
 @register("triangles_faithful", oracle=_TRIANGLES_SQL)
 def q_triangles_faithful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Faithful-mode triangles (SURVEY finding 3). The derived edge

@@ -106,6 +106,26 @@ edge_lists = st.lists(
 )
 
 
+def test_streaming_triangles_span_batches(spark, tmp_path):
+    """A triangle whose edges arrive in different micro-batches is
+    emitted exactly once, in the batch completing it; duplicate edges
+    across batches don't re-emit."""
+    from mapreduce_experiment_spark.streaming.triangles import (
+        streaming_triangles,
+    )
+    batches = [
+        [(1, 2), (2, 3)],
+        [(1, 3), (1, 2)],          # completes (1,2,3); (1,2) is a dup
+        [(3, 4), (2, 4)],          # completes (2,3,4)
+    ]
+    edges_dir = str(tmp_path / "edges_in")
+    for i, pairs in enumerate(batches):
+        _edges(spark, pairs).coalesce(1).write.mode("append").parquet(edges_dir)
+    tris = streaming_triangles(spark, edges_dir, str(tmp_path / "work"))
+    assert _tri_set(tris) == {(1, 2, 3), (2, 3, 4)}
+    assert tris.count() == 2  # exactly once — no duplicate emissions
+
+
 @settings(max_examples=10, deadline=None)
 @given(pairs=edge_lists)
 def test_triangles_invariant_under_orientation_and_duplication(spark, pairs):
