@@ -21,17 +21,21 @@ MERSENNE31 = 2_147_483_647
 
 
 def tokenize(col: Column) -> Column:
-    """Lowercased alphanumeric word tokens."""
-    return F.filter(
-        F.split(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "), " +"),
-        lambda x: x != "",
-    )
+    """Lowercased alphanumeric word tokens.
+
+    Separator runs are collapsed to single spaces and trimmed BEFORE
+    the split, so no empty tokens arise and no (interpreted)
+    higher-order filter is needed — the whole tokenizer stays in
+    whole-stage codegen.
+    """
+    return F.split(
+        F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " ")), " ")
 
 
 def tokenize_sql(expr: str) -> str:
     return (
-        "list_filter(string_split_regex(regexp_replace(lower("
-        f"{expr}), '[^a-z0-9]+', ' ', 'g'), ' +'), x -> x <> '')"
+        f"string_split(trim(regexp_replace(lower({expr}),"
+        " '[^a-z0-9]+', ' ', 'g')), ' ')"
     )
 
 

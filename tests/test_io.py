@@ -1,0 +1,54 @@
+"""Format round-trip tests: every supported sink/reader pair preserves
+values; readers without schemas are rejected for text formats."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_experiment_spark.sources import io as EIO
+
+
+@pytest.fixture(scope="module")
+def sample(spark):
+    return spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -2.25), (3, None, 0.0)],
+        "id long, name string, score double",
+    )
+
+
+SCHEMA = "id long, name string, score double"
+
+
+@pytest.mark.parametrize("fmt", EIO.FORMATS)
+def test_roundtrip(spark, sample, tmp_path, fmt):
+    path = str(tmp_path / fmt)
+    EIO.write(sample, path, fmt=fmt)
+    back = EIO.read(spark, path, fmt=fmt, schema=SCHEMA)
+    want = {(r.id, r.name, r.score) for r in sample.collect()}
+    got = {(r.id, r.name, r.score) for r in back.collect()}
+    assert got == want
+
+
+def test_partitioned_write_prunes(spark, sample, tmp_path):
+    path = str(tmp_path / "part")
+    EIO.write(sample, path, fmt="parquet", partition_by=["name"])
+    back = EIO.read(spark, path, fmt="parquet").where(F.col("name") == "a")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert back.count() == 1
+    assert "PartitionFilters" in plan  # partition pruning reached the scan
+
+
+def test_schemaless_csv_read_rejected(spark, tmp_path):
+    with pytest.raises(ValueError, match="explicit schema"):
+        EIO.read(spark, str(tmp_path), fmt="csv")
+
+
+def test_unknown_format_rejected(spark, sample, tmp_path):
+    with pytest.raises(ValueError, match="unsupported format"):
+        EIO.write(sample, str(tmp_path / "x"), fmt="avro")
+
+
+def test_delta_is_stubbed(sample, tmp_path):
+    with pytest.raises(NotImplementedError, match="[Dd]elta"):
+        EIO.write_delta(sample, str(tmp_path / "d"))
