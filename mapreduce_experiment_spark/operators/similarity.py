@@ -91,6 +91,58 @@ def knn_bruteforce(embeddings: DataFrame, n_queries: int = 10,
     )
 
 
+def knn_bruteforce_blas(embeddings: DataFrame, n_queries: int = 10,
+                        k: int = 5) -> DataFrame:
+    """Brute-force top-k via Arrow + numpy matmul (`mapInPandas`).
+
+    Same contract and scores as :func:`knn_bruteforce`, different
+    execution: the tiny query matrix rides into each Arrow batch as a
+    closure; each corpus batch computes all query·corpus products as
+    ONE BLAS matmul. For wide embeddings (≥~256 dims) this beats the
+    JVM expression fold by an order of magnitude; per-query top-k
+    still happens in Spark so only |corpus_partition|×|queries| score
+    rows shuffle — and those could be pre-topped per partition if the
+    row count ever dominated.
+
+    Scores are quantized to 6dp like the JVM path; numpy's pairwise
+    summation can differ from the sequential fold in the last ulp,
+    which the quantization absorbs (verified against the same oracle).
+    """
+    import numpy as np
+    import pandas as pd
+
+    v = _prep(embeddings)
+    qrows = (v.where(F.col("vec_id") < n_queries)
+             .select("vec_id", "vec", "norm").collect())
+    q_ids = np.array([r.vec_id for r in qrows])
+    q_mat = np.array([r.vec for r in qrows], dtype=np.float64)
+    q_norm = np.array([r.norm for r in qrows], dtype=np.float64)
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy()
+            mat = np.array(list(pdf["vec"]), dtype=np.float64)
+            norm = pdf["norm"].to_numpy(dtype=np.float64)
+            cos = (q_mat @ mat.T) / (q_norm[:, None] * norm[None, :])
+            cos = np.floor(cos * 1_000_000 + 0.5) / 1_000_000.0
+            nq, nc = cos.shape
+            yield pd.DataFrame({
+                "query_id": np.repeat(q_ids, nc),
+                "neighbor_id": np.tile(ids, nq),
+                "cos": cos.ravel(),
+            })
+
+    corpus = v.where(F.col("vec_id") >= n_queries)
+    scored = corpus.mapInPandas(
+        score, schema="query_id long, neighbor_id long, cos double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
 def ivf_assignments(embeddings: DataFrame,
                     n_centroids: int = N_CENTROIDS) -> DataFrame:
     """Assign every corpus vector to its nearest centroid.

@@ -59,6 +59,15 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumnRenamed("cos", "cos_sim")
 
 
+@register("knn_bruteforce_blas", oracle=_KNN_BF_SQL)
+def q_knn_bruteforce_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same top-k via the Arrow+numpy matmul path — checked against
+    the identical oracle as the JVM expression path."""
+    df = S.knn_bruteforce_blas(load_table(spark, sf_dir, "embeddings"),
+                               n_queries=10, k=5)
+    return df.withColumnRenamed("cos", "cos_sim")
+
+
 _IVF_ASSIGN_SQL = _V_CTE + f"""
 , cents AS (SELECT vec_id AS centroid_id, vec AS cv FROM v
             WHERE vec_id < {S.N_CENTROIDS}),

@@ -52,6 +52,20 @@ def read(spark: SparkSession, path: str, fmt: str = "parquet",
     return r.load(path)
 
 
+def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
+                   n_buckets: int = 32, mode: str = "overwrite") -> None:
+    """Save as a bucketed managed table.
+
+    Bucketing pre-shuffles data at WRITE time: two tables bucketed the
+    same way on the join key sort-merge-join with NO exchange — the
+    strategy for repeatedly-joined 100 TB fact tables (pay the shuffle
+    once, reuse it every query). See tests/test_io.py for the
+    plan-level proof.
+    """
+    (df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+       .sortBy(*bucket_cols).saveAsTable(table))
+
+
 def write_delta(df: DataFrame, path: str, **options) -> None:
     """Delta Lake sink — STUB: requires delta-spark jars, not present
     in this environment."""

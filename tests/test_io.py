@@ -49,6 +49,27 @@ def test_unknown_format_rejected(spark, sample, tmp_path):
         EIO.write(sample, str(tmp_path / "x"), fmt="avro")
 
 
+def test_bucketed_join_has_no_exchange(spark):
+    """Two tables bucketed on the join key SMJ with zero shuffles —
+    the pay-once join strategy for repeatedly-joined fact tables."""
+    left = spark.range(0, 1000).withColumn("v", F.col("id") * 2)
+    right = spark.range(0, 1000).withColumn("w", F.col("id") + 1)
+    EIO.write_bucketed(left, "bkt_left", ["id"], n_buckets=8)
+    EIO.write_bucketed(right, "bkt_right", ["id"], n_buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bkt_left").join(spark.table("bkt_right"), "id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
 def test_delta_is_stubbed(sample, tmp_path):
     with pytest.raises(NotImplementedError, match="[Dd]elta"):
         EIO.write_delta(sample, str(tmp_path / "d"))
