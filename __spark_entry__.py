@@ -19,9 +19,10 @@ from mapreduce_experiment_spark.plans import registry as _registry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: full triangle
-    enumeration over the lineitem-derived co-purchase graph — the
-    reference's intended end-to-end output (SURVEY findings 1-2)."""
+    """Flagship query on /root/testdata/sf0.001: the triangle count of
+    the lineitem-derived co-purchase graph — the metric the
+    reference's pipeline was built to produce but never successfully
+    materializes (SURVEY findings 1-2)."""
     return _registry.QUERIES()["triangle_count"](spark, "/root/testdata/sf0.001")
 
 
