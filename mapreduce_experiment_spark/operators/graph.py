@@ -245,3 +245,58 @@ def triangle_count(edges: DataFrame, mode: str = "simple") -> DataFrame:
     return triangles(edges, mode=mode).agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Connected components by min-label propagation to fixpoint.
+
+    Iterative joins (the capability class the reference's one-shot
+    pipeline lacks entirely): each round every node adopts the
+    minimum label in its closed neighborhood; stop when no label
+    changes. ``localCheckpoint`` truncates the lineage each round so
+    plans don't grow unboundedly — the standard Spark idiom for
+    iterative graph algorithms (GraphX does the same internally).
+
+    Rounds needed = graph diameter ≤ ``max_iter``; each round is one
+    shuffle on node id. Returns (node, component) with component =
+    min node id in the component.
+    """
+    ce = canonical_edges(edges).persist()
+    ce.count()
+    # Directed both ways once; reused every iteration.
+    sym = ce.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
+        ce.select(F.col("v").alias("a"), F.col("u").alias("b"))).persist()
+    labels = (
+        ce.select(F.col("u").alias("node"))
+        .union(ce.select(F.col("v").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -152,6 +152,44 @@ def q_streaming_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tris.agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
+def _cc_oracle(depth: int = 8) -> str:
+    """Min-label propagation unrolled to a fixed depth (≥ the derived
+    graph's diameter, verified ≤4 at sf0.001/sf0.01 — margin 2×)."""
+    ctes = [
+        _EDGES_CTE.strip().removeprefix("WITH"),
+        """sym AS (
+  SELECT src AS a, dst AS b FROM edges
+  UNION ALL SELECT dst AS a, src AS b FROM edges
+)""",
+        """l0 AS (
+  SELECT node, node AS component FROM (
+    SELECT src AS node FROM edges UNION SELECT dst FROM edges)
+)""",
+    ]
+    for i in range(1, depth + 1):
+        ctes.append(f"""l{i} AS (
+  SELECT n.node,
+         least(n.component, coalesce(m.mn, n.component)) AS component
+  FROM l{i - 1} n LEFT JOIN (
+    SELECT s.a AS node, min(l.component) AS mn
+    FROM sym s JOIN l{i - 1} l ON s.b = l.node GROUP BY s.a
+  ) m ON n.node = m.node
+)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT component, count(*) AS n_nodes FROM l{depth}"
+              " GROUP BY component")
+
+
+@register("connected_components", oracle=_cc_oracle())
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component sizes via iterative min-label propagation run to
+    FIXPOINT (operators/graph.py::connected_components) — the
+    iterative-join capability class; the oracle unrolls the same
+    propagation to a fixed depth with 2x diameter margin."""
+    cc = G.connected_components(derive_edges(spark, sf_dir))
+    return cc.groupBy("component").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
 @register("triangles_faithful", oracle=_TRIANGLES_SQL)
 def q_triangles_faithful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Faithful-mode triangles (SURVEY finding 3). The derived edge

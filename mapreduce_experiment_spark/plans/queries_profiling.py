@@ -107,6 +107,64 @@ def q_value_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "price_quantity_correlation",
+    oracle="""
+WITH q AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity * 100) AS BIGINT) AS x,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+), m AS (
+  SELECT l_returnflag, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy,
+         median(x) AS med_x
+  FROM q GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+             * 1000000 + 0.5) / 1000000.0 AS corr_qty_price,
+       med_x / 100.0 AS median_qty
+FROM m
+""",
+)
+def q_price_quantity_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + median from EXACT integer moments (the
+    int64 sums are order-independent; the final double combination is
+    deterministic on identical inputs). Engine corr()/stddev() would
+    drift between Welford-style and naive implementations."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    y = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    m = (
+        li.select("l_returnflag", x.alias("x"), y.alias("y"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.median("x").alias("med_x"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = (
+        F.sqrt(nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * F.sqrt(nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return m.select(
+        "l_returnflag", "n",
+        (F.floor(num / den * 1_000_000 + 0.5) / 1_000_000.0)
+            .alias("corr_qty_price"),
+        (F.col("med_x") / 100.0).alias("median_qty"),
+    )
+
+
+@register(
     "event_type_counts_salted",
     oracle="""
 SELECT event_type, count(*) AS n_events

@@ -32,11 +32,33 @@ class QuerySpec:
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
+# Runtime-settable confs every query depends on. The driver invokes
+# queries() with ITS OWN SparkSession, which need not have been built
+# by session.get_session — without nanosAsLong every events read
+# throws PARQUET_TYPE_ILLEGAL, and without UTC the oracle's timestamp
+# values shift. Applied per query call (cheap, idempotent).
+_REQUIRED_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.adaptive.enabled": "true",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    for k, v in _REQUIRED_CONFS.items():
+        spark.conf.set(k, v)
+
 
 def register(name: str, oracle: str | None = None, headline: bool = False):
     """Decorator: add a (spark, sf_dir) -> DataFrame query to the registry."""
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        _REGISTRY[name] = QuerySpec(name, fn, oracle, headline)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_session_confs(spark)
+            return fn(spark, sf_dir)
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        _REGISTRY[name] = QuerySpec(name, wrapped, oracle, headline)
         return fn
     return deco
 
