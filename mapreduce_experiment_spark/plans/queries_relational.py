@@ -343,6 +343,39 @@ def q_customers_churned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return year(1995).subtract(year(1996))
 
 
+# --- correlated-subquery semantics -------------------------------------------------
+@register(
+    "orders_above_customer_average",
+    oracle="""
+SELECT o.o_orderkey, o.o_custkey
+FROM orders o
+WHERE CAST(round(o.o_totalprice * 100) AS BIGINT)
+      * (SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+      > (SELECT sum(CAST(round(i.o_totalprice * 100) AS BIGINT))
+         FROM orders i WHERE i.o_custkey = o.o_custkey)
+""",
+)
+def q_orders_above_customer_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders priced above their customer's average — correlated-
+    subquery semantics, decorrelated into one window pass (the 100 TB
+    shape: a correlated scalar subquery re-scans per row; the window
+    shuffles once on the key). The comparison is cents*n > sum_cents —
+    pure integers, so the engines cannot disagree at the boundary.
+    The oracle keeps the CORRELATED formulation, independently
+    validating the decorrelation."""
+    from pyspark.sql import Window
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    return (
+        orders.select("o_orderkey", "o_custkey", cents.alias("cents"))
+        .withColumn("n", F.count(F.lit(1)).over(w))
+        .withColumn("s", F.sum("cents").over(w))
+        .where(F.col("cents") * F.col("n") > F.col("s"))
+        .select("o_orderkey", "o_custkey")
+    )
+
+
 # --- scalar functions: date / math / string / regex -------------------------------
 @register(
     "order_scalar_functions",
