@@ -80,7 +80,11 @@ def test_candidate_pair_counts(spark):
 GOLDENS = {  # dataset -> (faithful distinct, simple-graph distinct)
     "50.txt": (0, 0),
     "10k.txt": (91_769, 91_769),
+    "15k.txt": (113_084, 113_084),
+    "20k.txt": (104_284, 104_284),
     "30k.txt": (159_148, None),  # has 1 self-loop; simple-graph golden differs
+    "40k.txt": (305_449, 305_449),
+    "50k.txt": (252_572, 252_572),
     "100k.txt": (587_314, 587_199),
 }
 
