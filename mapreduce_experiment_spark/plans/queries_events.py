@@ -60,6 +60,37 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EV.session_stats(load_table(spark, sf_dir, "events"))
 
 
+@register(
+    "user_value_scd2",
+    oracle="""
+SELECT user_id, event_id, value AS tracked_value,
+       ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+            AS BIGINT) AS is_current
+FROM events
+""",
+)
+def q_user_value_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 history from a change stream:
+    each event opens a validity interval that the user's next event
+    closes (lead window); the open-ended row is current. The
+    anti-join+union MERGE emulation applies the same shape
+    incrementally; with a change feed, this one window pass rebuilds
+    the full history."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id", "event_id", F.col("value").alias("tracked_value"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().cast("long").alias("is_current"),
+    )
+
+
 _HOURLY_SQL = """
 SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n_events,

@@ -1,0 +1,52 @@
+"""Plan-level regression tests: lock in the physical-plan properties
+the 100 TB design depends on (pushdown, pruning, broadcast, codegen).
+A future change that silently loses one of these still passes value
+checks — these tests catch the plan regression itself."""
+
+from __future__ import annotations
+
+from mapreduce_experiment_spark.plans.registry import SPECS
+from tests.conftest import SF_SMOKE
+
+
+def _plan(spark, name):
+    df = SPECS()[name].fn(spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    plan = _plan(spark, "pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # Column pruning: the scan must not read the join keys it doesn't need.
+    assert "l_orderkey" not in plan.split("ReadSchema:")[1].split("\n")[0]
+
+
+def test_revenue_by_nation_broadcasts_dimensions(spark):
+    plan = _plan(spark, "revenue_by_nation")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # at this sf everything broadcasts
+
+
+def test_triangles_join_formulation_broadcasts(spark):
+    plan = _plan(spark, "triangles")
+    assert "BroadcastHashJoin" in plan
+    # The sentinel-tagging groupByKey pattern would appear as an
+    # ObjectHashAggregate over collect_list — the join formulation
+    # must not contain any list aggregation.
+    assert "collect_list" not in plan
+
+
+def test_top_orders_global_is_take_ordered(spark):
+    plan = _plan(spark, "top_orders_global")
+    assert "TakeOrderedAndProject" in plan  # no global sort for top-k
+
+
+def test_whole_stage_codegen_active(spark):
+    # AQE finalizes the plan only after execution — and only for the
+    # SAME query execution (count() would compile a different plan).
+    df = SPECS()["pricing_summary"].fn(spark, SF_SMOKE)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    # '*(n)' prefixes mark whole-stage-codegen'd operators.
+    assert "*(1)" in plan and "*(2)" in plan
