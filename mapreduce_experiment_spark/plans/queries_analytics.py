@@ -1,0 +1,174 @@
+"""Product/BI analytics shapes: nation-pair flows, share-of-total
+ratios, funnels, histograms — rounding out the join/agg/ratio surface
+with the same exact-integer determinism rules."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import register
+
+
+@register(
+    "volume_shipping",
+    oracle="""
+SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+       CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+         / 100.0 AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE cn.n_name <> sn.n_name
+GROUP BY cn.n_name, sn.n_name, year(o_orderdate)
+""",
+)
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-nation trade flows (TPC-H Q7 family): one fact-fact
+    shuffle join; both nation dims broadcast twice under different
+    aliases."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cn = n.select(F.col("n_nationkey").alias("cnk"),
+                  F.col("n_name").alias("cust_nation"))
+    sn = n.select(F.col("n_nationkey").alias("snk"),
+                  F.col("n_name").alias("supp_nation"))
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cnk"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("snk"))
+        .where(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation",
+                 F.year("o_orderdate").cast("long").alias("order_year"))
+        .agg((F.sum(cents) / 100.0).alias("revenue"))
+    )
+
+
+@register(
+    "asia_market_share",
+    oracle="""
+WITH rev AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+           AS cents,
+         r_name
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+)
+SELECT order_year,
+       sum(cents) FILTER (WHERE r_name = 'ASIA') * 1.0 AS asia_cents,
+       sum(cents) * 1.0 AS total_cents,
+       floor((coalesce(sum(cents) FILTER (WHERE r_name = 'ASIA'), 0) * 1.0
+              / sum(cents)) * 1000000 + 0.5) / 1000000.0 AS asia_share
+FROM rev GROUP BY order_year
+""",
+)
+def q_asia_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total ratio (TPC-H Q8 family): numerator and
+    denominator are exact integer cents, so the ratio is
+    deterministic; the 6dp quantized share is the comparable value."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.year("o_orderdate").cast("long").alias("order_year"),
+                cents.alias("cents"), "r_name")
+    )
+    asia = F.sum(F.when(F.col("r_name") == "ASIA", F.col("cents")))
+    total = F.sum("cents")
+    return rev.groupBy("order_year").agg(
+        (asia * 1.0).alias("asia_cents"),
+        (total * 1.0).alias("total_cents"),
+        (F.floor(F.coalesce(asia, F.lit(0)) * 1.0 / total * 1_000_000 + 0.5)
+         / 1_000_000.0).alias("asia_share"),
+    )
+
+
+@register(
+    "signup_to_purchase_funnel",
+    oracle="""
+WITH stages AS (
+  SELECT user_id,
+         min(ts) FILTER (WHERE event_type = 'signup')   AS t_signup,
+         min(ts) FILTER (WHERE event_type = 'click')    AS t_click,
+         min(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT count(*) AS n_users,
+       count(t_signup) AS n_signup,
+       count(CASE WHEN t_click > t_signup THEN 1 END) AS n_click_after_signup,
+       count(CASE WHEN t_purchase > t_click AND t_click > t_signup
+                  THEN 1 END) AS n_full_funnel
+FROM stages
+""",
+)
+def q_signup_to_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis: first-occurrence per stage via
+    conditional min, then ordering predicates — one aggregation, no
+    self-joins (the n-way self-join funnel formulation explodes at
+    scale; this shape shuffles each user once)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first(stage):
+        return F.min(F.when(F.col("event_type") == stage, F.col("ts")))
+
+    stages = ev.groupBy("user_id").agg(
+        first("signup").alias("t_signup"),
+        first("click").alias("t_click"),
+        first("purchase").alias("t_purchase"),
+    )
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_signup").alias("n_signup"),
+        F.count(F.when(F.col("t_click") > F.col("t_signup"), 1))
+            .alias("n_click_after_signup"),
+        F.count(F.when((F.col("t_purchase") > F.col("t_click"))
+                       & (F.col("t_click") > F.col("t_signup")), 1))
+            .alias("n_full_funnel"),
+    )
+
+
+@register(
+    "order_value_histogram",
+    oracle="""
+SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+       count(*) AS n_orders,
+       CAST(floor(o_totalprice / 50000) AS BIGINT) * 50000.0 AS bucket_low
+FROM orders GROUP BY 1
+""",
+)
+def q_order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram binning — floor division on identical
+    doubles is deterministic; one hash aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000).cast("long")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .withColumn("bucket_low", F.col("bucket") * 50000.0)
+    )

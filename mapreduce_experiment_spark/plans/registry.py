@@ -89,7 +89,7 @@ def _load_all() -> None:
     from . import queries_graph  # noqa: F401
     for mod in ("queries_relational", "queries_dedup", "queries_similarity",
                 "queries_text", "queries_events", "queries_multimodal",
-                "queries_asof", "queries_profiling"):
+                "queries_asof", "queries_profiling", "queries_analytics"):
         try:
             __import__(f"{__package__}.{mod}", fromlist=[mod])
         except ImportError:
