@@ -154,6 +154,148 @@ def q_signup_to_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "monthly_retention_cohorts",
+    oracle="""
+WITH cohort AS (
+  SELECT user_id, date_trunc('month', min(ts)) AS cohort_month
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, date_trunc('month', ts) AS active_month FROM events
+)
+SELECT cohort_month, active_month, count(*) AS n_users
+FROM cohort JOIN activity USING (user_id)
+GROUP BY cohort_month, active_month
+""",
+)
+def q_monthly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: first-seen month × active month. Two
+    aggregations + one equi-join on user_id (broadcastable — the
+    cohort table is one row per user)."""
+    ev = load_table(spark, sf_dir, "events")
+    cohort = ev.groupBy("user_id").agg(
+        F.date_trunc("month", F.min("ts")).alias("cohort_month"))
+    activity = ev.select(
+        "user_id", F.date_trunc("month", "ts").alias("active_month")
+    ).distinct()
+    return (
+        cohort.join(activity, "user_id")
+        .groupBy("cohort_month", "active_month")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@register(
+    "brand_revenue_by_year",
+    oracle="""
+SELECT p_brand, CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+         / 100.0 AS revenue
+FROM lineitem
+JOIN part   ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY p_brand, year(o_orderdate)
+""",
+)
+def q_brand_revenue_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-line profit rollup (TPC-H Q9 family)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("p_brand", F.year("o_orderdate").cast("long").alias("order_year"))
+        .agg((F.sum(cents) / 100.0).alias("revenue"))
+    )
+
+
+@register(
+    "top_parts_per_nation",
+    oracle="""
+WITH rev AS (
+  SELECT n_name, l_partkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           AS cents
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  GROUP BY n_name, l_partkey
+)
+SELECT n_name, l_partkey, cents / 100.0 AS revenue, rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY n_name
+                               ORDER BY cents DESC, l_partkey) AS rn
+  FROM rev
+) WHERE rn <= 3
+""",
+)
+def q_top_parts_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level aggregation + per-group top-k: revenue per (nation,
+    part), then rank within nation on the EXACT integer cents (no
+    float ties possible)."""
+    from ..operators.relational import top_k_per_group
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "l_partkey")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    top = top_k_per_group(
+        rev, ["n_name"], [F.col("cents").desc(), F.col("l_partkey")], k=3)
+    return top.select("n_name", "l_partkey",
+                      (F.col("cents") / 100.0).alias("revenue"), "rn")
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "daily_event_type_pivot",
+    oracle=f"""
+SELECT date_trunc('day', ts) AS day,
+       {", ".join(f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}"
+                  for t in _EVENT_TYPES)}
+FROM events GROUP BY 1
+""",
+)
+def q_daily_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily wide-format activity matrix (fixed pivot value list)."""
+    from ..operators.relational import pivot_counts
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts"))
+    out = pivot_counts(ev, "day", "event_type", _EVENT_TYPES)
+    return out.select(
+        "day", *[F.col(t).alias(f"n_{t}") for t in _EVENT_TYPES])
+
+
+@register(
+    "order_size_distribution",
+    oracle="""
+WITH sizes AS (
+  SELECT l_orderkey, count(*) AS n_items FROM lineitem GROUP BY l_orderkey
+)
+SELECT n_items, count(*) AS n_orders FROM sizes GROUP BY n_items
+""",
+)
+def q_order_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of order sizes: two chained aggregations (the
+    second groups on the first's output — a re-shuffle on a derived
+    key)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sizes = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_items"))
+    return sizes.groupBy("n_items").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@register(
     "order_value_histogram",
     oracle="""
 SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
