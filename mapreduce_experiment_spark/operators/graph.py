@@ -247,6 +247,56 @@ def triangle_count(edges: DataFrame, mode: str = "simple") -> DataFrame:
     )
 
 
+PAGERANK_SCALE = 1_000_000_000_000  # ranks as integer micro-units
+
+
+def pagerank(edges: DataFrame, n_iter: int = 10) -> DataFrame:
+    """PageRank over the undirected (symmetrized) graph, computed in
+    EXACT integer fixed-point arithmetic.
+
+    Ranks live in units of 1e-12 (int64); per-edge contributions are
+    integer division by out-degree and damping is the rational 85/100
+    — every operation is integer, so the iteration is bit-identical
+    across engines (float PageRank cannot be value-compared: the
+    neighbor sum's order drifts). Fixed ``n_iter`` rounds; each round
+    is one shuffle (contrib aggregation), with localCheckpoint
+    truncating the join lineage.
+
+    Returns (node, rank_micro) with rank_micro/1e12 ≈ probability.
+    """
+    ce = canonical_edges(edges).persist()
+    ce.count()
+    sym = ce.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
+        ce.select(F.col("v").alias("a"), F.col("u").alias("b")))
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("outdeg"))
+    edges_deg = sym.join(deg, "a").persist()
+    nodes = sym.select(F.col("a").alias("node")).distinct().persist()
+    n = nodes.count()
+    r0 = PAGERANK_SCALE // n
+    base = (15 * r0) // 100
+
+    ranks = nodes.select("node", F.lit(r0).alias("rank_micro"))
+    for _ in range(n_iter):
+        sums = (
+            edges_deg.join(ranks, edges_deg.a == ranks.node)
+            .select(F.col("b"),
+                    F.expr("rank_micro div outdeg").alias("contrib"))
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.sum("contrib").alias("sm"))
+        )
+        ranks = (
+            nodes.join(sums, "node", "left")
+            .select(
+                "node",
+                (F.lit(base)
+                 + F.expr("85 * coalesce(sm, 0L) div 100")).alias("rank_micro"),
+            )
+            .localCheckpoint()
+        )
+    edges_deg.unpersist()
+    return ranks
+
+
 def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     """Connected components by min-label propagation to fixpoint.
 

@@ -190,6 +190,49 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.groupBy("component").agg(F.count(F.lit(1)).alias("n_nodes"))
 
 
+def _pagerank_oracle(n_iter: int = 10) -> str:
+    """Integer fixed-point PageRank unrolled to n_iter CTE rounds —
+    the identical arithmetic as operators/graph.py::pagerank, so
+    rank_micro matches exactly (int64 compare, no float tolerance)."""
+    scale = G.PAGERANK_SCALE
+    ctes = [
+        _EDGES_CTE.strip().removeprefix("WITH"),
+        """sym AS (
+  SELECT src AS a, dst AS b FROM edges
+  UNION ALL SELECT dst AS a, src AS b FROM edges
+)""",
+        "deg AS (SELECT a, count(*) AS outdeg FROM sym GROUP BY a)",
+        "nodes AS (SELECT DISTINCT a AS node FROM sym)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        f"""r0 AS (
+  SELECT node, (SELECT {scale} // n FROM nn) AS rank_micro FROM nodes
+)""",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(f"""r{i} AS (
+  SELECT nd.node,
+         (SELECT (15 * ({scale} // n)) // 100 FROM nn)
+         + (85 * coalesce(s.sm, 0)) // 100 AS rank_micro
+  FROM nodes nd LEFT JOIN (
+    SELECT s.b AS node, CAST(sum(r.rank_micro // d.outdeg) AS BIGINT) AS sm
+    FROM sym s
+    JOIN r{i - 1} r ON s.a = r.node
+    JOIN deg d ON d.a = s.a
+    GROUP BY s.b
+  ) s ON nd.node = s.node
+)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, rank_micro FROM r{n_iter}")
+
+
+@register("pagerank", oracle=_pagerank_oracle())
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-iteration integer fixed-point PageRank (see operator
+    docstring) — iterative-join capability with an EXACT int64
+    value oracle, no float tolerance anywhere."""
+    return G.pagerank(derive_edges(spark, sf_dir), n_iter=10)
+
+
 @register("triangles_faithful", oracle=_TRIANGLES_SQL)
 def q_triangles_faithful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Faithful-mode triangles (SURVEY finding 3). The derived edge
