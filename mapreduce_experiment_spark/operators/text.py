@@ -96,6 +96,55 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def tfidf_pairs(docs: DataFrame, threshold: float = 0.5,
+                max_df: int = 100, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Document-pair cosine similarity over TF-IDF weights.
+
+    Inverted-index formulation: pairs are generated per TERM (join on
+    the term), never as a doc×doc product — the classic IR trick that
+    keeps 100 TB feasible. Terms with document frequency > ``max_df``
+    are pruned first (an integer, cross-engine-exact condition): high-
+    df terms contribute least weight but dominate the per-term join's
+    quadratic cost.
+
+    idf = ln(N/df); weights/norms are floats but every input is
+    identical across engines, and outputs are 6dp-quantized.
+    """
+    toks = docs.select(
+        id_col, F.explode(tokenize(F.col(text_col))).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()
+    w = (
+        tf.join(df_, "term")
+        .where(F.col("df") <= max_df)
+        .select(id_col, "term",
+                (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")))
+                .alias("w"))
+    )
+    norm = w.groupBy(id_col).agg(F.sqrt(F.sum(F.col("w") * F.col("w")))
+                                 .alias("norm"))
+    wa = (w.join(norm, id_col)
+          .select(F.col(id_col).alias("id_a"), "term",
+                  F.col("w").alias("wa"), F.col("norm").alias("na")))
+    wb = (w.join(norm, id_col)
+          .select(F.col(id_col).alias("id_b"), "term",
+                  F.col("w").alias("wb"), F.col("norm").alias("nb")))
+    dots = (
+        wa.join(wb, "term")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    sim = F.floor(F.col("dot") / (F.col("na") * F.col("nb"))
+                  * 1_000_000 + 0.5) / 1_000_000.0
+    return (
+        dots.select("id_a", "id_b", sim.alias("tfidf_cosine"))
+        .where(F.col("tfidf_cosine") >= threshold)
+    )
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text",
                  n: int = 5) -> DataFrame:
     """Single-value rolling-hash fingerprint: min 60-bit hash over

@@ -159,6 +159,46 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tfidf_doc_pairs",
+    oracle=_T_CTE + """
+, tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+  GROUP BY doc_id, term
+),
+dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+nn AS (SELECT count(*) AS n FROM documents),
+w AS (
+  SELECT doc_id, term,
+         tf * ln((SELECT n FROM nn) * 1.0 / df) AS w
+  FROM tf JOIN dfr USING (term) WHERE df <= 100
+),
+nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS norm FROM w GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         na.norm AS na, nb.norm AS nb,
+         sum(a.w * b.w) AS dot
+  FROM w a
+  JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+  JOIN nrm na ON na.doc_id = a.doc_id
+  JOIN nrm nb ON nb.doc_id = b.doc_id
+  GROUP BY a.doc_id, b.doc_id, na.norm, nb.norm
+)
+SELECT id_a, id_b,
+       floor(dot / (na * nb) * 1000000 + 0.5) / 1000000.0 AS tfidf_cosine
+FROM dots
+WHERE floor(dot / (na * nb) * 1000000 + 0.5) / 1000000.0 >= 0.5
+""",
+)
+def q_tfidf_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF cosine document pairs via the inverted-index join (see
+    operator docstring): per-TERM pair generation with df pruning, no
+    doc×doc product."""
+    return TX.tfidf_pairs(load_table(spark, sf_dir, "documents"),
+                          threshold=0.5, max_df=100)
+
+
 _GRAMS5 = shingles_sql("toks", 5)
 
 
