@@ -38,11 +38,21 @@ def main() -> None:
     spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")) \
         .limit(1000).write.format("noop").mode("overwrite").save()
     timings: dict[str, float] = {}
+    # Best of 2 runs per query: JVM/GC noise on a shared box can skew
+    # a single run by 2x; the minimum is the reproducible capability.
+    # Caches are cleared between runs so each run is cold (several
+    # operators persist intermediates internally — reusing them across
+    # runs would measure warm-cache time, not query time).
     for name, spec in sorted(specs.items()):
-        t0 = time.perf_counter()
-        df = spec.fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            df = spec.fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_wall_sec",
