@@ -156,6 +156,17 @@ def q_stateful_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame
     return stateful_session_stats(spark, sf_dir)
 
 
+@register(
+    "streaming_event_dedup",
+    oracle="SELECT event_id, user_id, event_type, value FROM events",
+)
+def q_streaming_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup of an at-least-once (doubled) stream —
+    output must equal the distinct batch events exactly."""
+    from ..streaming.pipeline import streaming_event_dedup
+    return streaming_event_dedup(spark, sf_dir)
+
+
 @register("streaming_hourly_counts", oracle=_HOURLY_SQL)
 def q_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same hourly rollup computed by a Structured Streaming query

@@ -46,6 +46,31 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+def streaming_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming deduplication: the event stream is ingested
+    TWICE (two sources over the same file — the at-least-once delivery
+    scenario) and ``dropDuplicates`` on the key + watermark keeps
+    exactly one copy per event_id. Output equals the distinct batch
+    events, which is how it is value-checked."""
+    a = read_event_stream(spark, sf_dir)
+    b = read_event_stream(spark, sf_dir)
+    deduped = (
+        a.unionByName(b)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    name = f"stream_dedup_{next(_COUNTER)}"
+    q = (
+        deduped.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time windows per event type, computed by
     a real streaming query (watermark + window agg), drained with
