@@ -27,6 +27,100 @@ from ..functions.vectors import as_double, dot, q6
 N_CENTROIDS = 16
 N_PROBE = 4
 
+# SRP-LSH parameters: SRP_BANDS bands of SRP_ROWS sign bits each.
+# Collision prob per bit for angle θ is 1-θ/π, so a TRUE duplicate
+# pair (cos≥0.9, θ≤26°) collides in ≥1 band with p ≈ 1-(1-0.855^6)^12
+# ≈ 0.999; borderline pairs (cos≈0.5) are caught with p ≈ 0.67 —
+# the standard LSH recall/candidate-volume trade.
+SRP_BANDS = 12
+SRP_ROWS = 6
+EMBED_DIM = 64  # testdata embeddings.parquet vector width
+
+
+def srp_planes(n_planes: int = SRP_BANDS * SRP_ROWS,
+               dim: int = EMBED_DIM) -> list[list[float]]:
+    """Deterministic Rademacher (±1) hyperplanes for sign-random-
+    projection hashing. Components come from md5 of the (plane, index)
+    pair — no RNG state, so the SAME planes are embeddable as literals
+    in both the Spark plan and the DuckDB oracle SQL."""
+    import hashlib
+
+    return [
+        [1.0 if hashlib.md5(f"srp-{p}-{i}".encode()).digest()[0] % 2 == 0
+         else -1.0 for i in range(dim)]
+        for p in range(n_planes)
+    ]
+
+
+def srp_signatures(embeddings: DataFrame, bands: int = SRP_BANDS,
+                   rows: int = SRP_ROWS) -> DataFrame:
+    """(vec_id, band_id, band_val) sign-projection signatures.
+
+    Each band value packs ``rows`` sign bits of q6-quantized plane dot
+    products (quantized so a last-ulp summation difference between
+    engines cannot flip a sign at the boundary). Executed as ONE numpy
+    matmul per Arrow batch (`mapInPandas`) — 72 dot products × 64 dims
+    per row as JVM fold expressions bloats the Catalyst tree and runs
+    interpreted; the BLAS path is both the fast and the scale shape
+    (narrow input, map-side only, no shuffle).
+    """
+    import numpy as np
+    import pandas as pd
+
+    p_mat = np.array(srp_planes(bands * rows), dtype=np.float64)  # (P, dim)
+    weights = (1 << np.arange(rows, dtype=np.int64))
+
+    def sig(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            mat = np.array(list(pdf["vec"]), dtype=np.float64)  # (n, dim)
+            d = mat @ p_mat.T                                    # (n, P)
+            bits = (np.floor(d * 1_000_000 + 0.5) >= 0).astype(np.int64)
+            bv = bits.reshape(n, bands, rows) @ weights          # (n, bands)
+            yield pd.DataFrame({
+                "vec_id": np.repeat(ids, bands),
+                "band_id": np.tile(np.arange(bands, dtype=np.int64), n),
+                "band_val": bv.ravel(),
+            })
+
+    v = _prep(embeddings).select("vec_id", "vec")
+    return v.mapInPandas(sig, schema="vec_id long, band_id long, band_val long")
+
+
+def embedding_near_dup_pairs_lsh(embeddings: DataFrame,
+                                 threshold: float = 0.45) -> DataFrame:
+    """Bucketed embedding near-duplicates: SRP-LSH candidates + exact
+    cosine verify. Replaces the all-pairs crossJoin (quadratic) with
+    the 100 TB-shaped plan: signatures are one narrow map-side pass,
+    candidates come from an equi-join on (band_id, band_val) —
+    same-bucket vectors only — then the exact cosine runs on the
+    (distinct) candidate set, never on the full N².
+    """
+    sigs = srp_signatures(embeddings)
+    a = sigs.select(F.col("vec_id").alias("id_a"), "band_id", "band_val")
+    b = sigs.select(F.col("vec_id").alias("id_b"), "band_id", "band_val")
+    cands = (
+        a.join(b, ["band_id", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    v = _prep(embeddings)
+    va = v.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("va"),
+                  F.col("norm").alias("na"))
+    vb = v.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"),
+                  F.col("norm").alias("nb"))
+    return (
+        cands.join(va, "id_a").join(vb, "id_b")
+        .select("id_a", "id_b",
+                _cos(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+                .alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+
 
 def _prep(embeddings: DataFrame) -> DataFrame:
     """Vectors as doubles with the norm precomputed ONCE per vector —
@@ -44,8 +138,9 @@ def _cos(va: F.Column, vb: F.Column, na: F.Column, nb: F.Column) -> F.Column:
 
 def embedding_near_dup_pairs(embeddings: DataFrame,
                              threshold: float = 0.45) -> DataFrame:
-    """All-pairs cosine near-duplicates (quadratic — small inputs;
-    LSH/IVF bucketing is the scale path for this, too)."""
+    """All-pairs cosine near-duplicates — EXACT but quadratic; kept as
+    the recall reference for tests. The registered query uses
+    :func:`embedding_near_dup_pairs_lsh` (bucketed, scale path)."""
     v = _prep(embeddings)
     a = v.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("va"),
                  F.col("norm").alias("na"))

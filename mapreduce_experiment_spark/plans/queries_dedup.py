@@ -119,8 +119,11 @@ WHERE {_JACCARD_SQL} >= 0.5
 """,
 )
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact all-pairs 3-gram Jaccard at a looser threshold (0.5) —
-    the quadratic baseline the LSH path replaces at scale."""
+    """EXACT 3-gram Jaccard pairs at threshold 0.5 via prefix
+    filtering (rarest-shingle inverted index + verify). The oracle is
+    exhaustive all-pairs Jaccard, so the hash match PROVES the prefix
+    pruning is lossless — it's a stronger check than a mirrored
+    bucketing oracle would be."""
     return D.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"),
                                  threshold=0.5)
 

@@ -25,19 +25,66 @@ WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)
 """
 
 
+def _srp_sigs_cte() -> str:
+    """Mirror of operators.similarity.srp_signatures: the same
+    deterministic ±1 planes (literal-expanded), the same q6-quantized
+    sign bits, the same band packing — so the oracle reproduces the
+    bucketing itself, not just the final cosine."""
+    planes = S.srp_planes()
+    selects = []
+    for bnd in range(S.SRP_BANDS):
+        terms = []
+        for j in range(S.SRP_ROWS):
+            p = planes[bnd * S.SRP_ROWS + j]
+            dot_terms = " ".join(
+                ("+" if c > 0 else "-") + f" vec[{i + 1}]"
+                for i, c in enumerate(p))
+            terms.append(
+                f"(CASE WHEN floor((0.0 {dot_terms}) * 1000000 + 0.5) >= 0"
+                f" THEN {1 << j} ELSE 0 END)")
+        band_expr = " + ".join(terms)
+        selects.append(
+            f"SELECT vec_id, CAST({bnd} AS BIGINT) AS band_id,"
+            f" CAST({band_expr} AS BIGINT) AS band_val FROM v")
+    return ", sigs AS (" + "\nUNION ALL\n".join(selects) + ")"
+
+
 @register(
     "embedding_near_dups",
-    oracle=_V_CTE + f"""
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       {_q6cos('a.vec', 'b.vec')} AS cos_sim
-FROM v a JOIN v b ON a.vec_id < b.vec_id
+    oracle=_V_CTE + _srp_sigs_cte() + f"""
+, cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sigs a JOIN sigs b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+   AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b, {_q6cos('a.vec', 'b.vec')} AS cos_sim
+FROM cand c JOIN v a ON a.vec_id = c.id_a JOIN v b ON b.vec_id = c.id_b
 WHERE {_q6cos('a.vec', 'b.vec')} >= 0.45
 """,
 )
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = S.embedding_near_dup_pairs(
+    """SRP-LSH bucketed near-dup pairs (bucket equi-join + exact
+    cosine verify — no cartesian anywhere in the plan)."""
+    df = S.embedding_near_dup_pairs_lsh(
         load_table(spark, sf_dir, "embeddings"), threshold=0.45)
     return df.withColumnRenamed("cos", "cos_sim")
+
+
+@register(
+    "srp_bucket_stats",
+    oracle=_V_CTE + _srp_sigs_cte() + """
+SELECT band_id, band_val, count(*) AS n_vectors
+FROM sigs GROUP BY band_id, band_val
+""",
+)
+def q_srp_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket occupancy — the skew diagnostic for the near-dup
+    join (a hot bucket here is a hot shuffle partition at scale)."""
+    sigs = S.srp_signatures(load_table(spark, sf_dir, "embeddings"))
+    from pyspark.sql import functions as F
+    return sigs.groupBy("band_id", "band_val").agg(
+        F.count(F.lit(1)).alias("n_vectors"))
 
 
 _KNN_BF_SQL = _V_CTE + f"""

@@ -63,35 +63,93 @@ def register(name: str, oracle: str | None = None, headline: bool = False):
     return deco
 
 
+# Exposure order. The round driver verifies a PREFIX of the registry
+# (round 1: exactly the first 50 registrations), so ordering is part
+# of the driver contract: queries that are NEW, CHANGED this round, or
+# never driver-verified go first; stable queries proven green in a
+# previous round rotate to the back. Names not listed keep their
+# registration order after the listed ones.
+_ORDER: list[str] = [
+    # -- never driver-verified in round 1 (positions 51-73 then) --
+    "media_metadata", "media_byte_histograms",
+    "purchase_last_click_asof",
+    "grouping_sets_sql", "nation_participants_full_outer",
+    "value_distribution_stats", "price_quantity_correlation",
+    "event_type_counts_salted", "lineitem_profile",
+    "volume_shipping", "asia_market_share",
+    "signup_to_purchase_funnel", "monthly_retention_cohorts",
+    "brand_revenue_by_year", "top_parts_per_nation",
+    "daily_event_type_pivot", "order_size_distribution",
+    "order_value_histogram",
+    "hourly_event_counts", "session_window_stats",
+    "stateful_streaming_sessions", "streaming_event_dedup",
+    "streaming_hourly_counts",
+    # -- plans changed or added in round 2: need fresh verdicts --
+    "embedding_near_dups", "srp_bucket_stats",
+    "ngram_jaccard_pairs",
+    "triangle_count", "connected_components",
+    "streaming_triangle_count",
+    "approx_distinct_counts", "approx_order_percentiles",
+    # -- round-1-green fillers up to the verification window --
+    "edges_derive", "symmetrize", "degrees", "candidate_pairs",
+    "pricing_summary", "revenue_by_nation",
+    "exact_dedup_groups", "minhash_signatures", "minhash_dedup_pairs",
+    "simhash_signatures", "simhash_near_dups",
+    "knn_bruteforce", "knn_bruteforce_blas", "ivf_assignments", "knn_ivf",
+    "lang_id", "token_frequencies", "session_stats", "sessionize_events",
+    # ---- verification-window boundary (50) ----
+]
+
+
+def _ordered() -> dict[str, QuerySpec]:
+    out: dict[str, QuerySpec] = {}
+    for n in _ORDER:
+        if n in _REGISTRY:
+            out[n] = _REGISTRY[n]
+    for n, s in _REGISTRY.items():
+        out.setdefault(n, s)
+    return out
+
+
 def QUERIES() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_all()
-    return {n: s.fn for n, s in _REGISTRY.items()}
+    return {n: s.fn for n, s in _ordered().items()}
 
 
 def ORACLE_SQL() -> dict[str, str]:
     _load_all()
-    return {n: s.oracle for n, s in _REGISTRY.items() if s.oracle is not None}
+    return {n: s.oracle for n, s in _ordered().items() if s.oracle is not None}
 
 
 def SPECS() -> dict[str, QuerySpec]:
     _load_all()
-    return dict(_REGISTRY)
+    return _ordered()
 
 
 _loaded = False
 
+_PLAN_MODULES = ("queries_graph", "queries_relational", "queries_dedup",
+                 "queries_similarity", "queries_text", "queries_events",
+                 "queries_multimodal", "queries_asof", "queries_profiling",
+                 "queries_analytics", "queries_sketches")
+
 
 def _load_all() -> None:
-    """Import every module that registers queries (idempotent)."""
+    """Import every module that registers queries (idempotent).
+
+    Only a missing plans module itself is tolerated (incremental
+    rounds); an ImportError raised from INSIDE a module (typo'd
+    import, renamed operator) propagates — silently dropping a whole
+    query set from the driver contract is worse than failing loudly.
+    """
     global _loaded
     if _loaded:
         return
-    from . import queries_graph  # noqa: F401
-    for mod in ("queries_relational", "queries_dedup", "queries_similarity",
-                "queries_text", "queries_events", "queries_multimodal",
-                "queries_asof", "queries_profiling", "queries_analytics"):
+    for mod in _PLAN_MODULES:
+        fq = f"{__package__}.{mod}"
         try:
-            __import__(f"{__package__}.{mod}", fromlist=[mod])
-        except ImportError:
-            pass  # module not built yet (incremental rounds)
+            __import__(fq, fromlist=[mod])
+        except ModuleNotFoundError as e:
+            if e.name != fq:
+                raise
     _loaded = True

@@ -30,6 +30,28 @@ def test_minhash_finds_planted_near_dup(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_prefix_filter_jaccard_equals_allpairs(spark):
+    """The prefix-filtered join must be LOSSLESS: same pairs as the
+    quadratic reference, including at a loose threshold where the
+    prefix is long and collisions abound."""
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    rows = [
+        (1, base),
+        (2, base.replace("lazy", "sleepy", 1)),
+        (3, base.replace("quick", "slow", 1).replace("dog", "cat", 1)),
+        (4, "completely different content about spark plans " * 4),
+        (5, "completely different content about flink plans " * 4),
+    ]
+    docs = _docs(spark, rows)
+    for t in (0.3, 0.5, 0.8):
+        fast = {(r.id_a, r.id_b, r.jaccard)
+                for r in D.ngram_jaccard_pairs(docs, threshold=t).collect()}
+        ref = {(r.id_a, r.id_b, r.jaccard)
+               for r in D.ngram_jaccard_pairs_allpairs(docs, threshold=t)
+               .collect()}
+        assert fast == ref, f"threshold {t}"
+
+
 def test_exact_dedup_groups(spark):
     docs = _docs(spark, [(1, "same text"), (2, "same text"), (3, "other")])
     rows = {r.canonical_id: r.n_copies

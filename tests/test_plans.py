@@ -41,6 +41,19 @@ def test_top_orders_global_is_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan  # no global sort for top-k
 
 
+def test_no_cartesian_in_near_dup_plans(spark):
+    """Round-2 regression gate: the registered near-dup queries must
+    stay bucketed (SRP-LSH / prefix-filter equi-joins) — a cartesian
+    or broadcast-nested-loop join here is the N² plan the 100 TB
+    design forbids."""
+    for name in ("embedding_near_dups", "ngram_jaccard_pairs",
+                 "srp_bucket_stats", "minhash_dedup_pairs",
+                 "simhash_near_dups"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
 def test_whole_stage_codegen_active(spark):
     # AQE finalizes the plan only after execution — and only for the
     # SAME query execution (count() would compile a different plan).
