@@ -136,6 +136,34 @@ def candidate_pair_counts(edges: DataFrame) -> DataFrame:
 
 
 # --- §2 rows 6-9: triangle enumeration --------------------------------------
+def _simple_triangle_corners(edges: DataFrame) -> DataFrame:
+    """Each triangle exactly once as (w, x, y): w the low-(degree,id)
+    corner, (x, y) the closing edge with x < y — NOT yet sorted into
+    canonical (a,b,c) order. Shared by the enumeration (which
+    canonicalizes) and the count (which must not pay for a projection
+    it only counts)."""
+    # The canonical edge set feeds degrees, orientation AND the
+    # closing join — persist it so the upstream scan/dedup (or, in
+    # the derived-edges case, a whole join pipeline) runs once.
+    # At cluster scale this is the deduped simple graph: far
+    # smaller than the raw input and the right thing to keep hot.
+    # (It stays persisted: the RETURNED plan still reads it — an
+    # unpersist here would force three recomputes at execution time;
+    # LRU eviction reclaims it under pressure.)
+    ce = canonical_edges(edges).persist()
+    # Materialize the cache eagerly: the triangle job consumes ce
+    # in three branches, and a lazily-populated cache lets
+    # parallel stages race past it and recompute the upstream
+    # pipeline (measured ~40% slower at sf0.1).
+    ce.count()
+    o = _oriented(ce)
+    p1 = o.select(F.col("lo").alias("w"), F.col("hi").alias("x"))
+    p2 = o.select(F.col("lo").alias("w"), F.col("hi").alias("y"))
+    # Open triads from the low corner; x<y dedups the unordered pair.
+    triads = p1.join(p2, "w").where(F.col("x") < F.col("y"))
+    # Close against the undirected canonical edge set.
+    closing = ce.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    return triads.join(closing, ["x", "y"], "inner")
 def _oriented(ce: DataFrame) -> DataFrame:
     """Orient each simple edge from its lower-(degree, id) endpoint.
 
@@ -180,27 +208,7 @@ def triangles(edges: DataFrame, mode: str = "simple") -> DataFrame:
     survey's golden counts).
     """
     if mode == "simple":
-        # The canonical edge set feeds degrees, orientation AND the
-        # closing join — persist it so the upstream scan/dedup (or, in
-        # the derived-edges case, a whole join pipeline) runs once.
-        # At cluster scale this is the deduped simple graph: far
-        # smaller than the raw input and the right thing to keep hot.
-        ce = canonical_edges(edges).persist()
-        # Materialize the cache eagerly: the triangle job consumes ce
-        # in three branches, and a lazily-populated cache lets
-        # parallel stages race past it and recompute the upstream
-        # pipeline (measured ~40% slower at sf0.1).
-        ce.count()
-        o = _oriented(ce)
-        p1 = o.select(F.col("lo").alias("w"), F.col("hi").alias("x"))
-        p2 = o.select(F.col("lo").alias("w"), F.col("hi").alias("y"))
-        # Open triads from the low corner; x<y dedups the unordered pair.
-        triads = p1.join(p2, "w").where(F.col("x") < F.col("y"))
-        # Close against the undirected canonical edge set.
-        closing = ce.select(
-            F.col("u").alias("x"), F.col("v").alias("y")
-        )
-        tri = triads.join(closing, ["x", "y"], "inner")
+        tri = _simple_triangle_corners(edges)
         abc = F.array_sort(F.array("w", "x", "y"))
         return tri.select(
             abc.getItem(0).alias("a"),
@@ -241,7 +249,16 @@ def triangles(edges: DataFrame, mode: str = "simple") -> DataFrame:
 
 
 def triangle_count(edges: DataFrame, mode: str = "simple") -> DataFrame:
-    """Total triangle count (§2 derived operator; the published metric)."""
+    """Total triangle count (§2 derived operator; the published metric).
+
+    The simple-mode count skips the canonical (a,b,c) sort projection:
+    the oriented join already yields each triangle exactly once, so
+    the count is over the raw join output — the aggregate sees only
+    row existence, never the materialized sorted array.
+    """
+    if mode == "simple":
+        return _simple_triangle_corners(edges).agg(
+            F.count(F.lit(1)).alias("n_triangles"))
     return triangles(edges, mode=mode).agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
@@ -293,7 +310,11 @@ def pagerank(edges: DataFrame, n_iter: int = 10) -> DataFrame:
             )
             .localCheckpoint()
         )
+    # Safe to drop every cached intermediate: localCheckpoint is eager,
+    # so the returned ranks no longer depend on any of them.
     edges_deg.unpersist()
+    ce.unpersist()
+    nodes.unpersist()
     return ranks
 
 
@@ -323,12 +344,17 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
         .select("node", F.col("node").alias("component"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym.b == labels.node)
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("component").alias("nbr_component"))
         )
+        # The convergence flag rides INSIDE the propagation result, so
+        # detecting a fixpoint costs one scan of the just-materialized
+        # checkpoint blocks — not a second join-shuffle job per round
+        # (the old labels never need re-reading).
         new_labels = (
             labels.join(nbr_min, "node", "left")
             .select(
@@ -337,16 +363,22 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
                     F.col("component"),
                     F.coalesce(F.col("nbr_component"), F.col("component")),
                 ).alias("component"),
+                (F.col("nbr_component") < F.col("component"))
+                .alias("changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("changed")).count()
+        labels = new_labels.select("node", "component")
         if changed == 0:
+            converged = True
             break
+    ce.unpersist()
+    sym.unpersist()
+    if not converged:
+        import warnings
+        warnings.warn(
+            f"connected_components: max_iter={max_iter} reached before "
+            "fixpoint — labels may be unconverged (graph diameter "
+            "exceeds the iteration budget)", RuntimeWarning)
     return labels

@@ -138,36 +138,51 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_streaming_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship workload as an INCREMENTAL streaming pipeline:
-    edges replayed in micro-batches (4 files, one per trigger), each
+    edges replayed in micro-batches (3 files, one per trigger), each
     batch emitting only the triangles it completes against the
     accumulated edge state (streaming/triangles.py). The final set
-    equals batch-mode enumeration, so the same oracle applies."""
+    equals batch-mode enumeration, so the same oracle applies.
+
+    The scalar count is materialized before returning so the temp
+    work dirs (edge state, checkpoints, outputs) can be removed —
+    they used to leak a full edge-set copy per invocation."""
+    import shutil
     import tempfile
 
     from ..streaming.triangles import streaming_triangles
     work = tempfile.mkdtemp(prefix="stream_tri_")
-    edges_dir = f"{work}/edges_in"
-    derive_edges(spark, sf_dir).repartition(4).write.parquet(edges_dir)
-    tris = streaming_triangles(spark, edges_dir, work)
-    return tris.agg(F.count(F.lit(1)).alias("n_triangles"))
+    try:
+        edges_dir = f"{work}/edges_in"
+        derive_edges(spark, sf_dir).repartition(3).write.parquet(edges_dir)
+        tris = streaming_triangles(spark, edges_dir, work)
+        n = tris.count()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.range(1).select(F.lit(n).cast("long").alias("n_triangles"))
 
 
 def _cc_oracle(depth: int = 8) -> str:
     """Min-label propagation unrolled to a fixed depth (≥ the derived
-    graph's diameter, verified ≤4 at sf0.001/sf0.01 — margin 2×)."""
+    graph's diameter, verified ≤4 at sf0.001/sf0.01 — margin 2×).
+
+    Every CTE is MATERIALIZED: each l{i} references l{i-1} twice, so
+    an inlining planner would re-derive the whole chain (and the
+    lineitem self-join under it) exponentially many times — measured
+    30 s vs ~1 s at sf0.01."""
     ctes = [
-        _EDGES_CTE.strip().removeprefix("WITH"),
-        """sym AS (
+        _EDGES_CTE.strip().removeprefix("WITH").replace(
+            "edges AS (", "edges AS MATERIALIZED (", 1),
+        """sym AS MATERIALIZED (
   SELECT src AS a, dst AS b FROM edges
   UNION ALL SELECT dst AS a, src AS b FROM edges
 )""",
-        """l0 AS (
+        """l0 AS MATERIALIZED (
   SELECT node, node AS component FROM (
     SELECT src AS node FROM edges UNION SELECT dst FROM edges)
 )""",
     ]
     for i in range(1, depth + 1):
-        ctes.append(f"""l{i} AS (
+        ctes.append(f"""l{i} AS MATERIALIZED (
   SELECT n.node,
          least(n.component, coalesce(m.mn, n.component)) AS component
   FROM l{i - 1} n LEFT JOIN (

@@ -74,8 +74,10 @@ SELECT event_type, n,
        mn / 100.0 AS min_value,
        mx / 100.0 AS max_value,
        floor(s * 10000.0 / (100 * n) + 0.5) / 10000.0 AS mean_value,
-       floor((ss - s * 1.0 * s / n) * 10000.0 / ((n - 1) * 10000) + 0.5)
-         / 10000.0 AS variance
+       CASE WHEN n > 1 THEN
+         floor((ss - s * 1.0 * s / n) * 10000.0 / ((n - 1) * 10000) + 0.5)
+           / 10000.0
+       END AS variance
 FROM a
 """,
 )
@@ -83,7 +85,9 @@ def q_value_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution stats with EXACT integer moments: sum and
     sum-of-squares over cents are int64 (order-independent), so mean
     and sample variance are bit-deterministic across engines — no
-    Welford-vs-naive or summation-order drift."""
+    Welford-vs-naive or summation-order drift. Sample variance of a
+    single-row group is NULL on both sides (the n-1 denominator would
+    otherwise hit IEEE-vs-error divide-by-zero divergence)."""
     ev = load_table(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100, 0).cast("long")
     a = ev.select("event_type", cents.alias("cents")).groupBy("event_type").agg(
@@ -99,10 +103,13 @@ def q_value_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("mx") / 100.0).alias("max_value"),
         (F.floor(F.col("s") * 10000.0 / (100 * F.col("n")) + 0.5) / 10000.0)
             .alias("mean_value"),
-        (F.floor(
-            (F.col("ss") - F.col("s") * 1.0 * F.col("s") / F.col("n"))
-            * 10000.0 / ((F.col("n") - 1) * 10000) + 0.5
-        ) / 10000.0).alias("variance"),
+        F.when(
+            F.col("n") > 1,
+            F.floor(
+                (F.col("ss") - F.col("s") * 1.0 * F.col("s") / F.col("n"))
+                * 10000.0 / ((F.col("n") - 1) * 10000) + 0.5
+            ) / 10000.0,
+        ).alias("variance"),
     )
 
 
