@@ -128,6 +128,87 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  threshold=0.5)
 
 
+def _dedup_clusters_oracle(depth: int = 8) -> str:
+    """Pairs (exact all-pairs Jaccard ≥ 0.8) → connected components
+    (min-label propagation unrolled to ``depth``, MATERIALIZED like
+    the graph CC oracle) → one row per document with its cluster label
+    and canonical flag. Depth 8 covers any near-dup chain the test
+    data produces (dup clusters are near-cliques; verified converged
+    at sf0.01 and sf0.1)."""
+    ctes = [
+        _SH_CTE.strip().removeprefix("WITH").replace(
+            "sh AS (", "sh AS MATERIALIZED (", 1),
+        f"""pairs AS MATERIALIZED (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE {_JACCARD_SQL} >= 0.8
+)""",
+        """sym AS MATERIALIZED (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL SELECT id_b AS a, id_a AS b FROM pairs
+)""",
+        """l0 AS MATERIALIZED (
+  SELECT DISTINCT a AS node, a AS component FROM sym
+)""",
+    ]
+    for i in range(1, depth + 1):
+        ctes.append(f"""l{i} AS MATERIALIZED (
+  SELECT n.node,
+         least(n.component, coalesce(m.mn, n.component)) AS component
+  FROM l{i - 1} n LEFT JOIN (
+    SELECT s.a AS node, min(l.component) AS mn
+    FROM sym s JOIN l{i - 1} l ON s.b = l.node GROUP BY s.a
+  ) m ON n.node = m.node
+)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT d.doc_id,
+       coalesce(l.component, d.doc_id) AS cluster_id,
+       count(*) OVER (PARTITION BY coalesce(l.component, d.doc_id))
+         AS cluster_size,
+       CAST(coalesce(l.component, d.doc_id) = d.doc_id AS BIGINT)
+         AS is_canonical
+FROM documents d LEFT JOIN l{depth} l ON d.doc_id = l.node
+""")
+
+
+@register("dedup_clusters", oracle=_dedup_clusters_oracle())
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup deduplication — the composite a training-
+    data pipeline actually runs: MinHash-LSH pairs → connected
+    components over the duplicate graph → every document labeled with
+    its cluster and whether it is the cluster's canonical keeper
+    (minimum doc_id). Docs in no pair are their own singleton cluster.
+
+    Scale shape: the pair graph is tiny relative to the corpus (only
+    near-dups appear), so the iterative CC runs on a residual graph;
+    the corpus-wide work is the one LSH pass plus a final broadcast
+    join of labels onto doc_ids."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..operators import graph as G
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(docs, threshold=0.8).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    labels = G.connected_components(pairs)
+    out = (
+        docs.select("doc_id")
+        .join(labels.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("cluster_id"),
+        )
+    )
+    return out.select(
+        "doc_id", "cluster_id",
+        F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+            .alias("cluster_size"),
+        (F.col("cluster_id") == F.col("doc_id")).cast("long")
+            .alias("is_canonical"),
+    )
+
+
 def _simhash_sql(hs: str = "hs") -> str:
     terms = [
         f"(CASE WHEN list_sum(list_transform({hs},"

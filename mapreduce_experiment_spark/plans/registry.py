@@ -86,7 +86,7 @@ _ORDER: list[str] = [
     "streaming_hourly_counts",
     # -- plans changed or added in round 2: need fresh verdicts --
     "embedding_near_dups", "srp_bucket_stats",
-    "ngram_jaccard_pairs",
+    "ngram_jaccard_pairs", "dedup_clusters",
     "triangle_count", "connected_components",
     "streaming_triangle_count",
     "approx_distinct_counts", "approx_order_percentiles",
@@ -96,7 +96,7 @@ _ORDER: list[str] = [
     "exact_dedup_groups", "minhash_signatures", "minhash_dedup_pairs",
     "simhash_signatures", "simhash_near_dups",
     "knn_bruteforce", "knn_bruteforce_blas", "ivf_assignments", "knn_ivf",
-    "lang_id", "token_frequencies", "session_stats", "sessionize_events",
+    "lang_id", "token_frequencies", "session_stats",
     # ---- verification-window boundary (50) ----
 ]
 

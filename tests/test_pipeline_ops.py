@@ -52,6 +52,20 @@ def test_prefix_filter_jaccard_equals_allpairs(spark):
         assert fast == ref, f"threshold {t}"
 
 
+def test_minhash_numpy_path_bit_equal_to_jvm_agg(spark):
+    docs = _docs(spark, [
+        (1, "the quick brown fox jumps over the lazy dog " * 3),
+        (2, "pack my box with five dozen liquor jugs " * 3),
+        (3, "sphinx of black quartz judge my vow " * 2),
+    ])
+    sh = D.shingle_sets(docs)
+    fast = {r.doc_id: list(r.sig)
+            for r in D.minhash_signatures_from(sh).collect()}
+    ref = {r.doc_id: list(r.sig)
+           for r in D.minhash_signatures_from_agg(sh).collect()}
+    assert fast == ref
+
+
 def test_exact_dedup_groups(spark):
     docs = _docs(spark, [(1, "same text"), (2, "same text"), (3, "other")])
     rows = {r.canonical_id: r.n_copies

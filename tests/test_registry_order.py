@@ -25,9 +25,11 @@ _MUST_BE_IN_WINDOW = {
     "brand_revenue_by_year", "top_parts_per_nation",
     "daily_event_type_pivot", "order_size_distribution",
     "order_value_histogram",
-    # changed in round 2
+    # changed or added in round 2
     "embedding_near_dups", "ngram_jaccard_pairs", "triangle_count",
     "connected_components", "streaming_triangle_count",
+    "srp_bucket_stats", "dedup_clusters", "approx_distinct_counts",
+    "approx_order_percentiles",
 }
 
 WINDOW = 50
