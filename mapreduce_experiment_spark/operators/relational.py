@@ -79,3 +79,39 @@ def pivot_counts(df: DataFrame, group_by: str, pivot_col: str,
             for v in values
         ],
     )
+
+
+def range_join(facts: DataFrame, value_col: str, intervals: DataFrame,
+               granule: float) -> DataFrame:
+    """Interval (range) join without a nested-loop product.
+
+    Joins each fact row to every interval row whose ``[lo, hi)``
+    contains ``value_col``. A naive theta-join plans as a broadcast
+    nested loop (per-row interval scan — the plan that dies first on a
+    skewed 100 TB fact table). This uses granule bucketing instead —
+    the same binning technique production engines apply to optimize
+    range joins: every interval explodes to the fixed-width granules
+    it covers, facts compute their single granule key, the join is a
+    plain equi-join on the granule, and the exact ``lo <= v < hi``
+    predicate verifies on the (tiny) matched set.
+
+    Granule expansion multiplies the INTERVAL side only (ceil(width /
+    granule) rows per interval) — choose ``granule`` near the median
+    interval width. The fact side stays one row per fact, so shuffle
+    volume is unchanged and a small expanded dimension broadcasts.
+    """
+    g = F.lit(float(granule))
+    expanded = intervals.withColumn(
+        "_granule",
+        F.explode(F.sequence(
+            F.floor(F.col("lo") / g).cast("long"),
+            F.floor(F.col("hi") / g).cast("long"))),
+    )
+    keyed = facts.withColumn(
+        "_granule", F.floor(F.col(value_col) / g).cast("long"))
+    return (
+        keyed.join(expanded, "_granule")
+        .where((F.col(value_col) >= F.col("lo"))
+               & (F.col(value_col) < F.col("hi")))
+        .drop("_granule")
+    )

@@ -175,3 +175,61 @@ def q_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     applies unchanged."""
     from ..streaming import streaming_hourly_counts
     return streaming_hourly_counts(spark, sf_dir)
+
+
+_BANDS = [("micro", 0.0, 1.0), ("tiny", 1.0, 5.0), ("small", 5.0, 20.0),
+          ("medium", 20.0, 50.0), ("large", 50.0, 100.0),
+          ("xlarge", 100.0, 250.0), ("huge", 250.0, 500.0)]
+
+_BANDS_SQL = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _BANDS)
+
+
+@register(
+    "value_band_range_join",
+    oracle=f"""
+WITH bands (band_label, lo, hi) AS (VALUES {_BANDS_SQL})
+SELECT band_label, lo,
+       count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY band_label, lo
+""",
+)
+def q_value_band_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: events joined to a NON-uniform value-band
+    dimension via granule bucketing (operators/relational.py::
+    range_join) — an equi-join on covering granules plus an exact
+    verify, never a nested-loop theta join. The oracle is DuckDB's
+    native BETWEEN-style theta join, so the hash match proves the
+    bucketed rewrite is exactly equivalent."""
+    from pyspark.sql import functions as F
+
+    from ..operators.relational import range_join
+    ev = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(_BANDS, "band_label string, lo double, hi double")
+    joined = range_join(ev, "value", bands, granule=25.0)
+    return joined.groupBy("band_label", "lo").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0)
+            .alias("total_value"),
+    )
+
+
+@register(
+    "streaming_view_attribution",
+    oracle="""
+SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+       p.user_id AS user_id,
+       (epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS lag_s
+FROM events p JOIN events v
+  ON p.user_id = v.user_id
+ AND p.event_type = 'purchase' AND v.event_type = 'view'
+ AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 30 MINUTE
+""",
+)
+def q_streaming_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM watermarked join (purchase←view last-30-min
+    attribution) drained with availableNow; the batch interval-join
+    oracle checks the emitted pair set exactly."""
+    from ..streaming.pipeline import streaming_view_purchase_attribution
+    return streaming_view_purchase_attribution(spark, sf_dir)

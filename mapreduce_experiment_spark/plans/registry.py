@@ -83,7 +83,8 @@ _ORDER: list[str] = [
     "order_value_histogram",
     "hourly_event_counts", "session_window_stats",
     "stateful_streaming_sessions", "streaming_event_dedup",
-    "streaming_hourly_counts",
+    "streaming_hourly_counts", "streaming_view_attribution",
+    "value_band_range_join",
     # -- plans changed or added in round 2: need fresh verdicts --
     "embedding_near_dups", "srp_bucket_stats",
     "ngram_jaccard_pairs", "dedup_clusters",
@@ -96,7 +97,7 @@ _ORDER: list[str] = [
     "exact_dedup_groups", "minhash_signatures", "minhash_dedup_pairs",
     "simhash_signatures", "simhash_near_dups",
     "knn_bruteforce", "knn_bruteforce_blas", "ivf_assignments", "knn_ivf",
-    "lang_id", "token_frequencies", "session_stats",
+    "session_stats",
     # ---- verification-window boundary (50) ----
 ]
 

@@ -97,3 +97,54 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("window.start").alias("hour"),
         "event_type", "n_events", "total_value",
     )
+
+
+def streaming_view_purchase_attribution(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join with watermark-bounded state: every
+    purchase joins the same user's view events from the preceding 30
+    minutes (last-touch attribution window).
+
+    The time-range predicate bounds the view stream's state relative
+    to purchase event time, and both sides carry a 1-hour watermark,
+    so Spark evicts join state as event time advances — the property
+    that makes a stream-stream join runnable forever at scale. Drained
+    with ``availableNow``, the output equals the batch interval join,
+    which is how it is value-checked.
+    """
+    views = (
+        read_event_stream(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .select(F.col("event_id").alias("view_id"),
+                F.col("user_id").alias("view_user"),
+                F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        read_event_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("purchase_user"),
+                F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("purchase_user") == F.col("view_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        "purchase_id", "view_id",
+        F.col("purchase_user").alias("user_id"),
+        F.expr("(unix_micros(purchase_ts) - unix_micros(view_ts))"
+               " div 1000000").alias("lag_s"),
+    )
+    name = f"stream_attr_{next(_COUNTER)}"
+    q = (
+        joined.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -54,6 +54,15 @@ def test_no_cartesian_in_near_dup_plans(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_range_join_is_equi_join(spark):
+    """The granule-bucketed interval join must plan as an equi-join on
+    the granule key — a BroadcastNestedLoopJoin means the rewrite
+    regressed to the per-row interval scan."""
+    plan = _plan(spark, "value_band_range_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_whole_stage_codegen_active(spark):
     # AQE finalizes the plan only after execution — and only for the
     # SAME query execution (count() would compile a different plan).

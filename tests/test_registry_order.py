@@ -29,7 +29,8 @@ _MUST_BE_IN_WINDOW = {
     "embedding_near_dups", "ngram_jaccard_pairs", "triangle_count",
     "connected_components", "streaming_triangle_count",
     "srp_bucket_stats", "dedup_clusters", "approx_distinct_counts",
-    "approx_order_percentiles",
+    "approx_order_percentiles", "value_band_range_join",
+    "streaming_view_attribution",
 }
 
 WINDOW = 50
