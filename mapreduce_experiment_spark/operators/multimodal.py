@@ -95,6 +95,42 @@ def extract_features(media: DataFrame) -> DataFrame:
         featurize, schema=_FEATURE_SCHEMA)
 
 
+FRAME_BYTES = 32
+FRAME_STRIDE = 4
+
+
+def sample_frames(media: DataFrame, frame_bytes: int = FRAME_BYTES,
+                  stride: int = FRAME_STRIDE) -> DataFrame:
+    """Frame sampling over opaque binary payloads: treat the payload
+    as fixed-width frames, keep every ``stride``-th one, fingerprint
+    each kept frame.
+
+    The video-pipeline shape (decode-free): a real sampler swaps the
+    fixed-width slice for codec frame boundaries, but the Spark
+    mechanics are identical — per-row frame-index explosion, a binary
+    slice per kept frame, narrow (media_id, frame_idx, digest) output.
+    All JVM expressions (sequence/explode/substring/md5 on binary), so
+    the explosion and hashing run in codegen with no Python hop.
+    """
+    df = media.select(
+        "media_id", "payload",
+        F.floor(F.length("payload") / F.lit(frame_bytes))
+         .cast("long").alias("nf"),
+    ).where(F.col("nf") >= 1)  # guard: sequence() counts DOWN if end < start
+    return df.select(
+        "media_id",
+        F.explode(F.sequence(F.lit(0), F.col("nf") - 1, F.lit(stride)))
+         .alias("frame_idx"),
+        "payload",
+    ).select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.md5(F.expr(
+            f"substring(payload, frame_idx * {frame_bytes} + 1,"
+            f" {frame_bytes})")).alias("frame_md5"),
+    )
+
+
 def decode_image(payload: bytes) -> object:
     """Decode an image payload. STUB: the runtime image libraries are
     not present in this environment; the Spark-side plumbing

@@ -58,3 +58,29 @@ def q_media_byte_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary featurization through the real mapInPandas path."""
     media = MM.build_media_table(load_table(spark, sf_dir, "documents"))
     return MM.extract_features(media)
+
+
+@register(
+    "media_frame_sample",
+    oracle=f"""
+WITH m AS (SELECT doc_id AS media_id, {_CLEAN} AS s FROM documents),
+f AS (SELECT media_id, s,
+             CAST(floor(length(s) / {MM.FRAME_BYTES}) AS BIGINT) AS nf
+      FROM m),
+idx AS (SELECT media_id, s,
+               unnest(range(0, nf, {MM.FRAME_STRIDE})) AS frame_idx
+        FROM f WHERE nf >= 1)
+SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       md5(substring(s, CAST(frame_idx * {MM.FRAME_BYTES} + 1 AS BIGINT),
+                     {MM.FRAME_BYTES})) AS frame_md5
+FROM idx
+""",
+)
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 4th 32-byte frame of each payload, fingerprinted — the
+    frame-sampling plumbing of a video pipeline, minus codecs. Spark
+    slices the real BINARY column; the oracle slices the equivalent
+    ASCII string (chars == bytes by construction), so the md5s must
+    agree byte-for-byte."""
+    media = MM.build_media_table(load_table(spark, sf_dir, "documents"))
+    return MM.sample_frames(media)

@@ -71,7 +71,7 @@ def register(name: str, oracle: str | None = None, headline: bool = False):
 # registration order after the listed ones.
 _ORDER: list[str] = [
     # -- never driver-verified in round 1 (positions 51-73 then) --
-    "media_metadata", "media_byte_histograms",
+    "media_metadata", "media_byte_histograms", "media_frame_sample",
     "purchase_last_click_asof",
     "grouping_sets_sql", "nation_participants_full_outer",
     "value_distribution_stats", "price_quantity_correlation",
@@ -95,7 +95,7 @@ _ORDER: list[str] = [
     "edges_derive", "symmetrize", "degrees", "candidate_pairs",
     "pricing_summary", "revenue_by_nation",
     "exact_dedup_groups", "minhash_signatures", "minhash_dedup_pairs",
-    "simhash_signatures", "simhash_near_dups",
+    "simhash_near_dups",
     "knn_bruteforce", "knn_bruteforce_blas", "ivf_assignments", "knn_ivf",
     "session_stats",
     # ---- verification-window boundary (50) ----

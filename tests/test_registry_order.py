@@ -30,7 +30,7 @@ _MUST_BE_IN_WINDOW = {
     "connected_components", "streaming_triangle_count",
     "srp_bucket_stats", "dedup_clusters", "approx_distinct_counts",
     "approx_order_percentiles", "value_band_range_join",
-    "streaming_view_attribution",
+    "streaming_view_attribution", "media_frame_sample",
 }
 
 WINDOW = 50
