@@ -53,11 +53,19 @@ def symmetrize(edges: DataFrame) -> DataFrame:
 
 
 # --- derived: simple-graph normalization (SURVEY finding 3) ---------------
-def canonical_edges(edges: DataFrame) -> DataFrame:
+def canonical_edges(edges: DataFrame,
+                    assume_canonical: bool = False) -> DataFrame:
     """Undirected edges as canonical ``u < v`` pairs, deduped, no self-loops.
 
     One shuffle (the distinct); every downstream join reuses it.
+    ``assume_canonical=True`` skips the normalize+distinct when the
+    caller guarantees the input already IS the canonical simple edge
+    set (e.g. ``derive_edges`` emits distinct ``src < dst`` pairs) —
+    at 100 TB that saves a full shuffle of the edge set.
     """
+    if assume_canonical:
+        return edges.select(F.col("src").alias("u"),
+                            F.col("dst").alias("v"))
     return (
         edges.where(F.col("src") != F.col("dst"))
         .select(F.least("src", "dst").alias("u"),
@@ -136,7 +144,8 @@ def candidate_pair_counts(edges: DataFrame) -> DataFrame:
 
 
 # --- §2 rows 6-9: triangle enumeration --------------------------------------
-def _simple_triangle_corners(edges: DataFrame) -> DataFrame:
+def _simple_triangle_corners(edges: DataFrame,
+                             assume_canonical: bool = False) -> DataFrame:
     """Each triangle exactly once as (w, x, y): w the low-(degree,id)
     corner, (x, y) the closing edge with x < y — NOT yet sorted into
     canonical (a,b,c) order. Shared by the enumeration (which
@@ -150,7 +159,7 @@ def _simple_triangle_corners(edges: DataFrame) -> DataFrame:
     # (It stays persisted: the RETURNED plan still reads it — an
     # unpersist here would force three recomputes at execution time;
     # LRU eviction reclaims it under pressure.)
-    ce = canonical_edges(edges).persist()
+    ce = canonical_edges(edges, assume_canonical).persist()
     # Materialize the cache eagerly: the triangle job consumes ce
     # in three branches, and a lazily-populated cache lets
     # parallel stages race past it and recompute the upstream
@@ -199,7 +208,8 @@ def _oriented(ce: DataFrame) -> DataFrame:
     )
 
 
-def triangles(edges: DataFrame, mode: str = "simple") -> DataFrame:
+def triangles(edges: DataFrame, mode: str = "simple",
+              assume_canonical: bool = False) -> DataFrame:
     """Enumerate triangles as canonical ``(a, b, c)``, ``a <= b <= c``.
 
     ``simple``: 2-path self-join on the degree-oriented edge set,
@@ -217,7 +227,7 @@ def triangles(edges: DataFrame, mode: str = "simple") -> DataFrame:
     survey's golden counts).
     """
     if mode == "simple":
-        tri = _simple_triangle_corners(edges)
+        tri = _simple_triangle_corners(edges, assume_canonical)
         abc = F.array_sort(F.array("w", "x", "y"))
         return tri.select(
             abc.getItem(0).alias("a"),
@@ -257,7 +267,8 @@ def triangles(edges: DataFrame, mode: str = "simple") -> DataFrame:
     raise ValueError(f"unknown mode: {mode!r} (use 'simple' or 'faithful')")
 
 
-def triangle_count(edges: DataFrame, mode: str = "simple") -> DataFrame:
+def triangle_count(edges: DataFrame, mode: str = "simple",
+                   assume_canonical: bool = False) -> DataFrame:
     """Total triangle count (§2 derived operator; the published metric).
 
     The simple-mode count skips the canonical (a,b,c) sort projection:
@@ -266,7 +277,7 @@ def triangle_count(edges: DataFrame, mode: str = "simple") -> DataFrame:
     row existence, never the materialized sorted array.
     """
     if mode == "simple":
-        return _simple_triangle_corners(edges).agg(
+        return _simple_triangle_corners(edges, assume_canonical).agg(
             F.count(F.lit(1)).alias("n_triangles"))
     return triangles(edges, mode=mode).agg(
         F.count(F.lit(1)).alias("n_triangles")
@@ -276,7 +287,8 @@ def triangle_count(edges: DataFrame, mode: str = "simple") -> DataFrame:
 PAGERANK_SCALE = 1_000_000_000_000  # ranks as integer micro-units
 
 
-def pagerank(edges: DataFrame, n_iter: int = 10) -> DataFrame:
+def pagerank(edges: DataFrame, n_iter: int = 10,
+             assume_canonical: bool = False) -> DataFrame:
     """PageRank over the undirected (symmetrized) graph, computed in
     EXACT integer fixed-point arithmetic.
 
@@ -290,7 +302,7 @@ def pagerank(edges: DataFrame, n_iter: int = 10) -> DataFrame:
 
     Returns (node, rank_micro) with rank_micro/1e12 ≈ probability.
     """
-    ce = canonical_edges(edges).persist()
+    ce = canonical_edges(edges, assume_canonical).persist()
     ce.count()
     sym = ce.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
         ce.select(F.col("v").alias("a"), F.col("u").alias("b")))
@@ -327,7 +339,8 @@ def pagerank(edges: DataFrame, n_iter: int = 10) -> DataFrame:
     return ranks
 
 
-def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+def connected_components(edges: DataFrame, max_iter: int = 50,
+                         assume_canonical: bool = False) -> DataFrame:
     """Connected components by min-label propagation to fixpoint.
 
     Iterative joins (the capability class the reference's one-shot
@@ -341,7 +354,7 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     shuffle on node id. Returns (node, component) with component =
     min node id in the component.
     """
-    ce = canonical_edges(edges).persist()
+    ce = canonical_edges(edges, assume_canonical).persist()
     ce.count()
     # Directed both ways once; reused every iteration.
     sym = ce.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(

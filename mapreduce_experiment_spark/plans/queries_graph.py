@@ -119,7 +119,8 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full triangle enumeration (§2 rows 6-9) — the reference's
     *intended* end-to-end output (its own code never materializes it;
     SURVEY findings 1-2)."""
-    return G.triangles(derive_edges(spark, sf_dir), mode="simple")
+    return G.triangles(derive_edges(spark, sf_dir), mode="simple",
+                       assume_canonical=True)
 
 
 @register(
@@ -129,7 +130,8 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count — the flagship metric (driver t1 smoke)."""
-    return G.triangle_count(derive_edges(spark, sf_dir), mode="simple")
+    return G.triangle_count(derive_edges(spark, sf_dir), mode="simple",
+                            assume_canonical=True)
 
 
 @register(
@@ -201,7 +203,8 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     FIXPOINT (operators/graph.py::connected_components) — the
     iterative-join capability class; the oracle unrolls the same
     propagation to a fixed depth with 2x diameter margin."""
-    cc = G.connected_components(derive_edges(spark, sf_dir))
+    cc = G.connected_components(derive_edges(spark, sf_dir),
+                                assume_canonical=True)
     return cc.groupBy("component").agg(F.count(F.lit(1)).alias("n_nodes"))
 
 
@@ -245,7 +248,8 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10-iteration integer fixed-point PageRank (see operator
     docstring) — iterative-join capability with an EXACT int64
     value oracle, no float tolerance anywhere."""
-    return G.pagerank(derive_edges(spark, sf_dir), n_iter=10)
+    return G.pagerank(derive_edges(spark, sf_dir), n_iter=10,
+                      assume_canonical=True)
 
 
 @register("triangles_faithful", oracle=_TRIANGLES_SQL)
