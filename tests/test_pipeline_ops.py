@@ -66,6 +66,22 @@ def test_minhash_numpy_path_bit_equal_to_jvm_agg(spark):
     assert fast == ref
 
 
+def test_range_join_boundaries(spark):
+    """Granule-bucketed interval join: inclusive lo, exclusive hi,
+    values straddling granule edges, and values outside every band."""
+    from mapreduce_experiment_spark.operators.relational import range_join
+    facts = spark.createDataFrame(
+        [(1, 0.0), (2, 9.99), (3, 10.0), (4, 25.0), (5, 49.999),
+         (6, 50.0), (7, -1.0)],
+        "id long, v double")
+    bands = spark.createDataFrame(
+        [("a", 0.0, 10.0), ("b", 10.0, 50.0)],
+        "band string, lo double, hi double")
+    got = {(r.id, r.band)
+           for r in range_join(facts, "v", bands, granule=7.0).collect()}
+    assert got == {(1, "a"), (2, "a"), (3, "b"), (4, "b"), (5, "b")}
+
+
 def test_exact_dedup_groups(spark):
     docs = _docs(spark, [(1, "same text"), (2, "same text"), (3, "other")])
     rows = {r.canonical_id: r.n_copies

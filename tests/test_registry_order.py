@@ -57,4 +57,4 @@ def test_registry_has_expected_size():
     """Guards the ADVICE finding: an ImportError inside a plans module
     must not silently shrink the registry (it now raises, but a module
     REMOVED by accident would still pass — pin the count)."""
-    assert len(SPECS()) >= 73
+    assert len(SPECS()) >= 80
