@@ -30,6 +30,31 @@ def test_minhash_finds_planted_near_dup(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_prefix_filter_jaccard_lossless_property(spark):
+    """Property: on random small-alphabet docs (maximal shingle
+    collisions), prefix-filtered pairs == all-pairs at several
+    thresholds. Catches an off-by-one in the prefix length or a
+    broken global order."""
+    from hypothesis import given, settings, strategies as st
+
+    words = ["aa", "bb", "cc", "dd"]
+    doc = st.lists(st.sampled_from(words), min_size=3, max_size=10)
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(doc, min_size=2, max_size=6), st.sampled_from([0.2, 0.5, 0.8]))
+    def prop(docs_words, t):
+        docs = _docs(spark, [(i, " ".join(ws))
+                             for i, ws in enumerate(docs_words)])
+        fast = {(r.id_a, r.id_b, r.jaccard)
+                for r in D.ngram_jaccard_pairs(docs, threshold=t).collect()}
+        ref = {(r.id_a, r.id_b, r.jaccard)
+               for r in D.ngram_jaccard_pairs_allpairs(docs, threshold=t)
+               .collect()}
+        assert fast == ref
+
+    prop()
+
+
 def test_prefix_filter_jaccard_equals_allpairs(spark):
     """The prefix-filtered join must be LOSSLESS: same pairs as the
     quadratic reference, including at a loose threshold where the

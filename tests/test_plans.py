@@ -54,6 +54,13 @@ def test_no_cartesian_in_near_dup_plans(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_triangle_count_closure_is_semi_join(spark):
+    """The count path must close with LEFT SEMI (probe stops at first
+    hit; no columns materialized from the closing side)."""
+    plan = _plan(spark, "triangle_count")
+    assert "LeftSemi" in plan
+
+
 def test_range_join_is_equi_join(spark):
     """The granule-bucketed interval join must plan as an equi-join on
     the granule key — a BroadcastNestedLoopJoin means the rewrite
