@@ -115,12 +115,15 @@ def tfidf_pairs(docs: DataFrame, threshold: float = 0.5,
         id_col, F.explode(tokenize(F.col(text_col))).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = docs.count()
+    # N rides in the plan as a broadcast 1-row aggregate (a scalar
+    # subquery shape) — no driver action anywhere in the operator.
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("_n"))
     w = (
         tf.join(df_, "term")
         .where(F.col("df") <= max_df)
+        .crossJoin(F.broadcast(n_docs))
         .select(id_col, "term",
-                (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")))
+                (F.col("tf") * F.log(F.col("_n") / F.col("df")))
                 .alias("w"))
     )
     norm = w.groupBy(id_col).agg(F.sqrt(F.sum(F.col("w") * F.col("w")))

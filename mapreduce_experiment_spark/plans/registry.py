@@ -95,8 +95,8 @@ _ORDER: list[str] = [
     "edges_derive", "symmetrize", "degrees", "candidate_pairs",
     "pricing_summary", "revenue_by_nation",
     "exact_dedup_groups", "minhash_signatures", "minhash_dedup_pairs",
-    "simhash_near_dups",
-    "knn_bruteforce", "knn_bruteforce_blas", "ivf_assignments", "knn_ivf",
+    "simhash_near_dups", "tfidf_doc_pairs",
+    "knn_bruteforce", "ivf_assignments", "knn_ivf",
     "session_stats",
     # ---- verification-window boundary (50) ----
 ]
