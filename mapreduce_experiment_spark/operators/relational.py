@@ -115,3 +115,26 @@ def range_join(facts: DataFrame, value_col: str, intervals: DataFrame,
                & (F.col(value_col) < F.col("hi")))
         .drop("_granule")
     )
+
+
+def stratified_sample(df: DataFrame, key_col: str, strata_col: str,
+                      pct_by_stratum: dict, default_pct: int = 0) -> DataFrame:
+    """Deterministic hash-based stratified sampling (data mixing).
+
+    Keep a row iff ``hash60(key) % 100 < pct`` for its stratum's
+    percentage. No RNG state anywhere: the keep/drop decision is a
+    pure function of the KEY, so (a) reruns and retries keep exactly
+    the same rows (restart-safe at 100 TB), (b) every table sampled
+    with the same key joins consistently with other samples, and
+    (c) the result is cross-engine value-checkable — Bernoulli
+    samplers are none of these. Rates compose: re-sampling the output
+    at a lower pct yields a strict subset.
+    """
+    from ..functions.textfns import hash60
+
+    pct = F.lit(int(default_pct))
+    for stratum, p in sorted(pct_by_stratum.items()):
+        pct = F.when(F.col(strata_col) == stratum, F.lit(int(p))) \
+               .otherwise(pct)
+    bucket = hash60(F.col(key_col).cast("string")) % 100
+    return df.where(bucket < pct)

@@ -233,3 +233,33 @@ def q_streaming_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle checks the emitted pair set exactly."""
     from ..streaming.pipeline import streaming_view_purchase_attribution
     return streaming_view_purchase_attribution(spark, sf_dir)
+
+
+_SAMPLE_PCT = {"view": 10, "click": 20, "purchase": 100,
+               "signup": 50, "error": 0}
+
+_SAMPLE_CASE = "CASE event_type " + " ".join(
+    f"WHEN '{s}' THEN {p}" for s, p in sorted(_SAMPLE_PCT.items())
+) + " ELSE 0 END"
+
+
+@register(
+    "stratified_event_sample",
+    oracle=f"""
+SELECT event_id, event_type
+FROM events
+WHERE CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+           AS BIGINT) % 100 < {_SAMPLE_CASE}
+""",
+)
+def q_stratified_event_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-class downsampling (data mixing): purchases
+    kept at 100%, signups 50%, clicks 20%, views 10%, errors dropped —
+    via the portable 60-bit key hash, so the exact kept-row SET is
+    reproducible and the oracle checks it row-for-row (a Bernoulli
+    sampler could never be value-checked)."""
+    from ..operators.relational import stratified_sample
+    ev = load_table(spark, sf_dir, "events")
+    return stratified_sample(
+        ev, "event_id", "event_type", _SAMPLE_PCT
+    ).select("event_id", "event_type")

@@ -84,7 +84,7 @@ _ORDER: list[str] = [
     "hourly_event_counts", "session_window_stats",
     "stateful_streaming_sessions", "streaming_event_dedup",
     "streaming_hourly_counts", "streaming_view_attribution",
-    "value_band_range_join",
+    "value_band_range_join", "stratified_event_sample",
     # -- plans changed or added in round 2: need fresh verdicts --
     "embedding_near_dups", "srp_bucket_stats",
     "ngram_jaccard_pairs", "dedup_clusters",
@@ -92,7 +92,7 @@ _ORDER: list[str] = [
     "streaming_triangle_count",
     "approx_distinct_counts", "approx_order_percentiles",
     # -- round-1-green fillers up to the verification window --
-    "edges_derive", "symmetrize", "degrees", "candidate_pairs",
+    "edges_derive", "degrees", "candidate_pairs",
     "pricing_summary", "revenue_by_nation",
     "exact_dedup_groups", "minhash_signatures", "minhash_dedup_pairs",
     "simhash_near_dups", "tfidf_doc_pairs",

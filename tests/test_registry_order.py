@@ -31,7 +31,7 @@ _MUST_BE_IN_WINDOW = {
     "srp_bucket_stats", "dedup_clusters", "approx_distinct_counts",
     "approx_order_percentiles", "value_band_range_join",
     "streaming_view_attribution", "media_frame_sample",
-    "tfidf_doc_pairs",
+    "tfidf_doc_pairs", "stratified_event_sample",
 }
 
 WINDOW = 50
