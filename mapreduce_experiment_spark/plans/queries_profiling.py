@@ -22,11 +22,19 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 )
 def q_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exercises the engine's SQL entry point (spark.sql over
-    registered views — SURVEY §3.4 entry 3) with GROUPING SETS."""
+    registered views — SURVEY §3.4 entry 3) with GROUPING SETS.
+
+    The Spark-side ``/ 100.0`` is wrapped in CAST(... AS DOUBLE):
+    Spark parses the literal ``100.0`` as DECIMAL, making ``sum_qty``
+    a decimal(27,6) whose rendering ('506627.000000') hash-mismatches
+    DuckDB's DOUBLE ('506627.0') even though the values are equal —
+    the round-2 driver FAIL. DataFrame-API queries never hit this
+    (a Python float is a double); only SQL-text entry points do."""
     register_views(spark, sf_dir, ("lineitem",))
     return spark.sql("""
         SELECT l_returnflag, l_linestatus, count(*) AS n,
-               sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty
+               CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0
+                    AS DOUBLE) AS sum_qty
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """)

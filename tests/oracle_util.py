@@ -40,7 +40,26 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def _assert_no_decimals(spark_df, name: str) -> None:
+    """Driver-hash fidelity: the driver renders values before hashing,
+    so a Spark DECIMAL column ('506627.000000') hash-mismatches the
+    oracle's DOUBLE ('506627.0') even when numerically equal (the
+    round-2 grouping_sets_sql FAIL). astype(float) below would hide
+    that — reject decimals up front. SQL-text queries are the risk:
+    Spark parses literals like 100.0 as DECIMAL; CAST(... AS DOUBLE)."""
+    from pyspark.sql.types import DecimalType
+
+    bad = [f.name for f in spark_df.schema.fields
+           if isinstance(f.dataType, DecimalType)]
+    assert not bad, (
+        f"{name}: DECIMAL result columns {bad} — driver hash would "
+        "mismatch the oracle's DOUBLE rendering; CAST(... AS DOUBLE) "
+        "in the Spark plan"
+    )
+
+
 def assert_matches(spark_df, oracle_pdf: pd.DataFrame, name: str = "?") -> None:
+    _assert_no_decimals(spark_df, name)
     got = _normalize(spark_df.toPandas())
     want = _normalize(oracle_pdf)
     assert list(got.columns) == list(want.columns), (
