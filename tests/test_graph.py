@@ -139,3 +139,23 @@ def test_triangles_invariant_under_orientation_and_duplication(spark, pairs):
     want = _tri_set(G.triangles(base))
     assert _tri_set(G.triangles(flipped)) == want
     assert _tri_set(G.triangles(doubled)) == want
+
+
+def test_derive_edges_already_canonical(spark, sf_smoke):
+    """Graph queries pass assume_canonical=True over derive_edges,
+    which silently trusts that the input is the canonical simple edge
+    set. Pin that invariant locally: a full canonical_edges pass over
+    derive_edges must be a no-op (same rows), so a derive_edges
+    regression (duplicates, self-loops, reversed orientation) fails
+    here instead of corrupting triangles/CC/PageRank."""
+    from mapreduce_experiment_spark.operators.graph import canonical_edges
+    from mapreduce_experiment_spark.sources.tables import derive_edges
+
+    e = derive_edges(spark, sf_smoke).persist()
+    normalized = canonical_edges(e, assume_canonical=False).select(
+        F.col("u").alias("src"), F.col("v").alias("dst"))
+    n_raw, n_norm = e.count(), normalized.count()
+    assert n_raw == n_norm
+    assert e.exceptAll(normalized).count() == 0
+    assert normalized.exceptAll(e).count() == 0
+    e.unpersist()

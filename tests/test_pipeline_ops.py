@@ -176,3 +176,53 @@ def test_decode_image_is_stubbed():
     import pytest
     with pytest.raises((NotImplementedError, Exception)):
         MM.decode_image(b"not an image")
+
+
+def test_srp_lsh_recall_vs_allpairs(spark, sf_smoke):
+    """The registered embedding_near_dups oracle mirrors the SRP
+    bucketing, so it cannot see pairs LSH misses on both sides — this
+    test is the recall gate the oracle structurally can't provide.
+
+    Two statements, matching what 12-band × 6-bit SRP actually
+    promises (collision p ≈ 1-(1-(1-θ/π)^6)^12):
+
+    - TRUE near-duplicates (planted copies, cos ≥ 0.99 → p ≈ 1-1e-9):
+      recall must be 1.0 — every planted pair found.
+    - Borderline pairs on real testdata (cos ≈ 0.45-0.48 → p ≈ 0.63
+      per pair): recall is probabilistic by design; pin a 0.5 floor so
+      a gross parameter regression (fewer bands, wider bands) still
+      fails. Deterministic planes ⇒ the observed 5/7 never drifts.
+
+    Structurally LSH can never emit extras (exact-cosine verify), so
+    precision is asserted exact."""
+    import pyspark.sql.functions as SF
+
+    from mapreduce_experiment_spark.operators import similarity as S
+    from mapreduce_experiment_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    # Plant 20 jittered copies: id+10000 is id's vector with the first
+    # component nudged by 0.05 → cos ≥ 0.99.
+    dups = (emb.where(SF.col("vec_id") < 20)
+            .select((SF.col("vec_id") + 10000).alias("vec_id"),
+                    SF.expr("transform(embedding, (x, i) -> "
+                            "CASE WHEN i = 0 THEN x + 0.05f ELSE x END)")
+                    .alias("embedding")))
+    planted = emb.select("vec_id", "embedding").unionByName(dups)
+
+    lsh_planted = {(r.id_a, r.id_b)
+                   for r in S.embedding_near_dup_pairs_lsh(
+                       planted, threshold=0.9).collect()}
+    missed = {(i, i + 10000) for i in range(20)} - lsh_planted
+    assert not missed, f"SRP-LSH missed planted near-dups: {missed}"
+
+    lsh = {(r.id_a, r.id_b)
+           for r in S.embedding_near_dup_pairs_lsh(emb, threshold=0.45)
+           .collect()}
+    exact = {(r.id_a, r.id_b)
+             for r in S.embedding_near_dup_pairs(emb, threshold=0.45)
+             .collect()}
+    assert exact, "fixture lost its borderline pairs"
+    assert lsh <= exact                      # verify step ⇒ no false positives
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.5, f"borderline recall {recall}: {exact - lsh}"
