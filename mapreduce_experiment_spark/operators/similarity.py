@@ -238,6 +238,223 @@ def knn_bruteforce_blas(embeddings: DataFrame, n_queries: int = 10,
     )
 
 
+# --- trained IVF: deterministic Lloyd k-means ------------------------------
+#
+# The seed-centroid IVF above trades training for determinism; this is
+# the shape a real 100 TB embedding pipeline runs: k-means-trained
+# centroids, then the same bucket/probe machinery. Determinism is kept
+# by doing ALL distance/update arithmetic in int64 micro-units
+# (components quantized once via floor(x*1e6 + 0.5)): integer sums are
+# summation-order-independent, integer argmin has no float ties, and
+# the centroid mean is an exact floor division — so a DuckDB oracle
+# can replay training bit-for-bit as unrolled SQL.
+#
+# Driver/cluster split mirrors Spark MLlib's KMeans: centroids are
+# driver state (k×d ints, broadcast into each pass's Arrow closure);
+# the data never leaves the executors. Each Lloyd round is one
+# map-side assignment pass + per-batch partial sums (k×d rows per
+# batch — map-side combine in pandas) + one tiny shuffle/collect.
+# Empty clusters drop (both engines' group-bys skip them identically).
+
+KMEANS_K = N_CENTROIDS
+KMEANS_ITER = 3
+QUANT_SCALE = 1_000_000
+
+
+def _quantize_mat(mat):
+    """float64 (n, d) -> int64 micro-units, mirroring the SQL
+    CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)."""
+    import numpy as np
+
+    return np.floor(mat * QUANT_SCALE + 0.5).astype(np.int64)
+
+
+def _sqdist_int(mat, cents):
+    """Exact integer squared-L2 distance matrix (n, k): numpy int64
+    matmul (no BLAS float path), magnitudes ~1e15 << 2^63."""
+    return ((mat * mat).sum(axis=1)[:, None]
+            - 2 * (mat @ cents.T)
+            + (cents * cents).sum(axis=1)[None, :])
+
+
+def _vec_batches(embeddings: DataFrame):
+    return _prep(embeddings).select("vec_id", "vec")
+
+
+def kmeans_train(embeddings: DataFrame, k: int = KMEANS_K,
+                 n_iter: int = KMEANS_ITER):
+    """``n_iter`` Lloyd rounds from the ``vec_id < k`` seed vectors.
+
+    Returns ``(cent_ids, cents)``: surviving centroid ids (ascending)
+    and their int64 micro-unit vectors, one row each. Update rule per
+    dimension is ``floor(sum / count)`` (exact integer floor division
+    == DuckDB's floor(sum*1.0/count) for these magnitudes — int sums
+    < 2^53 make the double quotient's floor exact).
+    """
+    import numpy as np
+
+    v = _vec_batches(embeddings).persist()
+    seeds = sorted(v.where(F.col("vec_id") < k).collect(),
+                   key=lambda r: r.vec_id)
+    cent_ids = [r.vec_id for r in seeds]
+    cents = _quantize_mat(np.array([r.vec for r in seeds], dtype=np.float64))
+    for _ in range(n_iter):
+        agg = (
+            _kmeans_partial_sums(v, cent_ids, cents)
+            .groupBy("centroid_id", "pos")
+            .agg(F.sum("psum").alias("s"), F.sum("pcnt").alias("cnt"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in agg:
+            by_cid.setdefault(r.centroid_id, {})[r.pos] = (r.s, r.cnt)
+        cent_ids = sorted(by_cid)
+        d = cents.shape[1]
+        cents = np.array(
+            [[by_cid[cid][p][0] // by_cid[cid][p][1] for p in range(1, d + 1)]
+             for cid in cent_ids],
+            dtype=np.int64,
+        )
+    v.unpersist()
+    return cent_ids, cents
+
+
+def _kmeans_partial_sums(v: DataFrame, cent_ids, cents) -> DataFrame:
+    """One Lloyd half-step: assign each vector to its nearest centroid
+    (int argmin; ties -> lowest centroid id, numpy argmin's first-hit
+    on the id-sorted centroid array) and emit per-batch partial sums —
+    (centroid_id, pos, psum, pcnt) with pos 1-based to match the SQL
+    mirror."""
+    import numpy as np
+    import pandas as pd
+
+    ids_arr = list(cent_ids)
+    c = cents
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = _quantize_mat(np.array(list(pdf["vec"]), dtype=np.float64))
+            nearest = _sqdist_int(mat, c).argmin(axis=1)
+            d = mat.shape[1]
+            for j, cid in enumerate(ids_arr):
+                sel = mat[nearest == j]
+                if not len(sel):
+                    continue
+                yield pd.DataFrame({
+                    "centroid_id": np.int64(cid),
+                    "pos": np.arange(1, d + 1, dtype=np.int64),
+                    "psum": sel.sum(axis=0),
+                    "pcnt": np.int64(len(sel)),
+                })
+
+    return v.mapInPandas(
+        gen, schema="centroid_id long, pos long, psum long, pcnt long")
+
+
+def kmeans_assignments_df(embeddings: DataFrame, cent_ids, cents) -> DataFrame:
+    """Map-side nearest-centroid assignment of EVERY vector under the
+    given (trained) centroids — (vec_id, centroid_id), no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    ids_arr = np.array(list(cent_ids), dtype=np.int64)
+    c = cents
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = _quantize_mat(np.array(list(pdf["vec"]), dtype=np.float64))
+            nearest = _sqdist_int(mat, c).argmin(axis=1)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "centroid_id": ids_arr[nearest],
+            })
+
+    return _vec_batches(embeddings).mapInPandas(
+        gen, schema="vec_id long, centroid_id long")
+
+
+def kmeans_centroid_dists(embeddings: DataFrame, cent_ids, cents,
+                          n_queries: int) -> DataFrame:
+    """All (query, centroid) integer squared distances for the probe
+    ranking — k rows per query, ranked by (dist, centroid_id) in the
+    caller's window."""
+    import numpy as np
+    import pandas as pd
+
+    ids_arr = np.array(list(cent_ids), dtype=np.int64)
+    c = cents
+    k = len(ids_arr)
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = _quantize_mat(np.array(list(pdf["vec"]), dtype=np.float64))
+            dists = _sqdist_int(mat, c)
+            n = len(pdf)
+            yield pd.DataFrame({
+                "query_id": np.repeat(pdf["vec_id"].to_numpy(), k),
+                "centroid_id": np.tile(ids_arr, n),
+                "dist": dists.ravel(),
+            })
+
+    q = _vec_batches(embeddings).where(F.col("vec_id") < n_queries)
+    return q.mapInPandas(gen, schema="query_id long, centroid_id long, dist long")
+
+
+def knn_ivf_trained(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
+                    n_centroids: int = KMEANS_K, n_iter: int = KMEANS_ITER,
+                    nprobe: int = N_PROBE) -> DataFrame:
+    """IVF kNN over TRAINED centroids: Lloyd training, nearest-trained-
+    centroid buckets, integer-L2 probe ranking, exact-cosine scoring
+    of the probed buckets (same output contract as :func:`knn_ivf`).
+
+    Assignment/probe use exact integer L2 (k-means' native metric);
+    final scoring stays q6-quantized cosine so the contract matches
+    the untrained path. At 100 TB the bucketed corpus is written
+    partitioned by centroid_id, making each probe a partition-pruned
+    scan; here the pruning is the equi-join on centroid_id.
+    """
+    cent_ids, cents = kmeans_train(embeddings, n_centroids, n_iter)
+
+    wp = Window.partitionBy("query_id").orderBy("dist", "centroid_id")
+    probes = (
+        kmeans_centroid_dists(embeddings, cent_ids, cents, n_queries)
+        .withColumn("prn", F.row_number().over(wp))
+        .where(F.col("prn") <= nprobe)
+        .select("query_id", "centroid_id")
+    )
+    buckets = kmeans_assignments_df(embeddings, cent_ids, cents).where(
+        F.col("vec_id") >= n_queries)
+
+    v = _prep(embeddings)
+    corpus = v.select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("vec").alias("nv"), F.col("norm").alias("nn"))
+    queries = v.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qv"),
+        F.col("norm").alias("qn"))
+
+    cands = (
+        probes.join(buckets, "centroid_id")
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .join(corpus, "neighbor_id")
+        .join(F.broadcast(queries), "query_id")
+        .select("query_id", "neighbor_id",
+                _cos(F.col("qv"), F.col("nv"), F.col("qn"), F.col("nn"))
+                .alias("cos"))
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(wk).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
 def ivf_assignments(embeddings: DataFrame,
                     n_centroids: int = N_CENTROIDS) -> DataFrame:
     """Assign every corpus vector to its nearest centroid.

@@ -168,3 +168,120 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = S.knn_ivf(load_table(spark, sf_dir, "embeddings"),
                    n_queries=10, k=5)
     return df.withColumnRenamed("cos", "cos_sim")
+
+
+def _kmeans_cte(k: int = S.KMEANS_K, t: int = S.KMEANS_ITER) -> str:
+    """Unrolled Lloyd training as SQL — the bit-exact mirror of
+    operators.similarity.kmeans_train: same int64 micro-unit
+    quantization, same integer squared-L2 argmin with (dist,
+    centroid_id) tie-break, same floor(sum/count) centroid update.
+    Every CTE is MATERIALIZED: c{i}/a{i}/e are referenced by multiple
+    later levels, and DuckDB's inliner re-derives non-materialized
+    chains exponentially."""
+    parts = [f"""
+e AS MATERIALIZED (
+  SELECT vec_id,
+         unnest(range(1, len(embedding) + 1)) AS pos,
+         unnest(list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)))
+           AS qval
+  FROM embeddings),
+c0 AS MATERIALIZED (
+  SELECT vec_id AS centroid_id, pos, qval AS val FROM e WHERE vec_id < {k})"""]
+    for i in range(t + 1):
+        parts.append(f"""
+d{i} AS MATERIALIZED (
+  SELECT e.vec_id, c.centroid_id,
+         sum((e.qval - c.val) * (e.qval - c.val)) AS dist
+  FROM e JOIN c{i} c USING (pos) GROUP BY 1, 2),
+a{i} AS MATERIALIZED (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist, centroid_id) AS rn
+    FROM d{i}) WHERE rn = 1)""")
+        if i < t:
+            parts.append(f"""
+c{i + 1} AS MATERIALIZED (
+  SELECT a.centroid_id, e.pos,
+         CAST(floor(sum(e.qval) * 1.0 / count(*)) AS BIGINT) AS val
+  FROM a{i} a JOIN e USING (vec_id) GROUP BY 1, 2)""")
+    return "WITH " + ",".join(parts)
+
+
+_T = S.KMEANS_ITER
+
+
+@register(
+    "kmeans_centroids",
+    oracle=_kmeans_cte() + f"""
+SELECT centroid_id, pos, val FROM c{_T}
+""",
+)
+def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained centroid table itself — value-checks the whole
+    Lloyd iteration (quantize → assign → mean) bit-for-bit against the
+    unrolled SQL replay. Centroids are driver state (as in Spark
+    MLlib's KMeans), so the result is materialized via
+    createDataFrame; every value in it came off the executors."""
+    cent_ids, cents = S.kmeans_train(load_table(spark, sf_dir, "embeddings"))
+    rows = [(int(cid), p + 1, int(cents[j, p]))
+            for j, cid in enumerate(cent_ids)
+            for p in range(cents.shape[1])]
+    return spark.createDataFrame(
+        rows, "centroid_id long, pos long, val long")
+
+
+@register(
+    "kmeans_ivf_assignments",
+    oracle=_kmeans_cte() + f"""
+SELECT vec_id, centroid_id FROM a{_T}
+""",
+)
+def q_kmeans_ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-TRAINED-centroid assignment of every vector (the
+    bucketing a trained IVF index actually uses; integer L2 so the
+    argmin has no float ties)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_ids, cents = S.kmeans_train(emb)
+    return S.kmeans_assignments_df(emb, cent_ids, cents)
+
+
+@register(
+    "knn_ivf_trained",
+    oracle=_kmeans_cte() + f""",
+assign AS MATERIALIZED (SELECT vec_id, centroid_id FROM a{_T}),
+v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+q AS (SELECT vec_id AS query_id, vec AS qv FROM v WHERE vec_id < 10),
+qd AS MATERIALIZED (
+  SELECT e.vec_id AS query_id, c.centroid_id,
+         sum((e.qval - c.val) * (e.qval - c.val)) AS dist
+  FROM e JOIN c{_T} c USING (pos)
+  WHERE e.vec_id < 10 GROUP BY 1, 2),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT query_id, centroid_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY dist, centroid_id) AS prn
+    FROM qd) WHERE prn <= {S.N_PROBE}),
+cand AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+                {_q6cos('q.qv', 'v.vec')} AS cos_sim
+         FROM probes p
+         JOIN assign a USING (centroid_id)
+         JOIN q ON q.query_id = p.query_id
+         JOIN v ON v.vec_id = a.vec_id
+         WHERE a.vec_id >= 10),
+ranked AS (SELECT query_id, neighbor_id, cos_sim,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rank
+           FROM cand)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+""",
+)
+def q_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF kNN over k-means-trained centroids — the full trained-index
+    pipeline (train → bucket → probe → exact-cosine top-k), every
+    stage of which the oracle replays in SQL."""
+    df = S.knn_ivf_trained(load_table(spark, sf_dir, "embeddings"),
+                           n_queries=10, k=5)
+    return df.withColumnRenamed("cos", "cos_sim")

@@ -226,3 +226,29 @@ def test_srp_lsh_recall_vs_allpairs(spark, sf_smoke):
     assert lsh <= exact                      # verify step ⇒ no false positives
     recall = len(lsh & exact) / len(exact)
     assert recall >= 0.5, f"borderline recall {recall}: {exact - lsh}"
+
+
+def test_kmeans_separates_planted_clusters(spark):
+    """Lloyd training on two well-separated planted clusters: the two
+    seed centroids must converge to the cluster means (exact integer
+    floor of the mean) and every vector must land in its own cluster."""
+    import numpy as np
+
+    from mapreduce_experiment_spark.operators import similarity as S
+
+    rng = [0.1 * i for i in range(8)]
+    rows = []
+    for i in range(20):          # cluster A near (1, 1, ..., 1)
+        rows.append((i * 2, [1.0 + 0.001 * ((i + j) % 5) for j in rng]))
+    for i in range(20):          # cluster B near (-1, ..., -1)
+        rows.append((i * 2 + 1, [-1.0 - 0.001 * ((i + j) % 5) for j in rng]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # seeds = vec_id < 2 → one seed from each planted cluster
+    cent_ids, cents = S.kmeans_train(emb, k=2, n_iter=2)
+    assert cent_ids == [0, 1]
+    assign = {r.vec_id: r.centroid_id
+              for r in S.kmeans_assignments_df(emb, cent_ids, cents).collect()}
+    assert all(assign[i] == (i % 2) for i in assign)
+    # centroid of cluster A ≈ +1e6 micro-units, B ≈ -1e6; floor-mean exact
+    assert (cents[0] > 900_000).all() and (cents[1] < -900_000).all()
