@@ -32,5 +32,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL oracle per query (omitted ⇒ rows-only check)."""
+    """DuckDB-runnable ANSI SQL oracle per query.
+
+    Every registered query has one: the driver has no rows-only mode
+    (an omitted oracle is recorded as ``err: no_oracle``, observed in
+    round 2), so even the approximate sketches carry oracles — exact
+    values plus in-bounds booleans the oracle pins to TRUE."""
     return _registry.ORACLE_SQL()

@@ -26,8 +26,10 @@ from pyspark.sql import DataFrame, SparkSession
 class QuerySpec:
     name: str
     fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None  # DuckDB SQL; None → driver does rows-only check
+    oracle: str | None  # DuckDB SQL; None is recorded err:no_oracle by
+    # the driver (no rows-only mode exists) — every query must ship one
     headline: bool = False  # included in bench.py
+    module: str = ""  # defining plans module (rotation-contract test)
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
@@ -58,47 +60,49 @@ def register(name: str, oracle: str | None = None, headline: bool = False):
             return fn(spark, sf_dir)
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
-        _REGISTRY[name] = QuerySpec(name, wrapped, oracle, headline)
+        _REGISTRY[name] = QuerySpec(name, wrapped, oracle, headline,
+                                    module=fn.__module__)
         return fn
     return deco
 
 
 # Exposure order. The round driver verifies a PREFIX of the registry
-# (round 1: exactly the first 50 registrations), so ordering is part
+# (observed: exactly the first 50 registrations), so ordering is part
 # of the driver contract: queries that are NEW, CHANGED this round, or
-# never driver-verified go first; stable queries proven green in a
-# previous round rotate to the back. Names not listed keep their
+# whose last verdict is stalest go first; stable queries proven green
+# in a recent round rotate to the back. Names not listed keep their
 # registration order after the listed ones.
 _ORDER: list[str] = [
-    # -- never driver-verified in round 1 (positions 51-73 then) --
-    "media_metadata", "media_byte_histograms", "media_frame_sample",
-    "purchase_last_click_asof",
-    "grouping_sets_sql", "nation_participants_full_outer",
-    "value_distribution_stats", "price_quantity_correlation",
-    "event_type_counts_salted", "lineitem_profile",
-    "volume_shipping", "asia_market_share",
-    "signup_to_purchase_funnel", "monthly_retention_cohorts",
-    "brand_revenue_by_year", "top_parts_per_nation",
-    "daily_event_type_pivot", "order_size_distribution",
-    "order_value_histogram",
-    "hourly_event_counts", "session_window_stats",
-    "stateful_streaming_sessions", "streaming_event_dedup",
-    "streaming_hourly_counts", "streaming_view_attribution",
-    "value_band_range_join", "stratified_event_sample",
-    # -- plans changed or added in round 2: need fresh verdicts --
-    "embedding_near_dups", "srp_bucket_stats",
-    "ngram_jaccard_pairs", "dedup_clusters",
-    "triangle_count", "connected_components",
-    "streaming_triangle_count",
-    "approx_distinct_counts", "approx_order_percentiles",
-    # -- round-1-green fillers up to the verification window --
+    # -- changed or added in round 3: need fresh verdicts --
+    "grouping_sets_sql",                       # decimal→double CAST fix
+    "approx_distinct_counts", "approx_order_percentiles",  # new oracle contract
+    "ngram_jaccard_pairs",                     # cache-lifecycle restructure
+    "kmeans_centroids", "kmeans_ivf_assignments", "knn_ivf_trained",  # new
+    # -- changed in round 2 but never re-verified (stale r1 verdicts) --
+    "triangles", "triangles_faithful", "pagerank",
+    # -- operators unchanged but their input derive_edges was rewritten
+    #    in round 2; r1 verdicts predate that --
+    "symmetrize", "adjacency",
+    # -- last verified in round 1 (sat at positions 56-81 in round 2) --
+    "top_customers_per_nation", "customer_running_spend",
+    "order_gap_days", "top_orders_global",
+    "order_priority_rollup", "returnflag_status_cube",
+    "mktsegment_pivot", "parts_never_ordered",
+    "suppliers_with_orders", "customers_retained", "customers_churned",
+    "orders_above_customer_average", "order_scalar_functions",
+    "events_json_extract", "nation_order_stats",
+    "account_balance_union", "simhash_signatures",
+    "knn_bruteforce_blas", "lang_id", "quality_scores",
+    "token_counts", "token_frequencies", "pii_redaction",
+    "fingerprints", "sessionize_events", "user_value_scd2",
+    # -- double-green (r1+r2) stable fillers up to the window --
     "edges_derive", "degrees", "candidate_pairs",
     "pricing_summary", "revenue_by_nation",
     "exact_dedup_groups", "minhash_signatures", "minhash_dedup_pairs",
     "simhash_near_dups", "tfidf_doc_pairs",
-    "knn_bruteforce", "ivf_assignments", "knn_ivf",
-    "session_stats",
+    "knn_bruteforce", "ivf_assignments",
     # ---- verification-window boundary (50) ----
+    # r2-green unchanged queries follow in registration order.
 ]
 
 
