@@ -58,6 +58,16 @@ def _assert_no_decimals(spark_df, name: str) -> None:
     )
 
 
+def _numeric_class(dtype) -> str | None:
+    if np.issubdtype(dtype, np.bool_):
+        return "bool"
+    if np.issubdtype(dtype, np.integer):
+        return "int"
+    if np.issubdtype(dtype, np.floating):
+        return "float"
+    return None
+
+
 def assert_matches(spark_df, oracle_pdf: pd.DataFrame, name: str = "?") -> None:
     _assert_no_decimals(spark_df, name)
     got = _normalize(spark_df.toPandas())
@@ -66,6 +76,18 @@ def assert_matches(spark_df, oracle_pdf: pd.DataFrame, name: str = "?") -> None:
         f"{name}: column mismatch {list(got.columns)} vs {list(want.columns)}"
     )
     assert len(got) == len(want), f"{name}: row count {len(got)} vs {len(want)}"
+    for c in got.columns:
+        # Driver-hash fidelity, beyond decimals: an int column on one
+        # side and a float on the other render differently ('5' vs
+        # '5.0') even when numerically equal. The float-vs-float value
+        # compare below would coerce and hide it — reject up front.
+        g_cls, w_cls = _numeric_class(got[c].dtype), _numeric_class(want[c].dtype)
+        if g_cls and w_cls:
+            assert g_cls == w_cls, (
+                f"{name}.{c}: numeric class mismatch spark={got[c].dtype} "
+                f"oracle={want[c].dtype} — driver hash renders these "
+                "differently; align the types in plan and oracle"
+            )
     for c in got.columns:
         g, w = got[c].to_numpy(), want[c].to_numpy()
         if np.issubdtype(g.dtype, np.floating) or np.issubdtype(w.dtype, np.floating):
