@@ -56,6 +56,7 @@ def _run_suite(spark, sf_dir: str) -> dict[str, float]:
 
 
 def main() -> None:
+    load_before = os.getloadavg()
     spark = get_session(app_name="spark-graft-bench")
     timings = _run_suite(spark, SF_DIR)
     total = round(sum(timings.values()), 3)
@@ -75,6 +76,12 @@ def main() -> None:
         out["queries_sf2"] = t2
         out["value_sf2"] = round(sum(t2.values()), 3)
         out["sf2"] = _sf_from_dir(second)
+    # Contention context: this box carries bursty EXTERNAL load
+    # (observed 1-min loadavg 0.4 → 9.9 across a single run), which
+    # dominates round-over-round wall-clock deltas. Recording it makes
+    # each BENCH_r{N}.json self-describing (see BENCHNOTES.md).
+    out["loadavg_1m_before"] = round(load_before[0], 2)
+    out["loadavg_1m_after"] = round(os.getloadavg()[0], 2)
     print(json.dumps(out))
 
 
