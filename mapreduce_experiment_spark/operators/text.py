@@ -96,6 +96,53 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+PACK_CAPACITY = 2048
+PACK_SHARDS = 8
+
+
+def pack_sequences(docs: DataFrame, capacity: int = PACK_CAPACITY,
+                   n_shards: int = PACK_SHARDS, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Pack documents into fixed token-budget training sequences —
+    the assembly step between a cleaned corpus and a trainer's
+    dataloader.
+
+    Deterministic streaming next-fit: docs are sharded by
+    ``hash60(id) % n_shards``, ordered within the shard by (hash, id)
+    — a stable pseudo-shuffle, so the mixing order is a pure function
+    of the ids (restart-safe, rerun-identical, no RNG state) — then a
+    per-shard running token total places each doc at
+    ``seq_id = floor(start / capacity)``, ``seq_offset = start %
+    capacity``. A doc whose tokens straddle a boundary belongs to the
+    sequence where it STARTS (may overflow by < its own length — the
+    standard streaming-pack semantics; the trainer truncates or
+    spills the tail).
+
+    Scale shape: one shuffle on ``shard``; each shard's window cumsum
+    runs independently, so parallelism = ``n_shards`` (thousands at
+    100 TB — here 8 so sf0.01 exercises multi-doc sequences). All
+    arithmetic is integer → cross-engine hash-exact.
+    """
+    from ..functions.textfns import hash60
+    from pyspark.sql import Window
+
+    h = hash60(F.col(id_col).cast("string"))
+    t = docs.select(
+        F.col(id_col),
+        F.size(tokenize(F.col(text_col))).cast("long").alias("n_tokens"),
+        h.alias("_h"),
+        (h % n_shards).alias("shard"),
+    )
+    w = (Window.partitionBy("shard").orderBy("_h", id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return t.select(
+        id_col, "n_tokens", "shard",
+        F.floor(start / F.lit(capacity)).cast("long").alias("seq_id"),
+        (start % capacity).alias("seq_offset"),
+    )
+
+
 def tfidf_pairs(docs: DataFrame, threshold: float = 0.5,
                 max_df: int = 100, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:

@@ -213,3 +213,34 @@ WHERE len({_GRAMS5}) > 0
 )
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+_PACK_H = hash60_sql("CAST(doc_id AS VARCHAR)")
+
+
+@register(
+    "packed_sequences",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len({tokenize_sql('text')}) AS BIGINT) AS n_tokens,
+         {_PACK_H} AS h,
+         {_PACK_H} % {TX.PACK_SHARDS} AS shard
+  FROM documents),
+w AS (
+  SELECT doc_id, n_tokens, shard,
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+              AS BIGINT) AS start
+  FROM t)
+SELECT doc_id, n_tokens, shard,
+       CAST(floor(start * 1.0 / {TX.PACK_CAPACITY}) AS BIGINT) AS seq_id,
+       start % {TX.PACK_CAPACITY} AS seq_offset
+FROM w
+""",
+)
+def q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing of the documents table (see the
+    operator docstring): hash-sharded streaming next-fit into
+    2048-token training sequences, all-integer arithmetic."""
+    return TX.pack_sequences(load_table(spark, sf_dir, "documents"))

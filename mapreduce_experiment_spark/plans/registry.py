@@ -78,6 +78,7 @@ _ORDER: list[str] = [
     "approx_distinct_counts", "approx_order_percentiles",  # new oracle contract
     "ngram_jaccard_pairs",                     # cache-lifecycle restructure
     "kmeans_centroids", "kmeans_ivf_assignments", "knn_ivf_trained",  # new
+    "packed_sequences",                        # new: sequence packing
     # -- changed in round 2 but never re-verified (stale r1 verdicts) --
     "triangles", "triangles_faithful", "pagerank",
     # -- operators unchanged but their input derive_edges was rewritten

@@ -252,3 +252,32 @@ def test_kmeans_separates_planted_clusters(spark):
     assert all(assign[i] == (i % 2) for i in assign)
     # centroid of cluster A ≈ +1e6 micro-units, B ≈ -1e6; floor-mean exact
     assert (cents[0] > 900_000).all() and (cents[1] < -900_000).all()
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing semantics on a fixture big enough to straddle
+    boundaries: every doc placed exactly once; offsets are in
+    [0, capacity); docs in one sequence are contiguous in the shard
+    order (a sequence's doc token spans tile [offset, offset+n) with
+    no gaps); reruns are byte-identical (determinism)."""
+    rows = [(i, ("tok " * (5 + i % 37)).strip()) for i in range(60)]
+    docs = _docs(spark, rows)
+    out = sorted(
+        TX.pack_sequences(docs, capacity=64, n_shards=4).collect(),
+        key=lambda r: (r.shard, r.seq_id, r.seq_offset))
+    assert len(out) == 60 and len({r.doc_id for r in out}) == 60
+    for r in out:
+        assert 0 <= r.seq_offset < 64
+        assert r.n_tokens == 5 + r.doc_id % 37
+    # contiguity: within a shard, consecutive docs' (seq_id*cap +
+    # offset) positions tile the running total with no gaps
+    from itertools import groupby
+    for _, grp in groupby(out, key=lambda r: r.shard):
+        pos = 0
+        for r in grp:
+            assert r.seq_id * 64 + r.seq_offset == pos
+            pos += r.n_tokens
+    rerun = sorted(
+        TX.pack_sequences(docs, capacity=64, n_shards=4).collect(),
+        key=lambda r: (r.shard, r.seq_id, r.seq_offset))
+    assert rerun == out
