@@ -143,6 +143,41 @@ def pack_sequences(docs: DataFrame, capacity: int = PACK_CAPACITY,
     )
 
 
+def contamination_pairs(docs: DataFrame, eval_mod: int = 50,
+                        min_shared: int = 3, n: int = 5,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination: (train doc, eval doc) pairs sharing
+    ≥ ``min_shared`` distinct word ``n``-grams — the overlap check a
+    training corpus runs against every eval benchmark before training.
+
+    Here the "benchmark" is the deterministic slice ``id % eval_mod
+    == 0`` of the corpus itself (the test dirs carry no separate eval
+    table; at deployment the eval side is the real benchmark corpus).
+
+    Scale shape: eval sets are benchmark-sized (thousands of docs), so
+    the eval shingle table BROADCASTS; the corpus side explodes its
+    shingles map-side and probes the broadcast hash — the 100 TB side
+    never shuffles its text, and the only shuffle is the (train, eval)
+    pair count, bounded by actual collisions. Integer hash counts →
+    cross-engine exact.
+    """
+    from ..functions.textfns import shingle_hashes
+
+    h = docs.select(F.col(id_col),
+                    F.explode(shingle_hashes(F.col(text_col), n)).alias("g"))
+    ev = h.where(F.col(id_col) % eval_mod == 0).select(
+        F.col(id_col).alias("eval_doc_id"), "g")
+    tr = h.where(F.col(id_col) % eval_mod != 0).select(
+        F.col(id_col).alias("train_doc_id"), "g")
+    return (
+        tr.join(F.broadcast(ev), "g")
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .where(F.col("n_shared_grams") >= min_shared)
+    )
+
+
 def tfidf_pairs(docs: DataFrame, threshold: float = 0.5,
                 max_df: int = 100, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:

@@ -244,3 +244,23 @@ def q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator docstring): hash-sharded streaming next-fit into
     2048-token training sequences, all-integer arithmetic."""
     return TX.pack_sequences(load_table(spark, sf_dir, "documents"))
+
+
+_SH5 = f"list_transform({shingles_sql('toks', 5)}, s -> {hash60_sql('s')})"
+
+
+@register(
+    "decontamination_pairs",
+    oracle=_T_CTE + f"""
+, x AS (SELECT doc_id, unnest({_SH5}) AS g FROM t),
+ev AS (SELECT doc_id AS eval_doc_id, g FROM x WHERE doc_id % 50 = 0),
+tr AS (SELECT doc_id AS train_doc_id, g FROM x WHERE doc_id % 50 <> 0)
+SELECT train_doc_id, eval_doc_id, count(*) AS n_shared_grams
+FROM tr JOIN ev USING (g)
+GROUP BY 1, 2 HAVING count(*) >= 3
+""",
+)
+def q_decontamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval benchmark-overlap detection (see operator docstring):
+    eval shingles broadcast, corpus probes map-side."""
+    return TX.contamination_pairs(load_table(spark, sf_dir, "documents"))

@@ -79,6 +79,7 @@ _ORDER: list[str] = [
     "ngram_jaccard_pairs",                     # cache-lifecycle restructure
     "kmeans_centroids", "kmeans_ivf_assignments", "knn_ivf_trained",  # new
     "packed_sequences",                        # new: sequence packing
+    "decontamination_pairs",                   # new: benchmark overlap
     # -- changed in round 2 but never re-verified (stale r1 verdicts) --
     "triangles", "triangles_faithful", "pagerank",
     # -- operators unchanged but their input derive_edges was rewritten

@@ -281,3 +281,21 @@ def test_pack_sequences_invariants(spark):
         TX.pack_sequences(docs, capacity=64, n_shards=4).collect(),
         key=lambda r: (r.shard, r.seq_id, r.seq_offset))
     assert rerun == out
+
+
+def test_contamination_pairs_planted(spark):
+    """Decontamination finds a train doc that quotes an eval doc, and
+    ignores disjoint content; overlap counts are exact distinct-gram
+    intersections."""
+    eval_doc = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, eval_doc),                                   # eval (id % 50 == 0)
+        (1, "prefix words " + eval_doc + " suffix words"),  # contaminated
+        (2, "completely unrelated content with many different tokens here"),
+    ]
+    docs = _docs(spark, rows)
+    got = {(r.train_doc_id, r.eval_doc_id): r.n_shared_grams
+           for r in TX.contamination_pairs(docs, eval_mod=50,
+                                           min_shared=3).collect()}
+    # eval doc has 6 distinct 5-grams, all contained in doc 1
+    assert got == {(1, 0): 6}

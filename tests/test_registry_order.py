@@ -20,7 +20,7 @@ _MUST_BE_IN_WINDOW = {
     "grouping_sets_sql", "approx_distinct_counts",
     "approx_order_percentiles", "ngram_jaccard_pairs",
     "kmeans_centroids", "kmeans_ivf_assignments", "knn_ivf_trained",
-    "packed_sequences",
+    "packed_sequences", "decontamination_pairs",
     # r2-changed, verdict stale since
     "triangles", "triangles_faithful", "pagerank",
     # input rewritten in r2 after their r1 verdicts
