@@ -79,3 +79,28 @@ def test_whole_stage_codegen_active(spark):
     assert "isFinalPlan=true" in plan
     # '*(n)' prefixes mark whole-stage-codegen'd operators.
     assert "*(1)" in plan and "*(2)" in plan
+
+
+def test_packed_sequences_single_narrow_exchange(spark):
+    """Packing must tokenize MAP-SIDE: exactly one Exchange (on shard),
+    and the shuffled relation must not carry the text column — at
+    100 TB shuffling document bodies to count their tokens would be
+    the bottleneck."""
+    plan = _plan(spark, "packed_sequences")
+    assert plan.count("Exchange hashpartitioning") == 1
+    # The tree prints parents above children: everything before the
+    # Exchange line is post-shuffle. The tokenizer (split(trim(...)))
+    # must appear only BELOW the exchange (map-side, pre-shuffle).
+    above, below = plan.split("Exchange hashpartitioning", 1)
+    assert "split(trim(" not in above
+    assert "split(trim(" in below
+
+
+def test_decontamination_eval_side_broadcasts(spark):
+    """The benchmark (eval) shingle table must broadcast — the corpus
+    side probes it map-side; a sort-merge join here would shuffle the
+    full corpus's exploded shingles by hash."""
+    plan = _plan(spark, "decontamination_pairs")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
