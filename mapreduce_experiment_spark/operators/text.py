@@ -121,10 +121,25 @@ def pack_sequences(docs: DataFrame, capacity: int = PACK_CAPACITY,
     Scale shape: one shuffle on ``shard``; each shard's window cumsum
     runs independently, so parallelism = ``n_shards`` (thousands at
     100 TB — here 8 so sf0.01 exercises multi-doc sequences). All
-    arithmetic is integer → cross-engine hash-exact.
+    arithmetic is integer — ``seq_id`` uses true integer division
+    (Spark ``DIV``, oracle ``//``), never a double round-trip, so the
+    cross-engine hash-exactness claim holds for the full int64 range,
+    not just below 2^53.
     """
-    from ..functions.textfns import hash60
+    return _pack_starts(docs, n_shards, id_col, text_col).select(
+        id_col, "n_tokens", "shard",
+        F.expr(f"_start DIV {int(capacity)}").alias("seq_id"),
+        (F.col("_start") % capacity).alias("seq_offset"),
+    )
+
+
+def _pack_starts(docs: DataFrame, n_shards: int, id_col: str,
+                 text_col: str) -> DataFrame:
+    """Shared packing core: per-doc running token ``_start`` within its
+    hash shard (see :func:`pack_sequences` for the ordering contract)."""
     from pyspark.sql import Window
+
+    from ..functions.textfns import hash60
 
     h = hash60(F.col(id_col).cast("string"))
     t = docs.select(
@@ -136,10 +151,52 @@ def pack_sequences(docs: DataFrame, capacity: int = PACK_CAPACITY,
     w = (Window.partitionBy("shard").orderBy("_h", id_col)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     start = F.sum("n_tokens").over(w) - F.col("n_tokens")
-    return t.select(
-        id_col, "n_tokens", "shard",
-        F.floor(start / F.lit(capacity)).cast("long").alias("seq_id"),
-        (start % capacity).alias("seq_offset"),
+    return t.select(id_col, "n_tokens", "shard", start.alias("_start"))
+
+
+def pack_sequence_fragments(docs: DataFrame, capacity: int = PACK_CAPACITY,
+                            n_shards: int = PACK_SHARDS,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Boundary-splitting sequence packing: the trainer-facing variant
+    of :func:`pack_sequences`.
+
+    Where ``pack_sequences`` assigns a straddling doc to the sequence
+    it STARTS in (and lets the trainer spill the tail),
+    this emits one row per (doc, sequence) FRAGMENT: a doc occupying
+    token interval ``[start, start + n_tokens)`` is split at every
+    multiple of ``capacity``, yielding ``(doc_id, shard, seq_id,
+    frag_offset, frag_len)`` with the invariants
+
+    - per-doc ``sum(frag_len) == n_tokens``,
+    - ``0 <= frag_offset`` and ``frag_offset + frag_len <= capacity``
+      (no fragment crosses a boundary),
+    - consecutive fragments of a doc tile adjacent sequences.
+
+    Zero-token docs are dropped (nothing to train on). The fan-out is
+    ``F.sequence`` over the spanned seq range + ``explode`` — pure
+    expressions, and the explosion factor per doc is
+    ``ceil(n_tokens / capacity) + 1`` at most, so the output is
+    ~``total_tokens / capacity`` rows regardless of doc skew. All
+    arithmetic integer (``DIV`` both sides).
+    """
+    c = int(capacity)
+    t = _pack_starts(docs, n_shards, id_col, text_col).where(
+        F.col("n_tokens") > 0)
+    f = t.select(
+        id_col, "shard", "_start", "n_tokens",
+        F.explode(F.sequence(
+            F.expr(f"_start DIV {c}"),
+            F.expr(f"(_start + n_tokens - 1) DIV {c}"),
+        )).alias("seq_id"),
+    )
+    frag_from = F.greatest(F.col("_start"), F.col("seq_id") * c)
+    frag_to = F.least(F.col("_start") + F.col("n_tokens"),
+                      (F.col("seq_id") + 1) * c)
+    return f.select(
+        id_col, "shard", "seq_id",
+        (frag_from - F.col("seq_id") * c).alias("frag_offset"),
+        (frag_to - frag_from).alias("frag_len"),
     )
 
 
@@ -173,6 +230,43 @@ def contamination_pairs(docs: DataFrame, eval_mod: int = 50,
     return (
         tr.join(F.broadcast(ev), "g")
         .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .where(F.col("n_shared_grams") >= min_shared)
+    )
+
+
+def contamination_pairs_external(train_docs: DataFrame,
+                                 eval_docs: DataFrame,
+                                 min_shared: int = 3, n: int = 5,
+                                 train_id_col: str = "doc_id",
+                                 train_text_col: str = "text",
+                                 eval_id_col: str = "eval_id",
+                                 eval_text_col: str = "prompt") -> DataFrame:
+    """Decontamination against a genuinely EXTERNAL eval corpus.
+
+    :func:`contamination_pairs` carves its "benchmark" out of the
+    corpus itself (``id % eval_mod``); this is the deployment shape —
+    the eval side is a separate table with its own schema (here a
+    string ``eval_id`` + ``prompt``, deliberately different column
+    names/types from the train side, so train/eval schema drift is
+    exercised, not assumed away).
+
+    Same scale shape: the benchmark-sized eval shingle table
+    BROADCASTS; the 100 TB train side explodes its shingles map-side
+    and probes the broadcast hash; only actual collision pairs
+    shuffle into the final count.
+    """
+    from ..functions.textfns import shingle_hashes
+
+    tr = train_docs.select(
+        F.col(train_id_col).alias("train_doc_id"),
+        F.explode(shingle_hashes(F.col(train_text_col), n)).alias("g"))
+    ev = eval_docs.select(
+        F.col(eval_id_col).alias("eval_id"),
+        F.explode(shingle_hashes(F.col(eval_text_col), n)).alias("g"))
+    return (
+        tr.join(F.broadcast(ev), "g")
+        .groupBy("train_doc_id", "eval_id")
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
         .where(F.col("n_shared_grams") >= min_shared)
     )

@@ -218,9 +218,7 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PACK_H = hash60_sql("CAST(doc_id AS VARCHAR)")
 
 
-@register(
-    "packed_sequences",
-    oracle=f"""
+_PACK_W_CTE = f"""
 WITH t AS (
   SELECT doc_id,
          CAST(len({tokenize_sql('text')}) AS BIGINT) AS n_tokens,
@@ -233,8 +231,14 @@ w AS (
                                   ROWS UNBOUNDED PRECEDING) - n_tokens
               AS BIGINT) AS start
   FROM t)
+"""
+
+
+@register(
+    "packed_sequences",
+    oracle=_PACK_W_CTE + f"""
 SELECT doc_id, n_tokens, shard,
-       CAST(floor(start * 1.0 / {TX.PACK_CAPACITY}) AS BIGINT) AS seq_id,
+       start // {TX.PACK_CAPACITY} AS seq_id,
        start % {TX.PACK_CAPACITY} AS seq_offset
 FROM w
 """,
@@ -242,8 +246,34 @@ FROM w
 def q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic sequence packing of the documents table (see the
     operator docstring): hash-sharded streaming next-fit into
-    2048-token training sequences, all-integer arithmetic."""
+    2048-token training sequences, all-integer arithmetic (true
+    integer division both sides — Spark ``DIV`` / DuckDB ``//``)."""
     return TX.pack_sequences(load_table(spark, sf_dir, "documents"))
+
+
+_CAP = TX.PACK_CAPACITY
+
+
+@register(
+    "packed_sequence_fragments",
+    oracle=_PACK_W_CTE + f"""
+, f AS (
+  SELECT doc_id, shard, start, n_tokens,
+         unnest(range(start // {_CAP}, (start + n_tokens - 1) // {_CAP} + 1))
+           AS seq_id
+  FROM w WHERE n_tokens > 0)
+SELECT doc_id, shard, seq_id,
+       greatest(start, seq_id * {_CAP}) - seq_id * {_CAP} AS frag_offset,
+       least(start + n_tokens, (seq_id + 1) * {_CAP})
+         - greatest(start, seq_id * {_CAP}) AS frag_len
+FROM f
+""",
+)
+def q_packed_sequence_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary-splitting packing (see operator docstring): one row per
+    (doc, sequence) fragment; straddling docs split at every capacity
+    boundary so no fragment crosses one."""
+    return TX.pack_sequence_fragments(load_table(spark, sf_dir, "documents"))
 
 
 _SH5 = f"list_transform({shingles_sql('toks', 5)}, s -> {hash60_sql('s')})"
@@ -264,3 +294,52 @@ def q_decontamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval benchmark-overlap detection (see operator docstring):
     eval shingles broadcast, corpus probes map-side."""
     return TX.contamination_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# External benchmark table for decontamination_external: an inline
+# literal eval corpus with its OWN schema (string eval_id + prompt),
+# genuinely disjoint from the documents table. Three prompts embed a
+# contiguous 10-token span lifted from the deterministic sf0.01
+# synthetic corpus (docs 7 / 123 / 321), planting >= 6 shared distinct
+# 5-grams each so the driver's sf0.01 gate exercises REAL collisions
+# through the broadcast join, not an empty intersection; the fourth
+# prompt shares no 5-gram with any doc (vocabulary disjoint) and must
+# never pair. One Python list feeds BOTH the Spark literal DataFrame
+# and the oracle VALUES clause, so the two sides cannot drift.
+EVAL_BENCHMARK = [
+    ("bench-0007", "which plan fragment best matches hash fast part window"
+                   " the stream key column batch filter when reordered"),
+    ("bench-0123", "true or false customer big join batch stream data fast"
+                   " stream row fast describes a shuffle"),
+    ("bench-0321", "complete the sequence column data stream the spark table"
+                   " stream data fast group from the corpus"),
+    ("bench-clean", "what is the capital of france and when was it founded"),
+]
+
+_EV_VALUES = ",\n  ".join(f"('{i}', '{p}')" for i, p in EVAL_BENCHMARK)
+
+
+@register(
+    "decontamination_external",
+    oracle=_T_CTE + f"""
+, ev_raw(eval_id, prompt) AS (VALUES
+  {_EV_VALUES}),
+evg AS (
+  SELECT eval_id, unnest(list_transform(
+    {shingles_sql(tokenize_sql('prompt'), 5)}, s -> {hash60_sql('s')})) AS g
+  FROM ev_raw),
+trg AS (SELECT doc_id AS train_doc_id, unnest({_SH5}) AS g FROM t)
+SELECT train_doc_id, eval_id, count(*) AS n_shared_grams
+FROM trg JOIN evg USING (g)
+GROUP BY 1, 2 HAVING count(*) >= 3
+""",
+)
+def q_decontamination_external(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination against a genuinely external eval corpus (see
+    ``contamination_pairs_external``): the eval side is an inline
+    literal benchmark table with different column names/types from the
+    train side; eval shingles broadcast, the corpus probes map-side."""
+    eval_df = spark.createDataFrame(EVAL_BENCHMARK,
+                                    "eval_id string, prompt string")
+    return TX.contamination_pairs_external(
+        load_table(spark, sf_dir, "documents"), eval_df)

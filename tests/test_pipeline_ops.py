@@ -299,3 +299,58 @@ def test_contamination_pairs_planted(spark):
                                            min_shared=3).collect()}
     # eval doc has 6 distinct 5-grams, all contained in doc 1
     assert got == {(1, 0): 6}
+
+
+def test_pack_sequence_fragments_invariants(spark):
+    """Boundary-splitting packing: fragments reassemble every doc
+    exactly (per-doc frag_len sums to n_tokens), no fragment crosses a
+    capacity boundary, and a doc's fragments tile consecutive
+    sequences with the first starting where pack_sequences placed it."""
+    from collections import defaultdict
+
+    rows = [(i, ("tok " * (5 + (i * 13) % 150)).strip()) for i in range(40)]
+    # NB: an empty doc is NOT a zero-token doc — the tokenizer yields
+    # [''] (size 1) for '', identically in Spark and DuckDB, so the
+    # operator's n_tokens > 0 guard is purely defensive.
+    rows.append((40, ""))
+    docs = _docs(spark, rows)
+    packed = {r.doc_id: r for r in
+              TX.pack_sequences(docs, capacity=64, n_shards=4).collect()}
+    assert packed[40].n_tokens == 1
+    frags = TX.pack_sequence_fragments(docs, capacity=64, n_shards=4).collect()
+    assert {r.doc_id for r in frags} == set(range(41))
+    bydoc = defaultdict(list)
+    for r in frags:
+        assert 0 <= r.frag_offset and r.frag_offset + r.frag_len <= 64
+        assert r.frag_len > 0
+        bydoc[r.doc_id].append(r)
+    for did, fs in bydoc.items():
+        fs.sort(key=lambda r: r.seq_id)
+        p = packed[did]
+        assert sum(f.frag_len for f in fs) == p.n_tokens
+        # first fragment starts exactly at the pack_sequences placement
+        assert fs[0].seq_id == p.seq_id and fs[0].frag_offset == p.seq_offset
+        # fragments tile consecutive sequences: middle ones span full
+        # capacity from offset 0; only the first may start mid-sequence
+        for prev, nxt in zip(fs, fs[1:]):
+            assert nxt.seq_id == prev.seq_id + 1
+            assert prev.frag_offset + prev.frag_len == 64  # ran to boundary
+            assert nxt.frag_offset == 0
+
+
+def test_contamination_pairs_external_planted(spark):
+    """External-eval decontamination: a train doc quoting a benchmark
+    prompt is flagged with the exact distinct-gram overlap; disjoint
+    prompts and docs never pair; schemas may differ between sides."""
+    prompt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    train = _docs(spark, [
+        (1, "prefix words " + prompt + " suffix words"),
+        (2, "completely unrelated content with many different tokens here"),
+    ])
+    evals = spark.createDataFrame(
+        [("bench-a", prompt), ("bench-b", "nothing shared at all honestly")],
+        "eval_id string, prompt string")
+    got = {(r.train_doc_id, r.eval_id): r.n_shared_grams
+           for r in TX.contamination_pairs_external(
+               train, evals, min_shared=3).collect()}
+    assert got == {(1, "bench-a"): 6}
