@@ -418,6 +418,11 @@ def knn_ivf_trained(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
     the untrained path. At 100 TB the bucketed corpus is written
     partitioned by centroid_id, making each probe a partition-pruned
     scan; here the pruning is the equi-join on centroid_id.
+
+    Recall honesty: the registered oracle mirrors the bucketing, so it
+    proves cross-engine agreement, not neighbor quality — recall@5 vs
+    :func:`knn_bruteforce` is gated at ≥0.8 (observed 0.90) by
+    ``tests/test_pipeline_ops.py::test_ivf_recall_vs_bruteforce``.
     """
     cent_ids, cents = kmeans_train(embeddings, n_centroids, n_iter)
 
@@ -493,6 +498,10 @@ def knn_ivf(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
     At 100 TB the bucketed corpus is written partitioned by
     ``centroid_id`` so a probe prunes partitions at the scan; here the
     pruning is the equi-join on centroid_id.
+
+    Recall honesty: the oracle mirrors the approximation; true-neighbor
+    recall@5 vs :func:`knn_bruteforce` is gated at ≥0.8 (observed
+    0.92) by ``test_ivf_recall_vs_bruteforce``.
     """
     v = _prep(embeddings)
     queries = v.where(F.col("vec_id") < n_queries).select(

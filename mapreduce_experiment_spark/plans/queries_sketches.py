@@ -80,34 +80,61 @@ def q_approx_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Exact quantiles are continuous (linear-interpolation at p*(n-1)) on
-# integer cents — Spark `percentile` and DuckDB `quantile_cont` share
-# that definition, and the q4 floor-quantization absorbs any last-ulp
-# interpolation difference (parity verified empirically at sf0.01).
+# Exact quantiles are continuous (linear interpolation at p*(n-1)) on
+# integer cents. Round 3 computed them with Spark `percentile` vs
+# DuckDB `quantile_cont` + a q4 floor-quantization — which absorbs ulp
+# drift only while the interpolated value stays off a .5-cent
+# boundary (ADVICE r3). Round 4 removes the float hazard entirely:
+# with p expressed in hundredths (P/100), the interpolation index
+# (n-1)*P/100 splits into exact integers lo = ((n-1)*P) DIV 100 and
+# rem = ((n-1)*P) % 100, and
+#     interp100 = 100*cents[lo] + rem*(cents[lo+1] - cents[lo])
+# is an exact int64 on BOTH engines (rank values come from an
+# identical sort); p_exact = interp100 / 10000.0 divides the same
+# integer by the same constant → bit-identical doubles, no rounding
+# step at all. cents[lo] is fetched with a conditional max over
+# row_number.
 _PS = (0.5, 0.9, 0.99)
+_PCT = (50, 90, 99)  # the same fractions as exact hundredths
 # Rank window for the in-bounds check: the GK sketch at accuracy
 # 10_000 guarantees rank error <= n/10_000; the exact quantiles at
 # p ± 0.02 bound a rank slack of 0.02*n — 200× the guarantee.
 _BOUNDS = (0.48, 0.52, 0.88, 0.92, 0.97, 1.0)
 
 
+def _interp_sql(pct: int) -> str:
+    lo, hi = f"lo{pct}", f"hi{pct}"
+    rem = f"(((n_orders - 1) * {pct}) % 100)"
+    return (f"(100 * {lo} + {rem} * (coalesce({hi}, {lo}) - {lo}))"
+            " / 10000.0")
+
+
 @register(
     "approx_order_percentiles",
-    oracle="""
-WITH q AS (
-  SELECT o_orderpriority,
-         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-  FROM orders
-)
-SELECT o_orderpriority, count(*) AS n_orders,
-       floor(quantile_cont(cents, 0.5) * 100 + 0.5) / 10000.0 AS p50_exact,
-       floor(quantile_cont(cents, 0.9) * 100 + 0.5) / 10000.0 AS p90_exact,
-       floor(quantile_cont(cents, 0.99) * 100 + 0.5) / 10000.0 AS p99_exact,
-       TRUE AS p50_in_bounds,
-       TRUE AS p90_in_bounds,
-       TRUE AS p99_in_bounds
-FROM q GROUP BY o_orderpriority
-""",
+    oracle="WITH q AS (\n"
+           "  SELECT o_orderpriority,\n"
+           "         CAST(round(o_totalprice * 100) AS BIGINT) AS cents\n"
+           "  FROM orders),\n"
+           "r AS (\n"
+           "  SELECT o_orderpriority, cents,\n"
+           "         CAST(row_number() OVER (PARTITION BY o_orderpriority\n"
+           "                                 ORDER BY cents) AS BIGINT) AS rn,\n"
+           "         count(*) OVER (PARTITION BY o_orderpriority) AS n\n"
+           "  FROM q),\n"
+           "a AS (\n"
+           "  SELECT o_orderpriority, max(n) AS n_orders,\n"
+           + ",\n".join(
+               f"    max(CASE WHEN rn = ((n - 1) * {pct}) // 100 + 1"
+               f" THEN cents END) AS lo{pct},\n"
+               f"    max(CASE WHEN rn = ((n - 1) * {pct}) // 100 + 2"
+               f" THEN cents END) AS hi{pct}"
+               for pct in _PCT) + "\n"
+           "  FROM r GROUP BY o_orderpriority)\n"
+           "SELECT o_orderpriority, n_orders,\n"
+           + ",\n".join(f"  {_interp_sql(pct)} AS p{pct}_exact"
+                        for pct in _PCT) + ",\n"
+           + ",\n".join(f"  TRUE AS p{pct}_in_bounds" for pct in _PCT) + "\n"
+           "FROM a",
 )
 def q_approx_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percentile_approx (GK sketch) of order value per priority,
@@ -116,27 +143,41 @@ def q_approx_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     The sketch value must lie between the exact continuous quantiles
     at p−0.02 and p+0.02 (p99's upper bound clamps to the max) — the
     rank-error statement a quantile sketch actually guarantees,
-    checked with 200× headroom over the accuracy-10k bound. Exact
-    quantiles are computed over integer cents and quantized to 4 dp,
-    mirrored by DuckDB quantile_cont.
+    checked with 200× headroom over the accuracy-10k bound. The exact
+    p50/p90/p99 are interpolated IN INTEGER SPACE over cents (see the
+    module comment): both engines build the same int64, so equality
+    is structural, not a quantization accident. The band bounds stay
+    float `percentile` — they only feed booleans with 200× slack.
     """
+    from pyspark.sql import Window
+
     orders = load_table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
-    g = (
+    wr = Window.partitionBy("o_orderpriority").orderBy("cents")
+    wp = Window.partitionBy("o_orderpriority")
+    r = (
         orders.select("o_orderpriority", cents.alias("cents"))
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.percentile("cents", F.array(*[F.lit(p) for p in _PS]))
-                .alias("_exact"),
-            F.percentile("cents", F.array(*[F.lit(p) for p in _BOUNDS]))
-                .alias("_band"),
-            F.percentile_approx("cents", list(_PS), 10_000).alias("_approx"),
-        )
+        .withColumn("rn", F.row_number().over(wr).cast("long"))
+        .withColumn("n", F.count(F.lit(1)).over(wp))
     )
 
-    def q4_dollars(c: Column) -> Column:
-        return F.floor(c * 100 + 0.5) / 10000.0
+    def rank_val(pct: int, off: int) -> Column:
+        lo = F.expr(f"((n - 1) * {pct}) DIV 100")
+        return F.max(F.when(F.col("rn") == lo + off, F.col("cents")))
+
+    g = r.groupBy("o_orderpriority").agg(
+        F.max("n").alias("n_orders"),
+        *[rank_val(pct, off).alias(f"_{side}{pct}")
+          for pct in _PCT for side, off in (("lo", 1), ("hi", 2))],
+        F.percentile("cents", F.array(*[F.lit(p) for p in _BOUNDS]))
+            .alias("_band"),
+        F.percentile_approx("cents", list(_PS), 10_000).alias("_approx"),
+    )
+
+    def p_exact(pct: int) -> Column:
+        lo, hi = F.col(f"_lo{pct}"), F.col(f"_hi{pct}")
+        rem = F.expr(f"((n_orders - 1) * {pct}) % 100")
+        return (100 * lo + rem * (F.coalesce(hi, lo) - lo)) / F.lit(10000.0)
 
     def in_bounds(i: int) -> Column:
         ap = F.col("_approx").getItem(i)
@@ -145,8 +186,7 @@ def q_approx_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return g.select(
         "o_orderpriority", "n_orders",
-        *[q4_dollars(F.col("_exact").getItem(i)).alias(f"p{int(p * 100)}_exact")
-          for i, p in enumerate(_PS)],
+        *[p_exact(pct).alias(f"p{pct}_exact") for pct in _PCT],
         *[in_bounds(i).alias(f"p{int(p * 100)}_in_bounds")
           for i, p in enumerate(_PS)],
     )

@@ -73,38 +73,39 @@ def register(name: str, oracle: str | None = None, headline: bool = False):
 # in a recent round rotate to the back. Names not listed keep their
 # registration order after the listed ones.
 _ORDER: list[str] = [
-    # -- changed or added in round 3: need fresh verdicts --
-    "grouping_sets_sql",                       # decimal→double CAST fix
-    "approx_distinct_counts", "approx_order_percentiles",  # new oracle contract
-    "ngram_jaccard_pairs",                     # cache-lifecycle restructure
-    "kmeans_centroids", "kmeans_ivf_assignments", "knn_ivf_trained",  # new
-    "packed_sequences",                        # new: sequence packing
-    "decontamination_pairs",                   # new: benchmark overlap
-    # -- changed in round 2 but never re-verified (stale r1 verdicts) --
-    "triangles", "triangles_faithful", "pagerank",
-    # -- operators unchanged but their input derive_edges was rewritten
-    #    in round 2; r1 verdicts predate that --
-    "symmetrize", "adjacency",
-    # -- last verified in round 1 (sat at positions 56-81 in round 2) --
-    "top_customers_per_nation", "customer_running_spend",
-    "order_gap_days", "top_orders_global",
-    "order_priority_rollup", "returnflag_status_cube",
-    "mktsegment_pivot", "parts_never_ordered",
-    "suppliers_with_orders", "customers_retained", "customers_churned",
-    "orders_above_customer_average", "order_scalar_functions",
-    "events_json_extract", "nation_order_stats",
-    "account_balance_union", "simhash_signatures",
-    "knn_bruteforce_blas", "lang_id", "quality_scores",
-    "token_counts", "token_frequencies", "pii_redaction",
-    "fingerprints", "sessionize_events", "user_value_scd2",
-    # -- double-green (r1+r2) stable fillers up to the window --
-    "edges_derive", "degrees", "candidate_pairs",
-    "pricing_summary", "revenue_by_nation",
-    "exact_dedup_groups", "minhash_signatures", "minhash_dedup_pairs",
-    "simhash_near_dups", "tfidf_doc_pairs",
+    # -- round 4: new queries --
+    "packed_sequence_fragments",    # new: boundary-splitting packing
+    "decontamination_external",     # new: disjoint literal eval corpus
+    # -- round 4: changed plans / changed operator module --
+    "packed_sequences",             # seq_id now true integer DIV
+    "approx_order_percentiles",     # integer-space exact interpolation
+    "decontamination_pairs",        # operators/text.py refactor (_pack_starts)
+    # -- the 36 queries whose last driver verdict is r1/r2 (stalest
+    #    first was r3's own contract; they are 42% of the registry and
+    #    rotate forward en bloc this round) --
     "knn_bruteforce", "ivf_assignments",
-    # ---- verification-window boundary (50) ----
-    # r2-green unchanged queries follow in registration order.
+    "triangle_count", "streaming_triangle_count", "connected_components",
+    "dedup_clusters", "embedding_near_dups", "srp_bucket_stats", "knn_ivf",
+    "session_stats", "hourly_event_counts", "session_window_stats",
+    "stateful_streaming_sessions", "streaming_event_dedup",
+    "streaming_hourly_counts", "value_band_range_join",
+    "streaming_view_attribution", "stratified_event_sample",
+    "media_metadata", "media_byte_histograms", "media_frame_sample",
+    "purchase_last_click_asof",
+    "nation_participants_full_outer", "value_distribution_stats",
+    "price_quantity_correlation", "event_type_counts_salted",
+    "lineitem_profile",
+    "volume_shipping", "asia_market_share", "signup_to_purchase_funnel",
+    "monthly_retention_cohorts", "brand_revenue_by_year",
+    "top_parts_per_nation", "daily_event_type_pivot",
+    "order_size_distribution", "order_value_histogram",
+    # -- load-bearing r3-green repeats filling the window --
+    "triangles", "triangles_faithful", "pagerank",
+    "pricing_summary", "revenue_by_nation", "minhash_dedup_pairs",
+    "token_frequencies", "ngram_jaccard_pairs", "exact_dedup_groups",
+    # ---- verification-window boundary: len(_ORDER) == 50, pinned by
+    #      test_order_is_exactly_the_window ----
+    # r3-green unchanged queries follow in registration order.
 ]
 
 

@@ -12,22 +12,46 @@ import os
 
 from mapreduce_experiment_spark.plans.registry import _ORDER, SPECS
 
-# Round 3 contract: every query changed/added in round 3, the trio
-# that changed in round 2 without re-verification, and the two whose
-# upstream derive_edges was rewritten after their last verdict.
+# Round 4 contract: everything new/changed in round 4, plus ALL 36
+# queries whose last driver verdict was r1/r2 (the r3 verdict flagged
+# rotation debt as the top freshness risk — this round pays it down
+# wholesale).
 _MUST_BE_IN_WINDOW = {
-    # changed or added in round 3
-    "grouping_sets_sql", "approx_distinct_counts",
-    "approx_order_percentiles", "ngram_jaccard_pairs",
-    "kmeans_centroids", "kmeans_ivf_assignments", "knn_ivf_trained",
-    "packed_sequences", "decontamination_pairs",
-    # r2-changed, verdict stale since
-    "triangles", "triangles_faithful", "pagerank",
-    # input rewritten in r2 after their r1 verdicts
-    "symmetrize", "adjacency",
+    # new or changed in round 4
+    "packed_sequence_fragments", "decontamination_external",
+    "packed_sequences", "approx_order_percentiles",
+    "decontamination_pairs",
+    # last driver verdict r1/r2 (stale set, rotated forward en bloc)
+    "knn_bruteforce", "ivf_assignments",
+    "triangle_count", "streaming_triangle_count", "connected_components",
+    "dedup_clusters", "embedding_near_dups", "srp_bucket_stats", "knn_ivf",
+    "session_stats", "hourly_event_counts", "session_window_stats",
+    "stateful_streaming_sessions", "streaming_event_dedup",
+    "streaming_hourly_counts", "value_band_range_join",
+    "streaming_view_attribution", "stratified_event_sample",
+    "media_metadata", "media_byte_histograms", "media_frame_sample",
+    "purchase_last_click_asof",
+    "nation_participants_full_outer", "value_distribution_stats",
+    "price_quantity_correlation", "event_type_counts_salted",
+    "lineitem_profile",
+    "volume_shipping", "asia_market_share", "signup_to_purchase_funnel",
+    "monthly_retention_cohorts", "brand_revenue_by_year",
+    "top_parts_per_nation", "daily_event_type_pivot",
+    "order_size_distribution", "order_value_histogram",
 }
 
 WINDOW = 50
+
+
+def test_order_is_exactly_the_window():
+    """ADVICE r3: _ORDER listed 52 names before the 'boundary (50)'
+    comment, silently pushing its last two entries outside the
+    driver's window. Pin the list to EXACTLY the window size so the
+    boundary comment can never lie again."""
+    assert len(_ORDER) == WINDOW, (
+        f"_ORDER has {len(_ORDER)} names; the driver verifies exactly "
+        f"{WINDOW} — trim or fill so position matches intent"
+    )
 
 
 def test_order_names_all_registered():
@@ -63,49 +87,106 @@ def test_registry_has_expected_size():
 # either sit inside the window or be explicitly attested unchanged
 # below (a conscious, reviewable act in the diff).
 
-_ROUND_BASE = "fd608ce"  # driver's round-2 commit; bump each round
+_ROUND_BASE = "36de05f"  # driver's round-3 commit; bump each round
 
 # Queries living in touched modules whose own plan + oracle are
-# attested unchanged this round (round 3: grouping_sets_sql was the
-# only edit in queries_profiling; queries_similarity only gained the
-# kmeans/trained-IVF additions; operators/dedup's change was confined
-# to the ngram prefix-filter cache lifecycle).
+# attested unchanged this round (round 4: queries_text.py only gained
+# the fragments/external-decon registrations and operators/text.py's
+# change is the _pack_starts refactor + two added operators — the
+# queries below share the module but neither their plan code nor
+# their oracle text changed; queries_sketches.py's edit was confined
+# to approx_order_percentiles, which IS in-window).
 _ATTESTED_UNCHANGED = {
-    "nation_participants_full_outer", "value_distribution_stats",
-    "price_quantity_correlation", "event_type_counts_salted",
-    "lineitem_profile",
-    "embedding_near_dups", "srp_bucket_stats", "knn_ivf",
-    "knn_bruteforce", "knn_bruteforce_blas", "ivf_assignments",
-    "exact_dedup_groups", "minhash_signatures", "minhash_dedup_pairs",
-    "simhash_signatures", "simhash_near_dups", "dedup_clusters",
+    "lang_id", "quality_scores", "token_counts", "pii_redaction",
+    "fingerprints", "tfidf_doc_pairs",
+    "approx_distinct_counts",
+    # operators/similarity.py r4 edit is docstring-only (recall-gate
+    # cross-references); these four are its out-of-window dependents,
+    # all r3-green with plan + oracle text untouched.
+    "kmeans_centroids", "kmeans_ivf_assignments", "knn_ivf_trained",
+    "knn_bruteforce_blas",
 }
 
 _PKG = "mapreduce_experiment_spark"
 
 
-def _package_deps(modname: str) -> set[str]:
-    """Package modules a plans module references (one hop through its
-    globals: imported modules + the defining modules of imported
-    functions/classes)."""
-    import sys
-    import types
+def _module_file(modname: str) -> str | None:
+    import importlib.util
 
+    try:
+        spec = importlib.util.find_spec(modname)
+    except (ImportError, ValueError):
+        return None
+    return getattr(spec, "origin", None) if spec else None
+
+
+def _direct_imports(modname: str) -> set[str]:
+    """Package modules ``modname`` imports, by STATIC analysis of its
+    source (ast): catches module-level AND function-local imports —
+    the r3 one-hop runtime-globals scan missed both transitive chains
+    and imports inside function bodies (ADVICE r3)."""
+    import ast
+
+    path = _module_file(modname)
+    if not path or not path.endswith(".py"):
+        return set()
+    with open(path) as f:
+        tree = ast.parse(f.read())
+    # Resolution base for relative imports: the module's parent package
+    # (modules here are all plain .py files, not packages).
+    parts = modname.split(".")
+    deps: set[str] = set()
+
+    def add(name: str) -> None:
+        if name.startswith(_PKG):
+            deps.add(name)
+
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for a in node.names:
+                add(a.name)
+        elif isinstance(node, ast.ImportFrom):
+            if node.level:
+                base = parts[:-node.level]
+                target = ".".join(base + ([node.module] if node.module else []))
+            else:
+                target = node.module or ""
+            add(target)
+            # `from X import Y` where Y is itself a module (subpackage
+            # import): count X.Y too if it resolves to a file.
+            for a in node.names:
+                cand = f"{target}.{a.name}" if target else a.name
+                if cand.startswith(_PKG) and _module_file(cand):
+                    deps.add(cand)
+    return deps
+
+
+def _package_deps(modname: str) -> set[str]:
+    """Transitive closure of package-module imports reachable from
+    ``modname`` (fixed-point over the static import graph)."""
     deps = {modname}
-    mod = sys.modules.get(modname)
-    if mod is None:
-        return deps
-    for v in vars(mod).values():
-        if isinstance(v, types.ModuleType):
-            m = v.__name__
-        else:
-            m = getattr(v, "__module__", None)
-        if isinstance(m, str) and m.startswith(_PKG):
-            deps.add(m)
+    frontier = [modname]
+    while frontier:
+        m = frontier.pop()
+        for d in _direct_imports(m):
+            if d not in deps:
+                deps.add(d)
+                frontier.append(d)
     # The registry module is rotation INFRASTRUCTURE imported by every
     # plans module; counting it would make any _ORDER edit flag all ~84
     # queries at once. Its behavior is covered by the other tests here.
     deps.discard(f"{_PKG}.plans.registry")
     return deps
+
+
+def test_package_deps_sees_transitive_and_local_imports():
+    """The dep scan must reach operators → functions chains and
+    function-local imports (operators/text.py imports hash60 inside
+    its packing core): a future edit to functions/textfns.py has to
+    flag every text/dedup query, not slip past the rotation gate."""
+    deps = _package_deps(f"{_PKG}.plans.queries_text")
+    assert f"{_PKG}.operators.text" in deps
+    assert f"{_PKG}.functions.textfns" in deps  # transitive + local-import
 
 
 def test_changed_modules_rotate_into_window():
@@ -137,3 +218,30 @@ def test_changed_modules_rotate_into_window():
         f"the driver verification window: {offenders} — rotate them "
         "into _ORDER's first 50 or attest them unchanged"
     )
+
+
+def test_driver_window_contract_holds():
+    """Post-round check (r3 verdict item 6): the driver's observed
+    verification window must stay at WINDOW queries, and every key it
+    verified must still be a registered query. If the driver ever
+    shrinks the window or a verified name disappears, the rotation
+    math would silently leave queries unverified — fail loudly
+    instead. (Keys are compared against the registry, not today's
+    _ORDER: _ORDER legitimately changes between rounds.)"""
+    import glob
+    import json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+    if not files:
+        import pytest
+        pytest.skip("no driver correctness file yet")
+    latest = files[-1]
+    keys = list(json.load(open(latest)))
+    assert len(keys) == WINDOW, (
+        f"{os.path.basename(latest)} verified {len(keys)} queries, "
+        f"expected {WINDOW} — the driver's window changed; re-derive "
+        "the rotation math in plans/registry.py"
+    )
+    unknown = [k for k in keys if k not in SPECS()]
+    assert not unknown, f"driver verified queries no longer registered: {unknown}"
