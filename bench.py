@@ -30,13 +30,42 @@ def _sf_from_dir(path: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
-def _run_suite(spark, sf_dir: str) -> dict[str, float]:
+def _shuffle_totals(spark) -> tuple[int, int] | None:
+    """Cumulative (shuffle write, shuffle read) bytes across all stages
+    the app has completed so far, from the JVM AppStatusStore (works
+    with the UI disabled). Per-query work = the before/after delta —
+    a load-independent measure of plan work, unlike wall-clock
+    (BENCHNOTES.md: round-over-round deltas have been dominated by
+    external box load). Returns None if the py4j surface ever drifts;
+    the bench then simply omits the fields rather than failing."""
+    try:
+        sc = spark.sparkContext
+        store = sc._jsc.sc().statusStore()
+        gw = sc._gateway
+        empty = gw.jvm.java.util.ArrayList()
+        quantiles = gw.new_array(gw.jvm.double, 0)
+        stages = store.stageList(empty, False, False, quantiles, empty)
+        w = r = 0
+        for i in range(stages.size()):
+            s = stages.apply(i)
+            w += s.shuffleWriteBytes()
+            r += s.shuffleReadBytes()
+        return w, r
+    except Exception:
+        return None
+
+
+def _run_suite(spark, sf_dir: str):
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     specs = {n: s for n, s in SPECS().items() if s.headline}
     # Untimed warm-up: JIT/codegen compilation and filesystem metadata
     # otherwise land entirely on the first timed query.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")) \
         .limit(1000).write.format("noop").mode("overwrite").save()
     timings: dict[str, float] = {}
+    metrics: dict[str, dict[str, int]] = {}
     # Best of 2 runs per query: JVM/GC noise on a shared box can skew
     # a single run by 2x; the minimum is the reproducible capability.
     # Caches are cleared between runs so each run is cold (several
@@ -44,27 +73,50 @@ def _run_suite(spark, sf_dir: str) -> dict[str, float]:
     # runs would measure warm-cache time, not query time).
     for name, spec in sorted(specs.items()):
         best = None
+        shuffle_w = shuffle_r = None
+        rows = None
         for _ in range(2):
             spark.catalog.clearCache()
+            before = _shuffle_totals(spark)
+            obs = Observation()
             t0 = time.perf_counter()
             df = spec.fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
+            df.observe(obs, F.count(F.lit(1)).alias("rows")) \
+                .write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+            rows = int(obs.get["rows"])
+            after = _shuffle_totals(spark)
+            if before is not None and after is not None:
+                dw, dr = after[0] - before[0], after[1] - before[1]
+                # min over runs: identical plans shuffle identical
+                # bytes; the min is robust to stray concurrent jobs.
+                shuffle_w = dw if shuffle_w is None else min(shuffle_w, dw)
+                shuffle_r = dr if shuffle_r is None else min(shuffle_r, dr)
         timings[name] = round(best, 3)
-    return timings
+        m: dict[str, int] = {"output_rows": rows}
+        if shuffle_w is not None:
+            m["shuffle_write_bytes"] = shuffle_w
+            m["shuffle_read_bytes"] = shuffle_r
+        metrics[name] = m
+    return timings, metrics
 
 
 def main() -> None:
     load_before = os.getloadavg()
     spark = get_session(app_name="spark-graft-bench")
-    timings = _run_suite(spark, SF_DIR)
+    timings, metrics = _run_suite(spark, SF_DIR)
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_wall_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # Load-independent plan-work fingerprint per query (shuffle
+        # write/read byte deltas from the status store + observed
+        # output rows): lets round-over-round comparison separate plan
+        # regressions (bytes moved) from box noise (wall-clock).
+        "query_metrics": metrics,
         "sf": _sf_from_dir(SF_DIR),
     }
     # Second scale point: round-over-round regressions at the primary
@@ -72,8 +124,9 @@ def main() -> None:
     # direction (separates plan regressions from JVM/box noise).
     second = os.environ.get("SPARK_GRAFT_SF_DIR_2", "/root/testdata/sf0.01")
     if second and os.path.isdir(second) and second != SF_DIR:
-        t2 = _run_suite(spark, second)
+        t2, m2 = _run_suite(spark, second)
         out["queries_sf2"] = t2
+        out["query_metrics_sf2"] = m2
         out["value_sf2"] = round(sum(t2.values()), 3)
         out["sf2"] = _sf_from_dir(second)
     # Contention context: this box carries bursty EXTERNAL load
