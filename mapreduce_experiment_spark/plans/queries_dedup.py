@@ -111,6 +111,28 @@ def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_minhash_dedup",
+    oracle=_SH_CTE + f"""
+, s AS (
+  SELECT doc_id,
+         array_to_string([{', '.join(_minhash_sql_exprs())}], ',') AS signature
+  FROM sh)
+SELECT signature, min(doc_id) AS canonical_id, count(*) AS n_copies
+FROM s GROUP BY signature
+""",
+)
+def q_streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MinHash dedup of an at-least-once (doubled) document
+    stream: a state-backed signature table (applyInPandasWithState
+    keyed by signature) emits each doc exactly once; the per-signature
+    rollup must equal the batch signature-group dedup on a single
+    copy, which the batch oracle checks value-for-value (see
+    ``streaming.pipeline.streaming_minhash_dedup``)."""
+    from ..streaming.pipeline import streaming_minhash_dedup
+    return streaming_minhash_dedup(spark, sf_dir)
+
+
+@register(
     "ngram_jaccard_pairs",
     oracle=_SH_CTE + f"""
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, {_JACCARD_SQL} AS jaccard

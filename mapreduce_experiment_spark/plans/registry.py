@@ -76,6 +76,7 @@ _ORDER: list[str] = [
     # -- round 4: new queries --
     "packed_sequence_fragments",    # new: boundary-splitting packing
     "decontamination_external",     # new: disjoint literal eval corpus
+    "streaming_minhash_dedup",      # new: stateful streaming near-dup
     # -- round 4: changed plans / changed operator module --
     "packed_sequences",             # seq_id now true integer DIV
     "approx_order_percentiles",     # integer-space exact interpolation
@@ -102,7 +103,7 @@ _ORDER: list[str] = [
     # -- load-bearing r3-green repeats filling the window --
     "triangles", "triangles_faithful", "pagerank",
     "pricing_summary", "revenue_by_nation", "minhash_dedup_pairs",
-    "token_frequencies", "ngram_jaccard_pairs", "exact_dedup_groups",
+    "token_frequencies", "ngram_jaccard_pairs",
     # ---- verification-window boundary: len(_ORDER) == 50, pinned by
     #      test_order_is_exactly_the_window ----
     # r3-green unchanged queries follow in registration order.

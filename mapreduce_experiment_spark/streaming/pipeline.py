@@ -148,3 +148,105 @@ def streaming_view_purchase_attribution(spark: SparkSession,
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+_DOCS_RAW = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("source", T.StringType()),
+    T.StructField("n_chars", T.LongType()),
+])
+
+
+def read_document_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(_DOCS_RAW)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def minhash_dedup_over_stream(docs: DataFrame) -> DataFrame:
+    """The stateful core of :func:`streaming_minhash_dedup`, stream in
+    → stream out (factored so tests can drive it with a multi-file
+    source and ``maxFilesPerTrigger=1`` to prove cross-micro-batch
+    state): per-row signatures, then a signature-keyed state table
+    emitting each (signature, doc_id) exactly once."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..functions.textfns import shingle_hashes
+    from ..operators.dedup import minhash_signatures_from
+
+    sh = (
+        docs.withColumn("shingle_hashes", shingle_hashes(F.col("text")))
+        .where(F.size("shingle_hashes") > 0)
+        .select("doc_id", "shingle_hashes")
+    )
+    keyed = minhash_signatures_from(sh).select(
+        "doc_id",
+        F.concat_ws(",", F.col("sig").cast("array<string>")).alias("signature"),
+    )
+
+    def dedup_group(key, pdfs, state):
+        (sig,) = key
+        seen = set(state.get[0]) if state.exists else set()
+        fresh: list[int] = []
+        for pdf in pdfs:
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did not in seen:
+                    seen.add(did)
+                    fresh.append(did)
+        state.update((sorted(seen),))
+        fresh.sort()
+        yield pd.DataFrame({"signature": [sig] * len(fresh),
+                            "doc_id": fresh})
+
+    return keyed.groupBy("signature").applyInPandasWithState(
+        dedup_group, "signature string, doc_id long",
+        "seen array<long>", "append", GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MinHash dedup of a document stream — the streaming
+    completion of the batch near-dup suite (r3 verdict item 7).
+
+    The document stream is ingested TWICE (at-least-once replay, like
+    :func:`streaming_event_dedup`); each doc gets its 64-permutation
+    MinHash signature map-side (per-row shingle HOF + the same Arrow
+    matmul as the batch path — bit-identical signatures, and
+    ``mapInPandas`` is streaming-legal because it is stateless); then
+    ``applyInPandasWithState`` keyed BY SIGNATURE maintains the
+    state-backed signature table: state holds the doc_ids already
+    emitted for that signature, so re-deliveries and cross-batch
+    duplicates are dropped exactly once, deterministically (emission
+    does not depend on micro-batch boundaries: a doc is emitted iff
+    its id is new to its signature group).
+
+    After the availableNow drain, a batch rollup per signature yields
+    (signature, canonical_id, n_copies) == the batch signature-group
+    dedup on a single copy — the value-check contract. At scale the
+    memory sink becomes a parquet sink and state eviction uses a
+    timeout/watermark; group state is bounded by near-dup cluster
+    size (tiny), not corpus size.
+    """
+    docs = read_document_stream(spark, sf_dir).unionByName(
+        read_document_stream(spark, sf_dir))
+    result = minhash_dedup_over_stream(docs)
+    name = f"stream_minhash_{next(_COUNTER)}"
+    q = (
+        result.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("signature")
+        .agg(F.min("doc_id").alias("canonical_id"),
+             F.count(F.lit(1)).alias("n_copies"))
+    )

@@ -390,3 +390,48 @@ def test_ivf_recall_vs_bruteforce(spark, sf_smoke):
     frag = {(r.query_id, r.neighbor_id)
             for r in S.knn_ivf(emb, n_centroids=64, nprobe=1).collect()}
     assert len(frag & bf) / len(bf) < 0.8
+
+
+def test_streaming_minhash_dedup_state_spans_batches(spark, tmp_path):
+    """The signature-table state must work ACROSS micro-batches (the
+    registered query's availableNow drain may see one batch; this
+    drives two via maxFilesPerTrigger=1): a re-delivered doc (same id,
+    same text, later batch) is suppressed by state, while a NEW doc
+    with duplicate content is emitted and lands in the same signature
+    group. Emission is exactly-once per (signature, doc_id) regardless
+    of batch boundaries."""
+    import pandas as pd
+
+    from mapreduce_experiment_spark.streaming.pipeline import (
+        minhash_dedup_over_stream,
+        _DOCS_RAW,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    other = "pack my box with five dozen liquor jugs " * 3
+    third = "sphinx of black quartz judge my vow " * 2
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    pd.DataFrame({"doc_id": [1, 2], "text": [base, other]}) \
+        .to_parquet(d / "batch1.parquet")
+    # batch 2: re-delivery of doc 1 + a new near-dup (same text, new
+    # id) + an unrelated new doc
+    pd.DataFrame({"doc_id": [1, 3, 4], "text": [base, base, third]}) \
+        .to_parquet(d / "batch2.parquet")
+
+    stream = (spark.readStream.schema(_DOCS_RAW)
+              .option("maxFilesPerTrigger", 1).parquet(str(d)))
+    q = (minhash_dedup_over_stream(stream)
+         .writeStream.format("memory").queryName("smd_span_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(fed) >= 2, "expected the two files to arrive as separate batches"
+
+    rows = spark.table("smd_span_test").collect()
+    pairs = [(r.signature, r.doc_id) for r in rows]
+    assert len(pairs) == len(set(pairs)) == 4  # 5 deliveries -> 4 emissions
+    sig_of = {r.doc_id: r.signature for r in rows}
+    assert sorted(sig_of) == [1, 2, 3, 4]
+    assert sig_of[1] == sig_of[3]              # content dup groups together
+    assert len({sig_of[1], sig_of[2], sig_of[4]}) == 3

@@ -104,3 +104,29 @@ def test_decontamination_eval_side_broadcasts(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_packed_sequence_fragments_single_narrow_exchange(spark):
+    """Fragment-splitting must keep packing's shuffle shape: one
+    Exchange (on shard), tokenizer strictly map-side, and the explode
+    fan-out AFTER the shuffle (the fragment rows — ~total_tokens /
+    capacity of them — must never be what gets shuffled)."""
+    plan = _plan(spark, "packed_sequence_fragments")
+    assert plan.count("Exchange hashpartitioning") == 1
+    above, below = plan.split("Exchange hashpartitioning", 1)
+    assert "split(trim(" not in above
+    assert "split(trim(" in below
+    # Generate (the sequence explode) must sit above the exchange:
+    # it fans out AFTER the per-shard window, not into the shuffle.
+    assert "Generate explode" in above
+    assert "Generate explode" not in below
+
+
+def test_decontamination_external_eval_side_broadcasts(spark):
+    """Same contract as decontamination_pairs, with the eval side now a
+    literal external table: it must broadcast; the train corpus's
+    exploded shingles must never shuffle for the join."""
+    plan = _plan(spark, "decontamination_external")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

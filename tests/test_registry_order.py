@@ -19,6 +19,7 @@ from mapreduce_experiment_spark.plans.registry import _ORDER, SPECS
 _MUST_BE_IN_WINDOW = {
     # new or changed in round 4
     "packed_sequence_fragments", "decontamination_external",
+    "streaming_minhash_dedup",
     "packed_sequences", "approx_order_percentiles",
     "decontamination_pairs",
     # last driver verdict r1/r2 (stale set, rotated forward en bloc)
@@ -105,6 +106,17 @@ _ATTESTED_UNCHANGED = {
     # all r3-green with plan + oracle text untouched.
     "kmeans_centroids", "kmeans_ivf_assignments", "knn_ivf_trained",
     "knn_bruteforce_blas",
+    # queries_dedup.py's r4 edit is the streaming_minhash_dedup
+    # registration only; these four r3-green dedup queries share the
+    # module (and streaming/pipeline.py gained an appended function)
+    # with plan + oracle text untouched.
+    "exact_dedup_groups", "minhash_signatures", "simhash_signatures",
+    "simhash_near_dups",
+    # queries_events.py reaches streaming/pipeline.py (whose r4 change
+    # is ONLY the appended streaming_minhash_dedup); these three
+    # r3-green events queries are its out-of-window dependents, plans
+    # + oracles untouched.
+    "events_json_extract", "sessionize_events", "user_value_scd2",
 }
 
 _PKG = "mapreduce_experiment_spark"
@@ -132,9 +144,11 @@ def _direct_imports(modname: str) -> set[str]:
         return set()
     with open(path) as f:
         tree = ast.parse(f.read())
-    # Resolution base for relative imports: the module's parent package
-    # (modules here are all plain .py files, not packages).
+    # Relative-import resolution base: a plain module resolves level-1
+    # against its parent package, but a package __init__ resolves
+    # level-1 against ITSELF (one fewer part to drop).
     parts = modname.split(".")
+    pkg_extra = 1 if path.endswith("__init__.py") else 0
     deps: set[str] = set()
 
     def add(name: str) -> None:
@@ -147,7 +161,8 @@ def _direct_imports(modname: str) -> set[str]:
                 add(a.name)
         elif isinstance(node, ast.ImportFrom):
             if node.level:
-                base = parts[:-node.level]
+                drop = node.level - pkg_extra
+                base = parts[:len(parts) - drop] if drop > 0 else parts
                 target = ".".join(base + ([node.module] if node.module else []))
             else:
                 target = node.module or ""
