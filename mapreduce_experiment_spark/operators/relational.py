@@ -138,3 +138,30 @@ def stratified_sample(df: DataFrame, key_col: str, strata_col: str,
                .otherwise(pct)
     bucket = hash60(F.col(key_col).cast("string")) % 100
     return df.where(bucket < pct)
+
+
+def mixture_sample(df: DataFrame, weights: DataFrame, key_col: str,
+                   strata_col: str, ppm_col: str = "keep_ppm") -> DataFrame:
+    """Weighted data mixing driven by a WEIGHTS TABLE (source →
+    parts-per-million keep rate) instead of a CASE chain — the shape a
+    real corpus-mixing config takes when there are hundreds of
+    sources: the config is data, not code.
+
+    The weights side broadcasts (config-sized); the keep decision is
+    ``hash60(stratum || ':' || key) % 1_000_000 < keep_ppm`` — the
+    stratum is salted into the hash so sampling the SAME key space at
+    equal rates across strata still draws independent subsets, while
+    staying a pure function of (stratum, key): restart-safe,
+    rerun-identical, cross-engine value-checkable, and
+    rate-composable like :func:`stratified_sample`. Strata missing
+    from the weights table drop (inner join = rate 0).
+    """
+    from ..functions.textfns import hash60
+
+    bucket = hash60(F.concat_ws(":", F.col(strata_col),
+                                F.col(key_col).cast("string"))) % 1_000_000
+    return (
+        df.join(F.broadcast(weights), strata_col)
+        .where(bucket < F.col(ppm_col))
+        .drop(ppm_col)
+    )

@@ -84,6 +84,33 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quality_filter(docs: DataFrame, min_tokens: int = 10,
+                   min_alpha: float = 0.70, min_stop: float = 0.02,
+                   min_score: float = 0.55,
+                   text_col: str = "text") -> DataFrame:
+    """Keep/drop verdict per doc with a FIRST-FAILING-RULE reason —
+    the audit trail a production filter chain emits so drop rates are
+    attributable per rule (C4/Gopher-rules family).
+
+    All inputs are the q6-quantized :func:`quality_features` values
+    (bit-identical across engines), so the threshold comparisons are
+    deterministic; the rule ORDER is part of the contract (a doc
+    failing several rules reports the first).
+    """
+    f = quality_features(docs, text_col)
+    reason = (
+        F.when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+        .when(F.col("alpha_ratio") < min_alpha, F.lit("low_alpha"))
+        .when(F.col("stop_ratio") < min_stop, F.lit("low_stopword"))
+        .when(F.col("quality_score") < min_score, F.lit("low_score"))
+        .otherwise(F.lit("kept"))
+    )
+    return f.select(
+        "doc_id", "n_tokens", "quality_score",
+        reason.alias("reason"), (reason == "kept").alias("keep"),
+    )
+
+
 def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace tokens vs BPE-ish regex segments (alnum runs +
     individual punctuation)."""
@@ -321,6 +348,68 @@ def tfidf_pairs(docs: DataFrame, threshold: float = 0.5,
     return (
         dots.select("id_a", "id_b", sim.alias("tfidf_cosine"))
         .where(F.col("tfidf_cosine") >= threshold)
+    )
+
+
+def repetition_scores(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Intra-document repetition metrics (Gopher-rules family): the
+    quality signal that catches boilerplate/SEO spam which LENGTH and
+    stopword ratios miss.
+
+    Per doc: token type-token stats (distinct tokens, most-frequent
+    token count) and the same over word BIGRAM occurrences (NOT the
+    distinct shingle set — repetition needs occurrence counts), plus
+    q6-quantized top-token / top-bigram fractions. High
+    ``top_bigram_frac`` ⇒ a phrase loops through the doc.
+
+    Shape: explode → two-level hash aggregate; both levels combine
+    map-side, so the shuffle carries one row per (doc, distinct gram),
+    bounded by doc content not corpus size. Integer counts →
+    cross-engine exact; ratios quantized like the other text ops.
+    """
+    toks = docs.select(id_col, F.explode(tokenize(F.col(text_col)))
+                       .alias("tok"))
+    tok_counts_ = (
+        toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.sum("c").alias("n_tokens"),
+             F.count(F.lit(1)).alias("distinct_tokens"),
+             F.max("c").alias("top_token_n"))
+    )
+    t = docs.select(id_col, tokenize(F.col(text_col)).alias("toks"))
+    grams = t.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.concat_ws(" ", F.slice("toks", i, 2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    gram_counts = (
+        grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.sum("c").alias("n_bigrams"),
+             F.count(F.lit(1)).alias("distinct_bigrams"),
+             F.max("c").alias("top_bigram_n"))
+    )
+    q6 = lambda c: F.floor(c * 1_000_000 + 0.5) / 1_000_000.0  # noqa: E731
+    out = tok_counts_.join(gram_counts, id_col, "left")
+    zed = [F.coalesce(F.col(c), F.lit(0)).alias(c)
+           for c in ("n_bigrams", "distinct_bigrams", "top_bigram_n")]
+    out = out.select(id_col, "n_tokens", "distinct_tokens", "top_token_n",
+                     *zed)
+    return out.select(
+        "*",
+        q6(F.col("top_token_n").cast("double") / F.col("n_tokens"))
+            .alias("top_token_frac"),
+        F.when(F.col("n_bigrams") > 0,
+               q6(F.col("top_bigram_n").cast("double") / F.col("n_bigrams")))
+            .otherwise(F.lit(0.0)).alias("top_bigram_frac"),
     )
 
 

@@ -343,3 +343,163 @@ def q_decontamination_external(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     "eval_id string, prompt string")
     return TX.contamination_pairs_external(
         load_table(spark, sf_dir, "documents"), eval_df)
+
+
+_BIGRAMS = ("CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),"
+            " i -> array_to_string(list_slice(toks, i, i + 1), ' '))"
+            " ELSE CAST([] AS VARCHAR[]) END")
+
+
+@register(
+    "repetition_scores",
+    oracle=_T_CTE + f"""
+, tc AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2),
+ta AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         count(*) AS distinct_tokens, max(c) AS top_token_n
+  FROM tc GROUP BY 1),
+gc AS (
+  SELECT doc_id, gram, count(*) AS c
+  FROM (SELECT doc_id, unnest({_BIGRAMS}) AS gram FROM t) GROUP BY 1, 2),
+ga AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         count(*) AS distinct_bigrams, max(c) AS top_bigram_n
+  FROM gc GROUP BY 1)
+SELECT ta.doc_id, n_tokens, distinct_tokens, top_token_n,
+       coalesce(n_bigrams, 0) AS n_bigrams,
+       coalesce(distinct_bigrams, 0) AS distinct_bigrams,
+       coalesce(top_bigram_n, 0) AS top_bigram_n,
+       floor(top_token_n * 1.0 / n_tokens * 1000000 + 0.5) / 1000000.0
+         AS top_token_frac,
+       CASE WHEN coalesce(n_bigrams, 0) > 0
+            THEN floor(top_bigram_n * 1.0 / n_bigrams * 1000000 + 0.5)
+                 / 1000000.0
+            ELSE 0.0 END AS top_bigram_frac
+FROM ta LEFT JOIN ga ON ta.doc_id = ga.doc_id
+""",
+)
+def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-doc repetition metrics (see operator docstring): token and
+    bigram-occurrence type-token stats + top-fraction ratios — the
+    boilerplate/spam signal in the Gopher-rules family."""
+    return TX.repetition_scores(load_table(spark, sf_dir, "documents"))
+
+
+# Corpus-mixing config: per-source keep rates in parts-per-million
+# (the config is DATA — a broadcast weights table — not a CASE chain;
+# see operators.relational.mixture_sample). Rates cycle so the sample
+# exercises full-keep, halving, and heavy downsampling.
+MIX_PPM = (1_000_000, 500_000, 250_000, 100_000)
+MIX_WEIGHTS = [(f"src{i}", MIX_PPM[i % len(MIX_PPM)]) for i in range(20)]
+
+_W_VALUES = ",\n  ".join(f"('{s}', {p})" for s, p in MIX_WEIGHTS)
+_MIX_HASH = hash60_sql("concat_ws(':', source, CAST(doc_id AS VARCHAR))")
+
+
+@register(
+    "source_mixture_sample",
+    oracle=f"""
+WITH w(source, keep_ppm) AS (VALUES
+  {_W_VALUES})
+SELECT doc_id, source, lang
+FROM documents JOIN w USING (source)
+WHERE {_MIX_HASH} % 1000000 < keep_ppm
+""",
+)
+def q_source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixing from a broadcast weights table: keep each
+    doc iff hash60(source:doc_id) % 1e6 < the source's ppm rate —
+    deterministic, restart-safe, rate-composable; the exact kept SET
+    is what the oracle checks."""
+    from ..operators.relational import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    weights = spark.createDataFrame(MIX_WEIGHTS, "source string, keep_ppm long")
+    return mixture_sample(docs, weights, "doc_id", "source") \
+        .select("doc_id", "source", "lang")
+
+
+# Quality-filter thresholds (C4/Gopher-rules family; tuned so the
+# synthetic corpus produces a keep/drop MIX rather than a constant).
+QF_MIN_TOKENS = 12
+QF_MIN_ALPHA = 0.80
+QF_MIN_STOP = 0.02
+QF_MIN_SCORE = 0.78
+
+_QF_REASON = f"""CASE
+  WHEN n_tokens < {QF_MIN_TOKENS} THEN 'too_short'
+  WHEN alpha_ratio < {QF_MIN_ALPHA} THEN 'low_alpha'
+  WHEN stop_ratio < {QF_MIN_STOP} THEN 'low_stopword'
+  WHEN quality_score < {QF_MIN_SCORE} THEN 'low_score'
+  ELSE 'kept' END"""
+
+
+@register(
+    "quality_filtered_corpus",
+    oracle=_T_CTE + f"""
+, f AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         {_Q6.format(f"{_ALPHA} * 1.0 / length(text)")} AS alpha_ratio,
+         {_Q6.format(f"{_NSTOP} * 1.0 / len(toks)")} AS stop_ratio,
+         {_Q6.format(f"{_TOKCHARS} * 1.0 / len(toks)")} AS mean_tok_len
+  FROM t),
+g AS (
+  SELECT doc_id, n_tokens, alpha_ratio, stop_ratio,
+         {_Q6.format("least(alpha_ratio * 0.5 + stop_ratio * 2.0"
+                     " + least(mean_tok_len / 10.0, 0.3), 1.0)")}
+           AS quality_score
+  FROM f)
+SELECT doc_id, n_tokens, quality_score,
+       {_QF_REASON} AS reason,
+       ({_QF_REASON}) = 'kept' AS keep
+FROM g
+""",
+)
+def q_quality_filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter pass over the corpus: composes the quality
+    features into a keep/drop verdict with a FIRST-FAILING-RULE reason
+    column (the audit trail a production filter chain emits, so
+    dropped-data rates are attributable per rule)."""
+    return TX.quality_filter(
+        load_table(spark, sf_dir, "documents"),
+        min_tokens=QF_MIN_TOKENS, min_alpha=QF_MIN_ALPHA,
+        min_stop=QF_MIN_STOP, min_score=QF_MIN_SCORE)
+
+
+@register(
+    "decontaminated_corpus",
+    oracle=_T_CTE + f"""
+, ev_raw(eval_id, prompt) AS (VALUES
+  {_EV_VALUES}),
+evg AS (
+  SELECT eval_id, unnest(list_transform(
+    {shingles_sql(tokenize_sql('prompt'), 5)}, s -> {hash60_sql('s')})) AS g
+  FROM ev_raw),
+trg AS (SELECT doc_id AS train_doc_id, unnest({_SH5}) AS g FROM t),
+hits AS (
+  SELECT train_doc_id
+  FROM trg JOIN evg USING (g)
+  GROUP BY train_doc_id, eval_id HAVING count(*) >= 3)
+SELECT doc_id, source, lang
+FROM documents
+WHERE doc_id NOT IN (SELECT train_doc_id FROM hits)
+""",
+)
+def q_decontaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL step completing the decontamination story: the
+    corpus anti-joined against the docs that overlap the external
+    benchmark (decontamination_external's pairs) — what actually ships
+    to the trainer. Anti-join on a collision-bounded key set; the
+    100 TB side streams through map-side."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = spark.createDataFrame(EVAL_BENCHMARK,
+                                    "eval_id string, prompt string")
+    hits = (TX.contamination_pairs_external(docs, eval_df)
+            .select(F.col("train_doc_id").alias("doc_id")).distinct())
+    return docs.join(hits, "doc_id", "left_anti") \
+        .select("doc_id", "source", "lang")

@@ -19,7 +19,9 @@ from mapreduce_experiment_spark.plans.registry import _ORDER, SPECS
 _MUST_BE_IN_WINDOW = {
     # new or changed in round 4
     "packed_sequence_fragments", "decontamination_external",
-    "streaming_minhash_dedup",
+    "streaming_minhash_dedup", "repetition_scores",
+    "quality_filtered_corpus", "source_mixture_sample",
+    "decontaminated_corpus",
     "packed_sequences", "approx_order_percentiles",
     "decontamination_pairs",
     # last driver verdict r1/r2 (stale set, rotated forward en bloc)
