@@ -119,6 +119,27 @@ _ATTESTED_UNCHANGED = {
     # r3-green events queries are its out-of-window dependents, plans
     # + oracles untouched.
     "events_json_extract", "sessionize_events", "user_value_scd2",
+    # queries_graph.py also reaches streaming/pipeline.py (via
+    # streaming.triangles); same append-only change, graph plans +
+    # oracles untouched. triangles/triangles_faithful/pagerank were
+    # fresh r3-green and rotated out as fillers when the four new
+    # corpus-prep queries took their window slots.
+    "edges_derive", "symmetrize", "adjacency", "degrees",
+    "candidate_pairs", "triangles", "triangles_faithful", "pagerank",
+    # operators/relational.py's r4 change is the APPENDED
+    # mixture_sample (consumed only by the in-window
+    # source_mixture_sample); every queries_relational plan + oracle
+    # is untouched.
+    "top_customers_per_nation", "customer_running_spend",
+    "order_gap_days", "top_orders_global", "order_priority_rollup",
+    "returnflag_status_cube", "mktsegment_pivot", "parts_never_ordered",
+    "suppliers_with_orders", "customers_retained", "customers_churned",
+    "orders_above_customer_average", "order_scalar_functions",
+    "nation_order_stats", "account_balance_union",
+    # queries_dedup.py module shared with the new streaming
+    # registration; fresh r3-green, rotated out as a filler, plan +
+    # oracle text untouched.
+    "ngram_jaccard_pairs",
 }
 
 _PKG = "mapreduce_experiment_spark"
