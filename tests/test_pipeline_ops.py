@@ -435,3 +435,75 @@ def test_streaming_minhash_dedup_state_spans_batches(spark, tmp_path):
     assert sorted(sig_of) == [1, 2, 3, 4]
     assert sig_of[1] == sig_of[3]              # content dup groups together
     assert len({sig_of[1], sig_of[2], sig_of[4]}) == 3
+
+
+def test_repetition_scores_crafted(spark):
+    """Hand-computed repetition stats: a looping phrase must dominate
+    the bigram mass; an all-distinct doc scores 1/n fractions."""
+    docs = _docs(spark, [
+        (1, "spam ham spam ham spam ham"),   # 6 toks, bigrams: s-h x3, h-s x2
+        (2, "one two three four"),           # all distinct
+        (3, "solo"),                         # 1 token -> no bigrams
+    ])
+    r = {x.doc_id: x for x in TX.repetition_scores(docs).collect()}
+    assert (r[1].n_tokens, r[1].distinct_tokens, r[1].top_token_n) == (6, 2, 3)
+    assert (r[1].n_bigrams, r[1].distinct_bigrams, r[1].top_bigram_n) == (5, 2, 3)
+    assert r[1].top_token_frac == 0.5 and r[1].top_bigram_frac == 0.6
+    assert (r[2].distinct_tokens, r[2].top_token_n) == (4, 1)
+    assert r[2].top_bigram_frac == round(1 / 3, 6) + 0  # 3 distinct bigrams
+    assert (r[3].n_bigrams, r[3].top_bigram_frac) == (0, 0.0)
+
+
+def test_quality_filter_first_failing_rule_order(spark):
+    """A doc failing several rules must report the FIRST (rule order is
+    the contract): a 2-token doc with no stopwords reports too_short,
+    not low_stopword."""
+    docs = _docs(spark, [
+        (1, "tiny doc"),                      # too_short (and low stopword)
+        (2, "the cat and the dog of it is that for sat on the mat today"),
+    ])
+    out = {r.doc_id: r for r in TX.quality_filter(docs).collect()}
+    assert out[1].reason == "too_short" and not out[1].keep
+    assert out[2].reason == "kept" and out[2].keep
+
+
+def test_mixture_sample_deterministic_and_composable(spark):
+    """Mixing invariants: rerun-identical; halving a source's rate
+    yields a strict SUBSET (rate composability); a source missing from
+    the weights table drops entirely."""
+    from mapreduce_experiment_spark.operators.relational import mixture_sample
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 3}") for i in range(300)], "doc_id long, source string")
+    w_full = spark.createDataFrame(
+        [("src0", 1_000_000), ("src1", 400_000)], "source string, keep_ppm long")
+    w_half = spark.createDataFrame(
+        [("src0", 1_000_000), ("src1", 200_000)], "source string, keep_ppm long")
+
+    kept = {r.doc_id for r in
+            mixture_sample(docs, w_full, "doc_id", "source").collect()}
+    again = {r.doc_id for r in
+             mixture_sample(docs, w_full, "doc_id", "source").collect()}
+    assert kept == again
+    assert {i for i in kept if i % 3 == 0} == {i for i in range(300) if i % 3 == 0}
+    assert not any(i % 3 == 2 for i in kept)  # src2 absent from weights
+    halved = {r.doc_id for r in
+              mixture_sample(docs, w_half, "doc_id", "source").collect()}
+    assert halved < kept  # strict subset: src1 sampled down, src0 intact
+
+
+def test_decontaminated_corpus_removes_only_contaminated(spark):
+    """Removal = original minus exactly the flagged train docs."""
+    prompt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = _docs(spark, [
+        (1, "prefix words " + prompt + " suffix words"),
+        (2, "completely unrelated content with many different tokens here"),
+        (3, "more clean content that shares nothing with the benchmark set"),
+    ])
+    evals = spark.createDataFrame([("b", prompt)], "eval_id string, prompt string")
+    hits = TX.contamination_pairs_external(docs, evals, min_shared=3)
+    flagged = {r.train_doc_id for r in hits.collect()}
+    clean = {r.doc_id for r in
+             docs.join(hits.select(F.col("train_doc_id").alias("doc_id"))
+                       .distinct(), "doc_id", "left_anti").collect()}
+    assert flagged == {1} and clean == {2, 3}
