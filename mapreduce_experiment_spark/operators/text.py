@@ -424,3 +424,163 @@ def fingerprints(docs: DataFrame, text_col: str = "text",
         docs.select("doc_id", fp.alias("fingerprint"))
         .where(F.col("fingerprint").isNotNull())
     )
+
+
+CHUNK_CHARS = 200
+CHUNK_OVERLAP = 50
+
+
+def chunk_documents(docs: DataFrame, chunk_chars: int = CHUNK_CHARS,
+                    overlap: int = CHUNK_OVERLAP, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Sliding-window document chunking — the ingest step that turns a
+    corpus into retrieval/embedding-sized pieces (RAG prep, context-
+    window packing, chunk-level dedup all start here).
+
+    One chunk every ``stride = chunk_chars - overlap`` characters;
+    consecutive chunks share ``overlap`` characters so no boundary
+    ever splits content without a covering neighbor. The last chunk
+    is the first one whose window reaches the end of the doc (it may
+    be shorter than ``chunk_chars``); a doc no longer than one window
+    yields exactly one chunk. Chunk count per doc is
+    ``1 + ceil(max(len - chunk_chars, 0) / stride)`` — computed with
+    POSITIVE-operand integer division only (Spark ``DIV`` truncates,
+    DuckDB ``//`` floors; they agree only for non-negative operands,
+    so the ``len <= chunk_chars`` case is handled by CASE, not by
+    division of a negative numerator).
+
+    Shape: ``sequence`` + ``explode`` + ``substring`` — pure codegen
+    expressions, embarrassingly parallel, fan-out per doc is
+    ~``len / stride`` rows regardless of doc-length skew.
+    """
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be < chunk_chars")
+    stride = int(chunk_chars) - int(overlap)
+    c = int(chunk_chars)
+    length = F.length(F.col(text_col))
+    last_i = F.when(length <= c, F.lit(0)).otherwise(
+        F.expr(f"(length({text_col}) - {c} + {stride} - 1) DIV {stride}"))
+    t = docs.select(
+        F.col(id_col), F.col(text_col),
+        F.explode(F.sequence(F.lit(0), last_i)).alias("chunk_id"))
+    start = (F.col("chunk_id") * stride + 1).cast("long")
+    chunk = F.substring(F.col(text_col), start, c)
+    return t.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        start.alias("chunk_start"),
+        F.length(chunk).cast("long").alias("chunk_len"),
+        chunk.alias("chunk_text"),
+    )
+
+
+def ngram_counts(docs: DataFrame, n: int = 3, top_n: int = 200,
+                 text_col: str = "text") -> DataFrame:
+    """Corpus-level word n-gram OCCURRENCE counts (LM-counts flavor):
+    the top ``top_n`` n-grams by frequency, ties broken by gram text.
+
+    Unlike the dedup shingle path this does NOT de-duplicate grams
+    within a doc — language-model count tables need occurrences.
+
+    Shape: the wordcount shape one level up — explode n-grams → hash
+    aggregate with map-side partial combine (the shuffle carries one
+    row per (partition, distinct gram), not per occurrence) → global
+    top-N via TakeOrdered. 100 TB-safe: no all-gram sort, the only
+    full-width state is the per-partition partial map.
+    """
+    toks = tokenize(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        docs.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        counts.orderBy(F.col("n").desc(), F.col("gram"))
+        .limit(int(top_n))
+        .select("gram", "n")
+    )
+
+
+# BM25 constants; repr() of these exact doubles is embedded in the
+# oracle SQL so both engines evaluate the same IEEE values.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 10
+
+
+def bm25_topk(docs: DataFrame, queries: DataFrame, k1: float = BM25_K1,
+              b: float = BM25_B, top_k: int = BM25_TOP_K,
+              id_col: str = "doc_id", text_col: str = "text",
+              query_id_col: str = "query_id",
+              query_text_col: str = "qtext") -> DataFrame:
+    """BM25 retrieval: top-``top_k`` documents per query (Robertson/
+    Sparck Jones probabilistic ranking — the lexical-retrieval
+    baseline every RAG/data-curation stack ships).
+
+    ``score(q, d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))``
+    with ``idf = ln(1 + (N-df+0.5)/(df+0.5))`` (the non-negative
+    Lucene form). Document frequency is computed over the corpus
+    (restricted to query terms — df of a term is the same whether or
+    not other terms are counted), so pruning to the broadcast query
+    vocabulary FIRST costs nothing semantically and everything in
+    shuffle volume.
+
+    Cross-engine determinism: each per-term contribution is quantized
+    to integer micro-units BEFORE summation, so the score sum is
+    exact int64 arithmetic — no float-accumulation-order hazard (the
+    lesson of the r3 percentile ADVICE applied up front). The only
+    float step is the identical scalar expression both engines
+    evaluate per (doc, term).
+
+    Scale shape: query sets are benchmark-sized → the query-term
+    table broadcasts twice (vocabulary semi-join, score fan-out); the
+    corpus side reduces to (doc, matched-term) rows map-side; the
+    final top-k is a per-query TakeOrdered window over only matched
+    docs. The 100 TB side never shuffles text.
+    """
+    k1p1 = float(k1) + 1.0
+    one_minus_b = 1.0 - float(b)
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(F.array_distinct(tokenize(F.col(query_text_col))))
+         .alias("term"))
+    vocab = qterms.select("term").distinct()
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       F.explode(tokenize(F.col(text_col))).alias("term"))
+    tfq = (toks.join(F.broadcast(vocab), "term")
+           .groupBy("doc_id", "term")
+           .agg(F.count(F.lit(1)).alias("tf")))
+    dfr = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dl = docs.select(F.col(id_col).alias("doc_id"),
+                     F.size(tokenize(F.col(text_col))).cast("long")
+                      .alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).cast("double").alias("_n"),
+                   F.avg("dl").alias("_avgdl"))
+    idf = F.log(1.0 + (F.col("_n") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    denom = F.col("tf") + F.lit(float(k1)) * (
+        F.lit(one_minus_b) + F.lit(float(b))
+        * (F.col("dl") / F.col("_avgdl")))
+    w_micro = F.floor(idf * ((F.col("tf") * F.lit(k1p1)) / denom)
+                      * 1_000_000 + 0.5).cast("long")
+    w = (tfq.join(dfr, "term")
+         .join(dl, "doc_id")
+         .crossJoin(F.broadcast(stats))
+         .select("doc_id", "term", w_micro.alias("w_micro")))
+    scored = (w.join(F.broadcast(qterms), "term")
+              .groupBy("query_id", "doc_id")
+              .agg(F.sum("w_micro").alias("score_micro")))
+    from pyspark.sql import Window
+    rank = F.row_number().over(
+        Window.partitionBy("query_id")
+        .orderBy(F.col("score_micro").desc(), "doc_id"))
+    return (scored.select("query_id", "doc_id", "score_micro",
+                          rank.cast("long").alias("rank"))
+            .where(F.col("rank") <= int(top_k)))

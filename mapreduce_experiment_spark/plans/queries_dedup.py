@@ -266,3 +266,40 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join; oracle is exact all-pairs Hamming."""
     return D.simhash_near_dup_pairs(load_table(spark, sf_dir, "documents"),
                                     max_hamming=6)
+
+
+@register(
+    "dedup_survivors",
+    oracle=f"""
+WITH clus AS ({_dedup_clusters_oracle()})
+SELECT d.doc_id, d.source, d.lang
+FROM documents d JOIN clus c ON d.doc_id = c.doc_id
+WHERE c.is_canonical = 1
+""",
+)
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL step completing the near-dup story (the analogue of
+    ``decontaminated_corpus`` for dedup): the corpus with every
+    non-canonical cluster member dropped — what actually ships to the
+    trainer after MinHash near-dedup.
+
+    A doc is removed iff it appears in the duplicate graph with a
+    component label smaller than itself; survivors are the per-cluster
+    minima plus every singleton. Scale shape: the removal list is
+    bounded by actual near-dups (tiny vs the corpus), so the final
+    step is a broadcast anti-join the 100 TB side streams through
+    map-side; the oracle recomputes clusters exhaustively
+    (all-pairs Jaccard + unrolled min-label CC), so the hash match
+    re-proves LSH recall AND CC convergence on the removal set."""
+    from pyspark.sql import functions as F
+
+    from ..operators import graph as G
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(docs, threshold=0.8).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    labels = G.connected_components(pairs)
+    removed = labels.where(F.col("component") != F.col("node")) \
+        .select(F.col("node").alias("doc_id"))
+    return docs.join(F.broadcast(removed), "doc_id", "left_anti") \
+        .select("doc_id", "source", "lang")

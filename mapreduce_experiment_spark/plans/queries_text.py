@@ -503,3 +503,121 @@ def q_decontaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("train_doc_id").alias("doc_id")).distinct())
     return docs.join(hits, "doc_id", "left_anti") \
         .select("doc_id", "source", "lang")
+
+
+_CH_C = TX.CHUNK_CHARS
+_CH_S = TX.CHUNK_CHARS - TX.CHUNK_OVERLAP
+
+
+@register(
+    "doc_chunks",
+    oracle=f"""
+WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+c AS (
+  SELECT doc_id, text,
+         unnest(range(0, CASE WHEN len <= {_CH_C} THEN 0
+                         ELSE (len - {_CH_C} + {_CH_S} - 1) // {_CH_S} END + 1))
+           AS chunk_id
+  FROM d)
+SELECT doc_id,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(chunk_id * {_CH_S} + 1 AS BIGINT) AS chunk_start,
+       CAST(length(substr(text, chunk_id * {_CH_S} + 1, {_CH_C})) AS BIGINT)
+         AS chunk_len,
+       substr(text, chunk_id * {_CH_S} + 1, {_CH_C}) AS chunk_text
+FROM c
+""",
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking of the corpus (see operator docstring):
+    200-char windows every 150 chars (50 overlap), positive-operand
+    integer arithmetic only, exact chunk text both engines."""
+    return TX.chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
+_TRI = ("list_transform(range(1, len(toks) - 1),"
+        " i -> array_to_string(list_slice(toks, i, i + 2), ' '))")
+
+
+@register(
+    "trigram_counts",
+    oracle=_T_CTE + f"""
+SELECT gram, n FROM (
+  SELECT gram, count(*) AS n,
+         row_number() OVER (ORDER BY count(*) DESC, gram) AS rn
+  FROM (SELECT unnest({_TRI}) AS gram FROM t)
+  GROUP BY gram
+) WHERE rn <= 200
+""",
+)
+def q_trigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus trigram OCCURRENCE counts, top-200 (see operator
+    docstring): the LM-counts table — wordcount one level up, with
+    map-side partial aggregation and a TakeOrdered top-N."""
+    return TX.ngram_counts(load_table(spark, sf_dir, "documents"),
+                           n=3, top_n=200)
+
+
+# Literal retrieval benchmark for bm25_topk: query terms drawn from
+# the synthetic corpus vocabulary ('dup' is rare → high idf, so the
+# ranking exercises the idf spread, not just tf). One Python list
+# feeds BOTH the Spark literal DataFrame and the oracle VALUES clause.
+BM25_QUERIES = [
+    ("q-scan", "fast table scan filter"),
+    ("q-join", "hash join merge key"),
+    ("q-stream", "stream batch window data"),
+    ("q-rare", "dup vector spark"),
+]
+
+_BQ_VALUES = ",\n  ".join(f"('{i}', '{q}')" for i, q in BM25_QUERIES)
+# The exact doubles the Spark plan uses, embedded via repr() so the
+# oracle evaluates bit-identical constants.
+_K1 = repr(float(TX.BM25_K1))
+_B = repr(float(TX.BM25_B))
+_K1P1 = repr(float(TX.BM25_K1) + 1.0)
+_OMB = repr(1.0 - float(TX.BM25_B))
+
+
+@register(
+    "bm25_topk",
+    oracle=_T_CTE + f"""
+, q_raw(query_id, qtext) AS (VALUES
+  {_BQ_VALUES}),
+qt AS (
+  SELECT query_id, unnest(list_distinct({tokenize_sql('qtext')})) AS term
+  FROM q_raw),
+vocab AS (SELECT DISTINCT term FROM qt),
+tfq AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+  WHERE term IN (SELECT term FROM vocab)
+  GROUP BY doc_id, term),
+dfr AS (SELECT term, count(*) AS df FROM tfq GROUP BY term),
+dln AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+st AS (SELECT CAST(count(*) AS DOUBLE) AS _n, avg(dl) AS _avgdl FROM dln),
+w AS (
+  SELECT doc_id, term,
+         CAST(floor(ln(1.0 + (_n - df + 0.5) / (df + 0.5))
+                    * ((tf * {_K1P1})
+                       / (tf + {_K1} * ({_OMB} + {_B} * (dl / _avgdl))))
+                    * 1000000 + 0.5) AS BIGINT) AS w_micro
+  FROM tfq JOIN dfr USING (term) JOIN dln USING (doc_id) CROSS JOIN st),
+sc AS (
+  SELECT query_id, doc_id, CAST(sum(w_micro) AS BIGINT) AS score_micro
+  FROM w JOIN qt USING (term)
+  GROUP BY query_id, doc_id)
+SELECT query_id, doc_id, score_micro, rank FROM (
+  SELECT query_id, doc_id, score_micro,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_micro DESC, doc_id) AS rank
+  FROM sc
+) WHERE rank <= {TX.BM25_TOP_K}
+""",
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval against a literal query benchmark (see
+    operator docstring): per-term contributions quantized to integer
+    micro-units BEFORE summation, so scores are exact int64 —
+    broadcast query vocabulary, map-side corpus reduction."""
+    qdf = spark.createDataFrame(BM25_QUERIES, "query_id string, qtext string")
+    return TX.bm25_topk(load_table(spark, sf_dir, "documents"), qdf)

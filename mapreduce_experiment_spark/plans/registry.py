@@ -104,9 +104,10 @@ _ORDER: list[str] = [
     "monthly_retention_cohorts", "brand_revenue_by_year",
     "top_parts_per_nation", "daily_event_type_pivot",
     "order_size_distribution", "order_value_histogram",
-    # -- load-bearing r3-green headline repeats filling the window --
-    "pricing_summary", "revenue_by_nation", "minhash_dedup_pairs",
-    "token_frequencies",
+    # -- round 4 (this session): new queries in the remaining slots
+    #    (displacing the r3-green headline repeats, which keep their
+    #    fresh r3 verdicts) --
+    "doc_chunks", "bm25_topk", "trigram_counts", "dedup_survivors",
     # ---- verification-window boundary: len(_ORDER) == 50, pinned by
     #      test_order_is_exactly_the_window ----
     # r3-green unchanged queries follow in registration order.

@@ -20,11 +20,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test table, e.g. ``load_table(spark, sf_dir, 'lineitem')``."""
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), surfaced as int64 via
-        # spark.sql.legacy.parquet.nanosAsLong (session.py). Convert
-        # with integer division — a double roundtrip would lose
-        # precision at 1.7e18 ns.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # events.ts has shipped as two parquet types across driver
+        # testdata generations: TIMESTAMP(NANOS) (surfaced as int64
+        # via spark.sql.legacy.parquet.nanosAsLong, session.py) and
+        # TIMESTAMP(MICROS) (surfaced as timestamp_ntz). Normalize
+        # both to session-local TIMESTAMP — integer division for the
+        # nanos case (a double roundtrip would lose precision at
+        # 1.7e18 ns); a plain cast (identity under the UTC session)
+        # for the ntz case.
+        if dict(df.dtypes)["ts"] == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -507,3 +507,80 @@ def test_decontaminated_corpus_removes_only_contaminated(spark):
              docs.join(hits.select(F.col("train_doc_id").alias("doc_id"))
                        .distinct(), "doc_id", "left_anti").collect()}
     assert flagged == {1} and clean == {2, 3}
+
+
+def test_chunk_documents_tiling_invariants(spark):
+    docs = _docs(spark, [
+        (1, "x" * 500),               # multi-chunk, exact-tail case
+        (2, "y" * 200),               # exactly one window
+        (3, "z" * 201),               # one char past the window
+        (4, "short"),                 # shorter than one window
+    ])
+    rows = TX.chunk_documents(docs).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    stride = TX.CHUNK_CHARS - TX.CHUNK_OVERLAP
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        text = texts[doc_id]
+        # every chunk is the literal substring at its offset
+        for c in chunks:
+            assert c.chunk_text == text[c.chunk_start - 1:
+                                        c.chunk_start - 1 + TX.CHUNK_CHARS]
+            assert c.chunk_len == len(c.chunk_text)
+            assert c.chunk_start == c.chunk_id * stride + 1
+        # chunks cover the doc: last chunk reaches the end, and each
+        # consecutive pair overlaps by CHUNK_OVERLAP
+        last = chunks[-1]
+        assert last.chunk_start - 1 + last.chunk_len == len(text)
+        for a, b in zip(chunks, chunks[1:]):
+            assert b.chunk_start - a.chunk_start == stride
+    assert len(by_doc[2]) == 1
+    assert len(by_doc[3]) == 2
+    assert len(by_doc[4]) == 1
+
+
+def test_ngram_counts_occurrences_not_distinct(spark):
+    # 'a b a b a' has trigrams: 'a b a', 'b a b', 'a b a' — the
+    # repeated gram must count twice (occurrence semantics, unlike
+    # the dedup shingle set).
+    docs = _docs(spark, [(1, "a b a b a"), (2, "a b")])  # doc 2: too short
+    got = {r.gram: r.n for r in TX.ngram_counts(docs, n=3).collect()}
+    assert got == {"a b a": 2, "b a b": 1}
+
+
+def test_bm25_ranks_relevant_doc_first(spark):
+    rare = _docs(spark, [
+        (1, "spark shuffle partitions " * 5),
+        (2, "spark spark spark shuffle shuffle partitions broadcast join"),
+        (3, "completely unrelated words about cooking pasta dinner"),
+        (4, "broadcast join hints and broadcast thresholds broadcast"),
+    ])
+    qs = spark.createDataFrame([("q1", "broadcast join")],
+                               "query_id string, qtext string")
+    rows = TX.bm25_topk(rare, qs, top_k=3).collect()
+    assert [r.doc_id for r in sorted(rows, key=lambda r: r.rank)][0] == 4
+    ids = {r.doc_id for r in rows}
+    assert 3 not in ids                      # no matching term → no row
+    assert all(r.score_micro > 0 for r in rows)
+    assert all(1 <= r.rank <= 3 for r in rows)
+
+
+def test_dedup_survivors_one_per_cluster(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    near = base.replace("lazy", "sleepy", 1)
+    docs = spark.createDataFrame(
+        [(1, base, "s", "en"), (2, near, "s", "en"),
+         (3, "totally different text about query planners " * 8, "s", "en")],
+        "doc_id long, text string, source string, lang string")
+    from mapreduce_experiment_spark.operators import graph as G
+    pairs = D.minhash_dedup_pairs(docs, threshold=0.5).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    labels = G.connected_components(pairs)
+    removed = labels.where(F.col("component") != F.col("node")) \
+        .select(F.col("node").alias("doc_id"))
+    survivors = docs.join(removed, "doc_id", "left_anti")
+    ids = {r.doc_id for r in survivors.select("doc_id").collect()}
+    assert ids == {1, 3}                     # 2 deduped into 1's cluster

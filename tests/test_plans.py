@@ -130,3 +130,39 @@ def test_decontamination_external_eval_side_broadcasts(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_doc_chunks_is_narrow(spark):
+    """Chunking is scan → generate → project: NO shuffle of any kind.
+    An Exchange here would mean the fan-out got keyed/sorted somewhere
+    — at 100 TB that's moving the whole corpus for nothing."""
+    plan = _plan(spark, "doc_chunks")
+    assert "Exchange" not in plan
+    assert "Generate explode" in plan
+
+
+def test_trigram_counts_is_take_ordered(spark):
+    """Top-200 must be TakeOrdered(AndProject), never a global sort of
+    the full gram-count table."""
+    plan = _plan(spark, "trigram_counts")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_bm25_query_side_broadcasts(spark):
+    """The benchmark-sized query vocabulary must broadcast into the
+    corpus-side probe (twice: vocabulary semi-pass and score fan-out);
+    no cartesian anywhere (the 1-row stats table rides a broadcast
+    nested-loop, which is fine)."""
+    plan = _plan(spark, "bm25_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_survivors_removal_is_broadcast_anti_join(spark):
+    """The removal list (bounded by actual near-dups) must broadcast;
+    the corpus side anti-joins map-side without shuffling."""
+    plan = _plan(spark, "dedup_survivors")
+    assert "BroadcastHashJoin LeftAnti" in plan or \
+        ("LeftAnti" in plan and "BroadcastHashJoin" in plan)
+    assert "CartesianProduct" not in plan
