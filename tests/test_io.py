@@ -73,3 +73,41 @@ def test_bucketed_join_has_no_exchange(spark):
 def test_delta_is_stubbed(sample, tmp_path):
     with pytest.raises(NotImplementedError, match="[Dd]elta"):
         EIO.write_delta(sample, str(tmp_path / "d"))
+
+
+def test_events_ts_normalized_across_parquet_generations(spark, tmp_path):
+    """The driver's testdata has shipped events.ts as TIMESTAMP(NANOS)
+    (surfaced as int64 under nanosAsLong) and as TIMESTAMP(MICROS)
+    (surfaced as timestamp_ntz). load_table must yield the identical
+    session-local timestamp for the same instant from either file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduce_experiment_spark.sources.tables import load_table
+
+    instants = [1_700_000_000_000_000, 1_700_000_123_456_789]
+    base = {"event_id": [1, 2], "user_id": [10, 20],
+            "event_type": ["a", "b"], "value": [1.0, 2.0],
+            "props": ["{}", "{}"]}
+
+    nanos_dir = tmp_path / "nanos"
+    nanos_dir.mkdir()
+    pq.write_table(
+        pa.table({**base, "ts": pa.array([i * 1000 for i in instants],
+                                         pa.timestamp("ns"))}),
+        nanos_dir / "events.parquet", use_deprecated_int96_timestamps=False,
+        coerce_timestamps=None)
+
+    micros_dir = tmp_path / "micros"
+    micros_dir.mkdir()
+    pq.write_table(
+        pa.table({**base, "ts": pa.array(instants, pa.timestamp("us"))}),
+        micros_dir / "events.parquet")
+
+    got_n = load_table(spark, str(nanos_dir), "events")
+    got_u = load_table(spark, str(micros_dir), "events")
+    assert dict(got_n.dtypes)["ts"] == "timestamp"
+    assert dict(got_u.dtypes)["ts"] == "timestamp"
+    rows_n = {r.event_id: r.ts for r in got_n.collect()}
+    rows_u = {r.event_id: r.ts for r in got_u.collect()}
+    assert rows_n == rows_u
