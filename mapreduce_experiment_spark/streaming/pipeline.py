@@ -20,30 +20,32 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# Matches the parquet footer (ts is TIMESTAMP(NANOS) → int64 under
-# nanosAsLong; converted after read like sources.tables.load_table).
-_EVENTS_RAW = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
-
 _COUNTER = itertools.count()
 
 
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The file stream source wants a directory; select just the events
-    # file from the shared sf_dir with a glob filter.
+    # file from the shared sf_dir with a glob filter. Streaming needs
+    # an explicit schema, but events.ts has shipped as two parquet
+    # types across driver testdata generations (TIMESTAMP(NANOS) →
+    # int64 under nanosAsLong; TIMESTAMP(MICROS) → timestamp_ntz), so
+    # the schema comes from a batch probe of the actual footer — a
+    # hardcoded LongType ts would silently read the micros files as
+    # nulls and the watermark would drop every row.
+    import os
+
+    schema = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")).schema
     stream = (
-        spark.readStream.schema(_EVENTS_RAW)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return stream.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict((f.name, f.dataType.simpleString()) for f in schema)["ts"] \
+            == "bigint":
+        return stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def streaming_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -150,10 +150,15 @@ _ATTESTED_UNCHANGED = {
     # sources/tables.py changed this session: load_table normalizes
     # events.ts for BOTH testdata generations (nanos-as-long AND the
     # regenerated micros files) — a strict no-op for every non-events
-    # table. All events/streaming consumers are in-window; these two
-    # r3-green TPC-H headline queries are the only other out-of-window
-    # dependents, and their load path is byte-identical.
-    "pricing_summary", "revenue_by_nation",
+    # table. All events/streaming consumers are in-window; these three
+    # r3-green queries are the only other out-of-window dependents
+    # (the two TPC-H headliners, plus the SQL-API grouping-sets query
+    # whose view registration walks every table), and their load
+    # paths produce byte-identical non-events frames. The same session
+    # also reworked streaming/pipeline.py's read_event_stream (schema
+    # now probed from the parquet footer instead of hardcoded int64
+    # ts): its consumers are the streaming queries, all in-window.
+    "pricing_summary", "revenue_by_nation", "grouping_sets_sql",
 }
 
 _PKG = "mapreduce_experiment_spark"
