@@ -246,10 +246,17 @@ def contamination_pairs(docs: DataFrame, eval_mod: int = 50,
     pair count, bounded by actual collisions. Integer hash counts →
     cross-engine exact.
     """
-    from ..functions.textfns import shingle_hashes
+    from ..functions.textfns import hash60, shingles, tokenize as tok
 
-    h = docs.select(F.col(id_col),
-                    F.explode(shingle_hashes(F.col(text_col), n)).alias("g"))
+    # Token array materialized BELOW the explode: the shingle
+    # expression references it three times (guard size, sequence
+    # size, slice) and Generate inlines its generator — without the
+    # projection the regex tokenizer runs thrice per corpus row.
+    t = docs.select(F.col(id_col), tok(F.col(text_col)).alias("_toks"))
+    h = t.select(
+        F.col(id_col),
+        F.explode(F.transform(shingles(F.col("_toks"), n), hash60))
+         .alias("g"))
     ev = h.where(F.col(id_col) % eval_mod == 0).select(
         F.col(id_col).alias("eval_doc_id"), "g")
     tr = h.where(F.col(id_col) % eval_mod != 0).select(
@@ -283,14 +290,19 @@ def contamination_pairs_external(train_docs: DataFrame,
     and probes the broadcast hash; only actual collision pairs
     shuffle into the final count.
     """
-    from ..functions.textfns import shingle_hashes
+    from ..functions.textfns import hash60, shingles, tokenize as tok
 
-    tr = train_docs.select(
-        F.col(train_id_col).alias("train_doc_id"),
-        F.explode(shingle_hashes(F.col(train_text_col), n)).alias("g"))
-    ev = eval_docs.select(
-        F.col(eval_id_col).alias("eval_id"),
-        F.explode(shingle_hashes(F.col(eval_text_col), n)).alias("g"))
+    def _grams(df: DataFrame, idc: str, alias: str, txt: str) -> DataFrame:
+        # Same materialize-below-the-explode shape as
+        # contamination_pairs: one tokenizer run per row.
+        t = df.select(F.col(idc).alias(alias), tok(F.col(txt)).alias("_toks"))
+        return t.select(
+            alias,
+            F.explode(F.transform(shingles(F.col("_toks"), n), hash60))
+             .alias("g"))
+
+    tr = _grams(train_docs, train_id_col, "train_doc_id", train_text_col)
+    ev = _grams(eval_docs, eval_id_col, "eval_id", eval_text_col)
     return (
         tr.join(F.broadcast(ev), "g")
         .groupBy("train_doc_id", "eval_id")

@@ -166,3 +166,29 @@ def test_dedup_survivors_removal_is_broadcast_anti_join(spark):
     assert "BroadcastHashJoin LeftAnti" in plan or \
         ("LeftAnti" in plan and "BroadcastHashJoin" in plan)
     assert "CartesianProduct" not in plan
+
+
+import pytest
+
+
+@pytest.mark.slow
+def test_no_multi_inlined_tokenizer_in_generates(spark):
+    """Generate inlines its generator expression without CSE: an
+    n-gram/shingle explode written over `tokenize(text)` re-runs the
+    regex tokenizer once per reference (three for the shingle shape —
+    guard size, sequence size, slice), tripling the corpus-scan cost.
+    Caught live in trigram_counts and the three decontamination
+    queries (~1.6-5x wall); the fix is materializing the token array
+    in a projection below the explode. Pin the whole registry."""
+    offenders = []
+    for name, s in SPECS().items():
+        plan = s.fn(spark, SF_SMOKE) \
+            ._jdf.queryExecution().executedPlan().toString()
+        for line in plan.splitlines():
+            if "Generate" in line and line.count("regexp_replace") > 1:
+                offenders.append(name)
+                break
+    assert not offenders, (
+        f"queries re-running the tokenizer inside a Generate: {offenders}"
+        " — materialize the token array in a projection below the explode"
+    )
