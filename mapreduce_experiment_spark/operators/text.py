@@ -571,17 +571,27 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k1: float = BM25_K1,
         F.explode(F.array_distinct(tokenize(F.col(query_text_col))))
          .alias("term"))
     vocab = qterms.select("term").distinct()
-    toks = docs.select(F.col(id_col).alias("doc_id"),
-                       F.explode(tokenize(F.col(text_col))).alias("term"))
-    tfq = (toks.join(F.broadcast(vocab), "term")
-           .groupBy("doc_id", "term")
+    # One tokenized base projection; dl (doc token length) rides
+    # THROUGH the explode as a carried column, so no corpus-sized
+    # doc_id join is ever needed to reattach it — at 100 TB that join
+    # would shuffle the whole corpus's doc list. (The token array is
+    # materialized below the explode for single tokenizer evaluation,
+    # same as the other n-gram operators.)
+    t = docs.select(F.col(id_col).alias("doc_id"),
+                    tokenize(F.col(text_col)).alias("_toks"))
+    base = t.select(
+        "doc_id",
+        F.size("_toks").cast("long").alias("dl"),
+        F.explode("_toks").alias("term"))
+    tfq = (base.join(F.broadcast(vocab), "term")
+           .groupBy("doc_id", "dl", "term")
            .agg(F.count(F.lit(1)).alias("tf")))
     dfr = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    dl = docs.select(F.col(id_col).alias("doc_id"),
-                     F.size(tokenize(F.col(text_col))).cast("long")
-                      .alias("dl"))
-    stats = dl.agg(F.count(F.lit(1)).cast("double").alias("_n"),
-                   F.avg("dl").alias("_avgdl"))
+    # Corpus stats (N, avgdl) need ALL docs — including ones matching
+    # no query term — so they are a separate 1-row aggregate pass (at
+    # deployment: corpus metadata computed once, a broadcast scalar).
+    stats = t.agg(F.count(F.lit(1)).cast("double").alias("_n"),
+                  F.avg(F.size("_toks").cast("long")).alias("_avgdl"))
     idf = F.log(1.0 + (F.col("_n") - F.col("df") + 0.5)
                 / (F.col("df") + 0.5))
     denom = F.col("tf") + F.lit(float(k1)) * (
@@ -590,7 +600,6 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k1: float = BM25_K1,
     w_micro = F.floor(idf * ((F.col("tf") * F.lit(k1p1)) / denom)
                       * 1_000_000 + 0.5).cast("long")
     w = (tfq.join(dfr, "term")
-         .join(dl, "doc_id")
          .crossJoin(F.broadcast(stats))
          .select("doc_id", "term", w_micro.alias("w_micro")))
     scored = (w.join(F.broadcast(qterms), "term")
