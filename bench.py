@@ -30,14 +30,17 @@ def _sf_from_dir(path: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
-def _shuffle_totals(spark) -> tuple[int, int] | None:
-    """Cumulative (shuffle write, shuffle read) bytes across all stages
-    the app has completed so far, from the JVM AppStatusStore (works
-    with the UI disabled). Per-query work = the before/after delta —
-    a load-independent measure of plan work, unlike wall-clock
-    (BENCHNOTES.md: round-over-round deltas have been dominated by
-    external box load). Returns None if the py4j surface ever drifts;
-    the bench then simply omits the fields rather than failing."""
+def _stage_snapshot(spark) -> dict | None:
+    """Per-stage metrics snapshot from the JVM AppStatusStore (works
+    with the UI disabled), keyed by (stageId, attemptId). A query's
+    work = the stages that appear between a before/after snapshot —
+    load-independent measures of plan work (bytes shuffled/spilled,
+    executor CPU) plus wall-affecting state wall-clock alone can't
+    arbitrate (GC time, peak execution memory). BENCHNOTES.md:
+    round-over-round wall deltas have been dominated by external box
+    load; these fields let a reader separate plan regressions from
+    noise. Returns None if the py4j surface ever drifts; the bench
+    then simply omits the fields rather than failing."""
     try:
         sc = spark.sparkContext
         store = sc._jsc.sc().statusStore()
@@ -45,14 +48,53 @@ def _shuffle_totals(spark) -> tuple[int, int] | None:
         empty = gw.jvm.java.util.ArrayList()
         quantiles = gw.new_array(gw.jvm.double, 0)
         stages = store.stageList(empty, False, False, quantiles, empty)
-        w = r = 0
+        snap = {}
         for i in range(stages.size()):
             s = stages.apply(i)
-            w += s.shuffleWriteBytes()
-            r += s.shuffleReadBytes()
-        return w, r
+            snap[(s.stageId(), s.attemptId())] = {
+                "shuffle_write_bytes": s.shuffleWriteBytes(),
+                "shuffle_read_bytes": s.shuffleReadBytes(),
+                "memory_spill_bytes": s.memoryBytesSpilled(),
+                "disk_spill_bytes": s.diskBytesSpilled(),
+                "jvm_gc_time_ms": s.jvmGcTime(),
+                "executor_run_time_ms": s.executorRunTime(),
+                "executor_cpu_time_ms": s.executorCpuTime() // 1_000_000,
+                "peak_execution_memory_bytes": s.peakExecutionMemory(),
+            }
+        return snap
     except Exception:
         return None
+
+
+def _stage_delta(before: dict, after: dict) -> dict[str, int]:
+    """Aggregate the stages that ran between two snapshots: cumulative
+    counters sum; peak execution memory is a max (it is a high-water
+    mark per stage, not a counter)."""
+    out = {k: 0 for k in next(iter(after.values()), {})}
+    for key, m in after.items():
+        if key in before:
+            continue
+        for k, v in m.items():
+            if k == "peak_execution_memory_bytes":
+                out[k] = max(out.get(k, 0), v)
+            else:
+                out[k] = out.get(k, 0) + v
+    return out
+
+
+def _more_runs(runs: list[float]) -> bool:
+    """Per-query run policy: always 2 runs (min = reproducible
+    capability); for expensive queries whose 2 runs DISAGREE (spread
+    >1.5x), up to 2 extra runs. Quiet-window triage (BENCHNOTES.md
+    r5) showed identical plan work burning 54-157 executor-CPU-sec
+    depending on ambient box load — back-to-back runs see correlated
+    load bursts, so a long query needs a third chance to land in a
+    quiet moment before its number is recorded."""
+    if len(runs) < 2:
+        return True
+    if len(runs) >= 4:
+        return False
+    return min(runs) > 5.0 and max(runs) / min(runs) > 1.5
 
 
 def _run_suite(spark, sf_dir: str):
@@ -73,31 +115,40 @@ def _run_suite(spark, sf_dir: str):
     # runs would measure warm-cache time, not query time).
     for name, spec in sorted(specs.items()):
         best = None
-        shuffle_w = shuffle_r = None
+        best_delta: dict[str, int] | None = None
         rows = None
-        for _ in range(2):
+        runs: list[float] = []
+        while _more_runs(runs):
             spark.catalog.clearCache()
-            before = _shuffle_totals(spark)
+            before = _stage_snapshot(spark)
             obs = Observation()
             t0 = time.perf_counter()
             df = spec.fn(spark, sf_dir)
             df.observe(obs, F.count(F.lit(1)).alias("rows")) \
                 .write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
+            runs.append(dt)
             best = dt if best is None else min(best, dt)
             rows = int(obs.get["rows"])
-            after = _shuffle_totals(spark)
+            after = _stage_snapshot(spark)
             if before is not None and after is not None:
-                dw, dr = after[0] - before[0], after[1] - before[1]
-                # min over runs: identical plans shuffle identical
-                # bytes; the min is robust to stray concurrent jobs.
-                shuffle_w = dw if shuffle_w is None else min(shuffle_w, dw)
-                shuffle_r = dr if shuffle_r is None else min(shuffle_r, dr)
+                delta = _stage_delta(before, after)
+                # min over runs per field: identical plans shuffle
+                # identical bytes; the min is robust to stray
+                # concurrent jobs, and for GC/spill/peak-memory it is
+                # the reproducible floor (transient pressure inflates
+                # a single run, never deflates it).
+                if best_delta is None:
+                    best_delta = delta
+                else:
+                    best_delta = {
+                        k: min(best_delta.get(k, 0), v)
+                        for k, v in delta.items()
+                    }
         timings[name] = round(best, 3)
         m: dict[str, int] = {"output_rows": rows}
-        if shuffle_w is not None:
-            m["shuffle_write_bytes"] = shuffle_w
-            m["shuffle_read_bytes"] = shuffle_r
+        if best_delta is not None:
+            m.update(best_delta)
         metrics[name] = m
     return timings, metrics
 

@@ -599,7 +599,11 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k1: float = BM25_K1,
         * (F.col("dl") / F.col("_avgdl")))
     w_micro = F.floor(idf * ((F.col("tf") * F.lit(k1p1)) / denom)
                       * 1_000_000 + 0.5).cast("long")
-    w = (tfq.join(dfr, "term")
+    # dfr is query-vocabulary-sized (tiny): broadcast it explicitly so
+    # a stats misestimate can never shuffle the corpus-sized tf table
+    # on `term` — a skewed key at 100 TB (stopword-ish query terms
+    # concentrate most of the corpus rows on a handful of terms).
+    w = (tfq.join(F.broadcast(dfr), "term")
          .crossJoin(F.broadcast(stats))
          .select("doc_id", "term", w_micro.alias("w_micro")))
     scored = (w.join(F.broadcast(qterms), "term")

@@ -291,15 +291,6 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side; the oracle recomputes clusters exhaustively
     (all-pairs Jaccard + unrolled min-label CC), so the hash match
     re-proves LSH recall AND CC convergence on the removal set."""
-    from pyspark.sql import functions as F
-
-    from ..operators import graph as G
-
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.minhash_dedup_pairs(docs, threshold=0.8).select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    labels = G.connected_components(pairs)
-    removed = labels.where(F.col("component") != F.col("node")) \
-        .select(F.col("node").alias("doc_id"))
-    return docs.join(F.broadcast(removed), "doc_id", "left_anti") \
+    return D.dedup_survivors(docs, threshold=0.8) \
         .select("doc_id", "source", "lang")

@@ -575,12 +575,6 @@ def test_dedup_survivors_one_per_cluster(spark):
         [(1, base, "s", "en"), (2, near, "s", "en"),
          (3, "totally different text about query planners " * 8, "s", "en")],
         "doc_id long, text string, source string, lang string")
-    from mapreduce_experiment_spark.operators import graph as G
-    pairs = D.minhash_dedup_pairs(docs, threshold=0.5).select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    labels = G.connected_components(pairs)
-    removed = labels.where(F.col("component") != F.col("node")) \
-        .select(F.col("node").alias("doc_id"))
-    survivors = docs.join(removed, "doc_id", "left_anti")
+    survivors = D.dedup_survivors(docs, threshold=0.5)
     ids = {r.doc_id for r in survivors.select("doc_id").collect()}
     assert ids == {1, 3}                     # 2 deduped into 1's cluster

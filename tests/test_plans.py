@@ -5,6 +5,8 @@ checks — these tests catch the plan regression itself."""
 
 from __future__ import annotations
 
+import pytest
+
 from mapreduce_experiment_spark.plans.registry import SPECS
 from tests.conftest import SF_SMOKE
 
@@ -153,10 +155,17 @@ def test_bm25_query_side_broadcasts(spark):
     """The benchmark-sized query vocabulary must broadcast into the
     corpus-side probe (twice: vocabulary semi-pass and score fan-out);
     no cartesian anywhere (the 1-row stats table rides a broadcast
-    nested-loop, which is fine)."""
+    nested-loop, which is fine). Every join in the plan must be a
+    broadcast: the corpus-side tf table may never shuffle on `term`
+    (a skewed key at 100 TB — stopword-ish query terms concentrate
+    most corpus rows on a handful of terms), which is why the tiny
+    term->df table carries an explicit broadcast hint rather than
+    relying on an AQE stats estimate."""
     plan = _plan(spark, "bm25_topk")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
 
 
 def test_dedup_survivors_removal_is_broadcast_anti_join(spark):
@@ -166,9 +175,6 @@ def test_dedup_survivors_removal_is_broadcast_anti_join(spark):
     assert "BroadcastHashJoin LeftAnti" in plan or \
         ("LeftAnti" in plan and "BroadcastHashJoin" in plan)
     assert "CartesianProduct" not in plan
-
-
-import pytest
 
 
 @pytest.mark.slow
