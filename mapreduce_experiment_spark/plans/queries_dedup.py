@@ -28,6 +28,7 @@ from ..functions.textfns import (
     hash60_sql,
     minhash_params,
     shingle_hashes_sql,
+    tokenize_sql,
 )
 from ..operators import dedup as D
 from ..sources.tables import load_table
@@ -294,3 +295,105 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.dedup_survivors(docs, threshold=0.8) \
         .select("doc_id", "source", "lang")
+
+
+# --- span-level (substring) cross-document dedup ----------------------------
+# Shared SQL fragments mirror operators/dedup.py span functions; the
+# window length constant comes from one place (D.SPAN_N) so the two
+# engines can never disagree on the grain.
+
+_SPN = D.SPAN_N
+
+_SPAN_CTE = f"""
+WITH t AS (
+  SELECT doc_id, {tokenize_sql('text')} AS toks FROM documents
+),
+w AS (
+  SELECT doc_id, i,
+         {hash60_sql(f"array_to_string(list_slice(toks, i, i + {_SPN - 1}), ' ')")} AS fp
+  FROM t, unnest(range(1, len(toks) - {_SPN - 2})) AS r(i)
+  WHERE len(toks) >= {_SPN}
+),
+g AS (
+  SELECT fp, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS min_doc
+  FROM w GROUP BY fp
+)
+"""
+
+_ISLANDS_SQL = f"""
+isl AS (
+  SELECT doc_id, i, fp, i + {_SPN - 1} AS e,
+         CASE WHEN max(i + {_SPN - 1}) OVER prev IS NULL
+                OR i > max(i + {_SPN - 1}) OVER prev + 1
+              THEN 1 ELSE 0 END AS opens
+  FROM flagged
+  WINDOW prev AS (PARTITION BY doc_id ORDER BY i
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+isl2 AS (
+  SELECT *, sum(opens) OVER (PARTITION BY doc_id ORDER BY i
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS island
+  FROM isl
+)
+"""
+
+
+@register(
+    "repeated_spans",
+    oracle=_SPAN_CTE + ",\nflagged AS (SELECT w.* FROM w JOIN g USING (fp)"
+    " WHERE n_docs >= 2),\n" + _ISLANDS_SQL + f"""
+SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
+       CAST(max(e) - min(i) + 1 AS BIGINT) AS span_len,
+       arg_min(fp, i) AS lead_fp,
+       count(*) AS n_windows
+FROM isl2 GROUP BY doc_id, island
+""",
+)
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level cross-doc dedup, detection half (Lee et al. 2021
+    repeated-substring removal, distributed as fixed-length token
+    window fingerprints): maximal merged regions whose {SPAN_N}-token
+    windows recur in >= 2 distinct docs. The corpus-scale window
+    table groups on an 8-byte fp with map-side partial aggregation;
+    only repeated fps (the repeated CONTENT — tiny) come back via an
+    equi-join; region merge shuffles per-doc triples. Never all-pairs
+    (pinned in test_plans)."""
+    return D.repeated_spans(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "span_deduped_corpus",
+    oracle=_SPAN_CTE + ",\nflagged AS (SELECT w.* FROM w JOIN g USING (fp)"
+    " WHERE n_docs >= 2 AND w.doc_id <> g.min_doc),\n" + _ISLANDS_SQL + f"""
+, nrm AS (
+  SELECT doc_id, CAST(count(DISTINCT island) AS BIGINT) AS n
+  FROM isl2 GROUP BY doc_id
+),
+cov AS (
+  SELECT DISTINCT doc_id, j
+  FROM flagged, unnest(range(i, i + {_SPN})) AS r(j)
+),
+tokpos AS (
+  SELECT doc_id, i AS j, toks[i] AS tk
+  FROM t, unnest(range(1, len(toks) + 1)) AS r(i)
+),
+kept AS (
+  SELECT doc_id, j, tk FROM tokpos ANTI JOIN cov USING (doc_id, j)
+),
+ct AS (
+  SELECT doc_id, string_agg(tk, ' ' ORDER BY j) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, coalesce(nrm.n, 0) AS n_spans_removed,
+       coalesce(ct.clean_text, '') AS clean_text
+FROM t LEFT JOIN nrm USING (doc_id) LEFT JOIN ct USING (doc_id)
+""",
+)
+def q_span_deduped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup, removal half: keep-first token-span removal
+    (the min-id doc keeps its copy; every other doc drops the covered
+    tokens). Oracle recomputes coverage token-by-token from scratch —
+    the hash match proves island merging, ownership, and the
+    filter-by-index reconstruction all at once."""
+    return D.span_deduped_corpus(load_table(spark, sf_dir, "documents"))

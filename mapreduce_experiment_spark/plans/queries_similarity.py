@@ -285,3 +285,27 @@ def q_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = S.knn_ivf_trained(load_table(spark, sf_dir, "embeddings"),
                            n_queries=10, k=5)
     return df.withColumnRenamed("cos", "cos_sim")
+
+
+@register("knn_ivf_pruned", oracle=_KNN_IVF_SQL)
+def q_knn_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`operators.similarity.knn_ivf_pruned` — knn_ivf served
+    from a PERSISTED index (corpus written partitionBy(centroid_id),
+    probe reads back through a statically partition-pruned scan; see
+    ``test_ivf_pruned_index_scan_and_value_parity`` for the plan
+    proof). Output contract and oracle are identical to ``knn_ivf``:
+    the pruned-index path must produce value-identical neighbors.
+
+    The index is (re)written under the Spark-local temp dir each run
+    — the registered query stays self-contained and idempotent; a
+    deployment writes the index once and reuses it across query
+    batches (the entire point of the persistence)."""
+    import os
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"mre_spark_ivf_index_{tag}")
+    S.write_ivf_index(emb, path, n_queries=10)
+    df = S.knn_ivf_pruned(spark, emb, path, n_queries=10, k=5)
+    return df.withColumnRenamed("cos", "cos_sim")

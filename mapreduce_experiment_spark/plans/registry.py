@@ -72,45 +72,54 @@ def register(name: str, oracle: str | None = None, headline: bool = False):
 # whose last verdict is stalest go first; stable queries proven green
 # in a recent round rotate to the back. Names not listed keep their
 # registration order after the listed ones.
+#
+# SATURATION: with a 50-query window on alternate-round rotation, 100
+# registered queries is the EXACT ceiling at which every entry can
+# hold a driver verdict <= 1 round old (50 verified this round, 50
+# last round). The registry sits at that ceiling as of round 5 —
+# adding an (N+1)th query now structurally breaks the freshness
+# invariant for some query unless an existing one retires, so new
+# registrations must displace, not accrete.
 _ORDER: list[str] = [
-    # -- round 4: new queries --
-    "packed_sequence_fragments",    # new: boundary-splitting packing
-    "decontamination_external",     # new: disjoint literal eval corpus
-    "streaming_minhash_dedup",      # new: stateful streaming near-dup
-    "repetition_scores",            # new: intra-doc repetition filter
-    "quality_filtered_corpus",      # new: filter chain w/ reasons
-    "source_mixture_sample",        # new: weights-table corpus mixing
-    "decontaminated_corpus",        # new: contamination removal step
-    # -- round 4: changed plans / changed operator module --
-    "packed_sequences",             # seq_id now true integer DIV
-    "approx_order_percentiles",     # integer-space exact interpolation
-    "decontamination_pairs",        # operators/text.py refactor (_pack_starts)
-    # -- the 36 queries whose last driver verdict is r1/r2 (stalest
-    #    first was r3's own contract; they are 42% of the registry and
-    #    rotate forward en bloc this round) --
-    "knn_bruteforce", "ivf_assignments",
-    "triangle_count", "streaming_triangle_count", "connected_components",
-    "dedup_clusters", "embedding_near_dups", "srp_bucket_stats", "knn_ivf",
-    "session_stats", "hourly_event_counts", "session_window_stats",
-    "stateful_streaming_sessions", "streaming_event_dedup",
-    "streaming_hourly_counts", "value_band_range_join",
-    "streaming_view_attribution", "stratified_event_sample",
-    "media_metadata", "media_byte_histograms", "media_frame_sample",
-    "purchase_last_click_asof",
-    "nation_participants_full_outer", "value_distribution_stats",
-    "price_quantity_correlation", "event_type_counts_salted",
-    "lineitem_profile",
-    "volume_shipping", "asia_market_share", "signup_to_purchase_funnel",
-    "monthly_retention_cohorts", "brand_revenue_by_year",
-    "top_parts_per_nation", "daily_event_type_pivot",
-    "order_size_distribution", "order_value_histogram",
-    # -- round 4 (this session): new queries in the remaining slots
-    #    (displacing the r3-green headline repeats, which keep their
-    #    fresh r3 verdicts) --
-    "doc_chunks", "bm25_topk", "trigram_counts", "dedup_survivors",
+    # -- round 5: new queries --
+    "repeated_spans",               # new: span-level cross-doc dedup
+    "span_deduped_corpus",          # new: keep-first span removal
+    # -- round 5: changed plan (explicit broadcast of the term->df
+    #    table; the static plan gains BroadcastHashJoin where the
+    #    pre-hint plan had SortMergeJoin + 2 Exchanges, so the r4
+    #    verdict no longer covers the shipped plan) --
+    "bm25_topk",
+    # -- the 47 queries whose last driver verdict is r3 (everything
+    #    outside the r4 window rotates in en bloc — keeps every
+    #    registry entry's verdict <= 1 round old) --
+    "edges_derive", "symmetrize", "adjacency", "degrees",
+    "candidate_pairs", "triangles", "pagerank", "triangles_faithful",
+    "pricing_summary", "revenue_by_nation",
+    "top_customers_per_nation", "customer_running_spend",
+    "order_gap_days", "top_orders_global", "order_priority_rollup",
+    "returnflag_status_cube", "mktsegment_pivot", "parts_never_ordered",
+    "suppliers_with_orders", "customers_retained", "customers_churned",
+    "orders_above_customer_average", "order_scalar_functions",
+    "events_json_extract", "nation_order_stats", "account_balance_union",
+    "exact_dedup_groups", "minhash_signatures", "minhash_dedup_pairs",
+    "ngram_jaccard_pairs", "simhash_signatures", "simhash_near_dups",
+    "knn_bruteforce_blas", "kmeans_centroids", "kmeans_ivf_assignments",
+    "knn_ivf_trained",
+    "lang_id", "quality_scores", "token_counts", "token_frequencies",
+    "pii_redaction", "tfidf_doc_pairs", "fingerprints",
+    "sessionize_events", "user_value_scd2", "grouping_sets_sql",
+    "approx_distinct_counts",
     # ---- verification-window boundary: len(_ORDER) == 50, pinned by
     #      test_order_is_exactly_the_window ----
-    # r3-green unchanged queries follow in registration order.
+    # knn_ivf_pruned (new r5) follows FIRST among the out-of-window
+    # queries: the 50 slots are exactly consumed by the 47 rotations
+    # + 1 changed + 2 new span queries, so its driver verification is
+    # deferred one round (it is locally oracle-gated at two SFs by
+    # test_registry_oracle in the meantime) and the deferral is
+    # enforced mechanically — see _DEFERRED_TO_NEXT_WINDOW in
+    # tests/test_registry_order.py.
+    "knn_ivf_pruned",
+    # r4-green unchanged queries follow in registration order.
 ]
 
 

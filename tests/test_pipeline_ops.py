@@ -578,3 +578,106 @@ def test_dedup_survivors_one_per_cluster(spark):
     survivors = D.dedup_survivors(docs, threshold=0.5)
     ids = {r.doc_id for r in survivors.select("doc_id").collect()}
     assert ids == {1, 3}                     # 2 deduped into 1's cluster
+
+
+# --- span-level cross-document dedup ----------------------------------------
+_BOILER = ("this content is licensed under a creative "
+           "commons attribution share alike license")  # 12 tokens
+
+
+def test_repeated_spans_finds_planted_boilerplate(spark):
+    docs = _docs(spark, [
+        (1, "unique alpha words " + _BOILER + " tail one two three"),
+        (2, "other beta stuff over here " + _BOILER),
+        (3, "totally unrelated document with no repeats at all whatsoever"),
+        (4, _BOILER),
+        (5, "way too short"),
+    ])
+    rows = D.repeated_spans(docs, n=8).collect()
+    got = {(r.doc_id, r.span_start, r.span_len) for r in rows}
+    # 12-token boilerplate → windows at 5 starts, merged to one
+    # 12-token region per doc, at each doc's plant offset.
+    assert got == {(1, 4, 12), (2, 6, 12), (4, 1, 12)}
+    # copies of the same passage share the lead fingerprint
+    assert len({r.lead_fp for r in rows}) == 1
+    assert all(r.n_windows == 5 for r in rows)
+
+
+def test_repeated_spans_merges_overlapping_coverage(spark):
+    # Two repeated 8-windows whose coverage overlaps but whose starts
+    # are NOT consecutive (the shared text diverges in the middle of
+    # doc 2) must still merge into one region in doc 1.
+    a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    docs = _docs(spark, [
+        (1, a),                                  # both windows present
+        (2, "w1 w2 w3 w4 w5 w6 w7 w8 pad pad"),  # start-1 window only
+        (3, "pad w5 w6 w7 w8 w9 w10 w11 w12"),   # start-5 window only
+    ])
+    rows = D.repeated_spans(docs, n=8).where(F.col("doc_id") == 1).collect()
+    assert {(r.span_start, r.span_len) for r in rows} == {(1, 12)}
+
+
+def test_span_deduped_corpus_keep_first_semantics(spark):
+    docs = _docs(spark, [
+        (1, "unique alpha words " + _BOILER),
+        (2, "other beta stuff " + _BOILER + " and a unique ending"),
+        (4, _BOILER),
+    ])
+    got = {r.doc_id: r for r in D.span_deduped_corpus(docs, n=8).collect()}
+    assert set(got) == {1, 2, 4}
+    # doc 1 (minimum id) keeps its copy verbatim
+    assert got[1].n_spans_removed == 0
+    assert got[1].clean_text == "unique alpha words " + _BOILER
+    # doc 2 loses exactly the boilerplate tokens
+    assert got[2].n_spans_removed == 1
+    assert got[2].clean_text == "other beta stuff and a unique ending"
+    # doc 4 was nothing but the boilerplate
+    assert got[4].n_spans_removed == 1
+    assert got[4].clean_text == ""
+
+
+def test_span_dedup_short_and_clean_docs_pass_through(spark):
+    docs = _docs(spark, [
+        (7, "short"),
+        (8, "a perfectly original sentence with eight distinct tokens"),
+    ])
+    got = {r.doc_id: r for r in D.span_deduped_corpus(docs, n=8).collect()}
+    assert got[7].n_spans_removed == 0 and got[7].clean_text == "short"
+    assert got[8].n_spans_removed == 0
+    assert got[8].clean_text == \
+        "a perfectly original sentence with eight distinct tokens"
+
+
+def test_ivf_pruned_index_scan_and_value_parity(spark, sf_smoke, tmp_path):
+    """The persisted-IVF demo the knn_ivf docstring promises: the
+    corpus written partitionBy(centroid_id), the probe served by a
+    partition-PRUNED scan (PartitionFilters on centroid_id, probed
+    subset only), and the output value-identical to the in-memory
+    knn_ivf equi-join."""
+    from mapreduce_experiment_spark.operators import similarity as S
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    path = str(tmp_path / "ivf_index")
+    S.write_ivf_index(emb, path)
+
+    got_df = S.knn_ivf_pruned(spark, emb, path, nprobe=1)
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    # The index scan must carry a partition filter on centroid_id
+    # (static INSET pruning, not a post-scan filter).
+    assert any("FileScan parquet" in line
+               and "PartitionFilters: [centroid_id" in line
+               and (" IN (" in line or "INSET" in line)
+               for line in plan.splitlines())
+    # ... and the pruned-to set must be a strict subset of the
+    # centroids (inputFiles() can't see pruning — it lists the file
+    # index; the filter list in the plan is what the scan applies).
+    import re
+    m = re.search(r"PartitionFilters: \[centroid_id#\d+L? IN \(([\d,]+)\)",
+                  plan)
+    assert m, "no static IN partition filter on the index scan"
+    assert 0 < len(m.group(1).split(",")) < S.N_CENTROIDS
+
+    got = {(r.query_id, r.neighbor_id, r.cos, r.rank)
+           for r in got_df.collect()}
+    want = {(r.query_id, r.neighbor_id, r.cos, r.rank)
+            for r in S.knn_ivf(emb, nprobe=1).collect()}
+    assert got == want and len(got) > 0

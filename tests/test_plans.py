@@ -198,3 +198,14 @@ def test_no_multi_inlined_tokenizer_in_generates(spark):
         f"queries re-running the tokenizer inside a Generate: {offenders}"
         " — materialize the token array in a projection below the explode"
     )
+
+
+def test_span_dedup_no_allpairs_and_fp_equijoin(spark):
+    """Span dedup must never compare documents pairwise: candidate
+    flagging is an equi-join on the 8-byte window fingerprint, and
+    everything else is per-doc window/aggregate work."""
+    for name in ("repeated_spans", "span_deduped_corpus"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "fp#" in plan, name  # the fingerprint key is the join key

@@ -12,50 +12,67 @@ import os
 
 from mapreduce_experiment_spark.plans.registry import _ORDER, SPECS
 
-# Round 4 contract: everything new/changed in round 4, plus ALL 36
-# queries whose last driver verdict was r1/r2 (the r3 verdict flagged
-# rotation debt as the top freshness risk — this round pays it down
-# wholesale).
+# Round 5 contract: the two new span-dedup queries, bm25_topk (its
+# static plan changed — explicit broadcast of the term->df join), and
+# ALL 47 queries whose last driver verdict was r3 (everything outside
+# the r4 window — keeps every verdict <= 1 round old).
 _MUST_BE_IN_WINDOW = {
-    # new or changed in round 4
-    "packed_sequence_fragments", "decontamination_external",
-    "streaming_minhash_dedup", "repetition_scores",
-    "quality_filtered_corpus", "source_mixture_sample",
-    "decontaminated_corpus",
-    "packed_sequences", "approx_order_percentiles",
-    "decontamination_pairs",
-    "doc_chunks", "bm25_topk", "trigram_counts", "dedup_survivors",
-    # last driver verdict r1/r2 (stale set, rotated forward en bloc)
-    "knn_bruteforce", "ivf_assignments",
-    "triangle_count", "streaming_triangle_count", "connected_components",
-    "dedup_clusters", "embedding_near_dups", "srp_bucket_stats", "knn_ivf",
-    "session_stats", "hourly_event_counts", "session_window_stats",
-    "stateful_streaming_sessions", "streaming_event_dedup",
-    "streaming_hourly_counts", "value_band_range_join",
-    "streaming_view_attribution", "stratified_event_sample",
-    "media_metadata", "media_byte_histograms", "media_frame_sample",
-    "purchase_last_click_asof",
-    "nation_participants_full_outer", "value_distribution_stats",
-    "price_quantity_correlation", "event_type_counts_salted",
-    "lineitem_profile",
-    "volume_shipping", "asia_market_share", "signup_to_purchase_funnel",
-    "monthly_retention_cohorts", "brand_revenue_by_year",
-    "top_parts_per_nation", "daily_event_type_pivot",
-    "order_size_distribution", "order_value_histogram",
+    # new or changed in round 5
+    "repeated_spans", "span_deduped_corpus", "bm25_topk",
+    # last driver verdict r3 (the full r4 out-of-window set)
+    "edges_derive", "symmetrize", "adjacency", "degrees",
+    "candidate_pairs", "triangles", "pagerank", "triangles_faithful",
+    "pricing_summary", "revenue_by_nation",
+    "top_customers_per_nation", "customer_running_spend",
+    "order_gap_days", "top_orders_global", "order_priority_rollup",
+    "returnflag_status_cube", "mktsegment_pivot", "parts_never_ordered",
+    "suppliers_with_orders", "customers_retained", "customers_churned",
+    "orders_above_customer_average", "order_scalar_functions",
+    "events_json_extract", "nation_order_stats", "account_balance_union",
+    "exact_dedup_groups", "minhash_signatures", "minhash_dedup_pairs",
+    "ngram_jaccard_pairs", "simhash_signatures", "simhash_near_dups",
+    "knn_bruteforce_blas", "kmeans_centroids", "kmeans_ivf_assignments",
+    "knn_ivf_trained",
+    "lang_id", "quality_scores", "token_counts", "token_frequencies",
+    "pii_redaction", "tfidf_doc_pairs", "fingerprints",
+    "sessionize_events", "user_value_scd2", "grouping_sets_sql",
+    "approx_distinct_counts",
 }
 
 WINDOW = 50
+
+# New queries that could NOT fit this round's 50-slot window (the 47
+# mandatory rotations + 1 changed + 2 new already fill it) and whose
+# driver verification is therefore deferred EXACTLY one round: they
+# must sit immediately after the window boundary so the next
+# rotation picks them up first, and they carry local oracle gating
+# (test_registry_oracle, sf0.001 + sf0.01) in the meantime. This is
+# the honest accounting for "more new queries than free slots" — not
+# an attestation (nothing to attest: they have no prior verdict).
+_DEFERRED_TO_NEXT_WINDOW = ["knn_ivf_pruned"]
 
 
 def test_order_is_exactly_the_window():
     """ADVICE r3: _ORDER listed 52 names before the 'boundary (50)'
     comment, silently pushing its last two entries outside the
-    driver's window. Pin the list to EXACTLY the window size so the
-    boundary comment can never lie again."""
-    assert len(_ORDER) == WINDOW, (
+    driver's window. Pin the list to EXACTLY the window size (plus
+    the explicitly-deferred tail) so the boundary comment can never
+    lie again."""
+    assert len(_ORDER) == WINDOW + len(_DEFERRED_TO_NEXT_WINDOW), (
         f"_ORDER has {len(_ORDER)} names; the driver verifies exactly "
         f"{WINDOW} — trim or fill so position matches intent"
     )
+
+
+def test_deferred_queries_sit_just_past_the_boundary():
+    """A deferred new query must be FIRST in line for the next
+    round's window — listed in _ORDER immediately after the 50, not
+    floating in registration order where a future edit could push it
+    back again."""
+    tail = _ORDER[WINDOW:WINDOW + len(_DEFERRED_TO_NEXT_WINDOW)]
+    assert tail == _DEFERRED_TO_NEXT_WINDOW
+    window = list(SPECS())[:WINDOW]
+    assert not set(_DEFERRED_TO_NEXT_WINDOW) & set(window)
 
 
 def test_order_names_all_registered():
@@ -91,74 +108,46 @@ def test_registry_has_expected_size():
 # either sit inside the window or be explicitly attested unchanged
 # below (a conscious, reviewable act in the diff).
 
-_ROUND_BASE = "36de05f"  # driver's round-3 commit; bump each round
+_ROUND_BASE = "73df5cc"  # driver's round-4 commit; bump each round
 
 # Queries living in touched modules whose own plan + oracle are
-# attested unchanged this round (round 4: queries_text.py only gained
-# the fragments/external-decon registrations and operators/text.py's
-# change is the _pack_starts refactor + two added operators — the
-# queries below share the module but neither their plan code nor
-# their oracle text changed; queries_sketches.py's edit was confined
-# to approx_order_percentiles, which IS in-window).
+# attested unchanged this round. Round 5's package edits are:
+# operators/dedup.py (APPENDED span-dedup operators + shared
+# dedup_survivors operator + one import line), operators/
+# similarity.py (APPENDED write_ivf_index/knn_ivf_pruned),
+# operators/text.py (bm25_topk function body only — in-window),
+# plans/queries_dedup.py (APPENDED span registrations + the
+# dedup_survivors body now calls the shared operator — its EXECUTED
+# PLAN was verified byte-identical before/after in-session, and its
+# oracle text is untouched), plans/queries_similarity.py (APPENDED
+# knn_ivf_pruned registration). Every name below is r4-green with
+# plan + oracle text untouched by those hunks.
 _ATTESTED_UNCHANGED = {
-    "lang_id", "quality_scores", "token_counts", "pii_redaction",
-    "fingerprints", "tfidf_doc_pairs",
-    "approx_distinct_counts",
-    # operators/similarity.py r4 edit is docstring-only (recall-gate
-    # cross-references); these four are its out-of-window dependents,
-    # all r3-green with plan + oracle text untouched.
-    "kmeans_centroids", "kmeans_ivf_assignments", "knn_ivf_trained",
-    "knn_bruteforce_blas",
-    # queries_dedup.py's r4 edit is the streaming_minhash_dedup
-    # registration only; these four r3-green dedup queries share the
-    # module (and streaming/pipeline.py gained an appended function)
-    # with plan + oracle text untouched.
-    "exact_dedup_groups", "minhash_signatures", "simhash_signatures",
-    "simhash_near_dups",
-    # queries_events.py reaches streaming/pipeline.py (whose r4 change
-    # is ONLY the appended streaming_minhash_dedup); these three
-    # r3-green events queries are its out-of-window dependents, plans
-    # + oracles untouched.
-    "events_json_extract", "sessionize_events", "user_value_scd2",
-    # queries_graph.py also reaches streaming/pipeline.py (via
-    # streaming.triangles); same append-only change, graph plans +
-    # oracles untouched. triangles/triangles_faithful/pagerank were
-    # fresh r3-green and rotated out as fillers when the four new
-    # corpus-prep queries took their window slots.
-    "edges_derive", "symmetrize", "adjacency", "degrees",
-    "candidate_pairs", "triangles", "triangles_faithful", "pagerank",
-    # operators/relational.py's r4 change is the APPENDED
-    # mixture_sample (consumed only by the in-window
-    # source_mixture_sample); every queries_relational plan + oracle
-    # is untouched.
-    "top_customers_per_nation", "customer_running_spend",
-    "order_gap_days", "top_orders_global", "order_priority_rollup",
-    "returnflag_status_cube", "mktsegment_pivot", "parts_never_ordered",
-    "suppliers_with_orders", "customers_retained", "customers_churned",
-    "orders_above_customer_average", "order_scalar_functions",
-    "nation_order_stats", "account_balance_union",
-    # queries_dedup.py module shared with the new streaming
-    # registration; fresh r3-green, rotated out as a filler, plan +
-    # oracle text untouched.
-    "ngram_jaccard_pairs",
-    # r3-green headline fillers displaced from the window by the four
-    # new round-4 queries (doc_chunks/bm25_topk/trigram_counts/
-    # dedup_survivors). Their own plan + oracle text is untouched;
-    # they share queries_text.py / queries_dedup.py with the new
-    # APPENDED registrations only.
-    "minhash_dedup_pairs", "token_frequencies",
-    # sources/tables.py changed this session: load_table normalizes
-    # events.ts for BOTH testdata generations (nanos-as-long AND the
-    # regenerated micros files) — a strict no-op for every non-events
-    # table. All events/streaming consumers are in-window; these three
-    # r3-green queries are the only other out-of-window dependents
-    # (the two TPC-H headliners, plus the SQL-API grouping-sets query
-    # whose view registration walks every table), and their load
-    # paths produce byte-identical non-events frames. The same session
-    # also reworked streaming/pipeline.py's read_event_stream (schema
-    # now probed from the parquet footer instead of hardcoded int64
-    # ts): its consumers are the streaming queries, all in-window.
-    "pricing_summary", "revenue_by_nation", "grouping_sets_sql",
+    # reach operators/text.py, whose only r5 hunk is inside the
+    # bm25_topk function body (bm25_topk itself is in-window).
+    "packed_sequences", "packed_sequence_fragments",
+    "decontamination_pairs", "decontamination_external",
+    "repetition_scores", "quality_filtered_corpus",
+    "decontaminated_corpus", "doc_chunks", "trigram_counts",
+    "source_mixture_sample",
+    # registered in queries_dedup.py / reach operators/dedup.py
+    # (append-only hunks + the plan-identical dedup_survivors
+    # refactor).
+    "streaming_minhash_dedup", "dedup_clusters", "dedup_survivors",
+    # registered in queries_similarity.py / reach
+    # operators/similarity.py (append-only hunks).
+    "embedding_near_dups", "srp_bucket_stats", "knn_bruteforce",
+    "ivf_assignments", "knn_ivf",
+    # reach operators/dedup.py only transitively through
+    # streaming/pipeline.py (itself untouched this round; the dep
+    # scan follows the static import chain queries_graph/
+    # queries_events -> streaming.pipeline -> operators.dedup).
+    "triangle_count", "streaming_triangle_count",
+    "connected_components",
+    "session_stats", "hourly_event_counts", "session_window_stats",
+    "stateful_streaming_sessions", "streaming_event_dedup",
+    "streaming_hourly_counts", "value_band_range_join",
+    "streaming_view_attribution", "stratified_event_sample",
 }
 
 _PKG = "mapreduce_experiment_spark"
@@ -269,6 +258,7 @@ def test_changed_modules_rotate_into_window():
         n for n, s in specs.items()
         if _package_deps(s.module) & changed_mods
         and n not in window and n not in _ATTESTED_UNCHANGED
+        and n not in _DEFERRED_TO_NEXT_WINDOW
     ]
     assert not offenders, (
         "queries whose code changed since the last round are outside "
@@ -302,3 +292,50 @@ def test_driver_window_contract_holds():
     )
     unknown = [k for k in keys if k not in SPECS()]
     assert not unknown, f"driver verified queries no longer registered: {unknown}"
+
+
+def test_window_snapshots_match_driver_verification():
+    """Post-round window check, automated (r4 verdict item 6): at
+    rotation time each round commits WINDOW_r{N}.json = _ORDER[:50];
+    when the driver later writes CORRECTNESS_r{N}.json its keys must
+    equal that snapshot exactly — comparing against a committed
+    snapshot rather than today's _ORDER makes the check valid even
+    after the next round's rotation has already edited _ORDER."""
+    import glob
+    import json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    checked = 0
+    for wf in sorted(glob.glob(os.path.join(repo, "WINDOW_r*.json"))):
+        cf = wf.replace("WINDOW_", "CORRECTNESS_")
+        if not os.path.exists(cf):
+            continue  # snapshot for a round the driver hasn't run yet
+        want = json.load(open(wf))
+        got = list(json.load(open(cf)))
+        assert got == want, (
+            f"{os.path.basename(cf)} keys differ from the committed "
+            f"{os.path.basename(wf)} snapshot: the driver did not "
+            "verify the window the rotation intended"
+        )
+        checked += 1
+    # the snapshot mechanism starts at r5; nothing to compare is fine
+    # for older rounds, but the CURRENT snapshot must always exist.
+    assert glob.glob(os.path.join(repo, "WINDOW_r*.json")), \
+        "no WINDOW_r*.json snapshot committed"
+
+
+def test_current_window_snapshot_is_fresh():
+    """The latest WINDOW_r{N}.json must equal today's _ORDER[:50] —
+    regenerate the snapshot whenever the rotation changes."""
+    import glob
+    import json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = sorted(glob.glob(os.path.join(repo, "WINDOW_r*.json")))
+    latest = json.load(open(files[-1]))
+    assert latest == list(SPECS())[:WINDOW], (
+        f"{os.path.basename(files[-1])} is stale vs _ORDER[:50] — "
+        "regenerate it (python -c \"import json; from "
+        "mapreduce_experiment_spark.plans.registry import SPECS; "
+        "print(json.dumps(list(SPECS())[:50]))\")"
+    )
