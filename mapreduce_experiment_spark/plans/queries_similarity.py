@@ -296,16 +296,18 @@ def q_knn_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     proof). Output contract and oracle are identical to ``knn_ivf``:
     the pruned-index path must produce value-identical neighbors.
 
-    The index is (re)written under the Spark-local temp dir each run
-    — the registered query stays self-contained and idempotent; a
-    deployment writes the index once and reuses it across query
-    batches (the entire point of the persistence)."""
+    The index is (re)written under the repo's gitignored
+    spark-warehouse dir each run — the registered query stays
+    self-contained and idempotent; a deployment writes the index once
+    and reuses it across query batches (the entire point of the
+    persistence)."""
     import os
-    import tempfile
 
     emb = load_table(spark, sf_dir, "embeddings")
     tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(tempfile.gettempdir(), f"mre_spark_ivf_index_{tag}")
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    path = os.path.join(repo, "spark-warehouse", f"ivf_index_{tag}")
     S.write_ivf_index(emb, path, n_queries=10)
     df = S.knn_ivf_pruned(spark, emb, path, n_queries=10, k=5)
     return df.withColumnRenamed("cos", "cos_sim")
