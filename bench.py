@@ -84,17 +84,20 @@ def _stage_delta(before: dict, after: dict) -> dict[str, int]:
 
 def _more_runs(runs: list[float]) -> bool:
     """Per-query run policy: always 2 runs (min = reproducible
-    capability); for expensive queries whose 2 runs DISAGREE (spread
-    >1.5x), up to 2 extra runs. Quiet-window triage (BENCHNOTES.md
+    capability); for non-trivial queries whose runs DISAGREE (spread
+    >1.4x), up to 2 extra runs. Quiet-window triage (BENCHNOTES.md
     r5) showed identical plan work burning 54-157 executor-CPU-sec
     depending on ambient box load — back-to-back runs see correlated
-    load bursts, so a long query needs a third chance to land in a
-    quiet moment before its number is recorded."""
+    load bursts, so a disagreeing query needs another chance to land
+    in a quiet moment before its number is recorded. (Observed in the
+    same triage: a burst mid-suite inflated three sub-second queries
+    6-10x together — hence the low 1 s floor; truly trivial queries
+    stay at 2 runs.)"""
     if len(runs) < 2:
         return True
     if len(runs) >= 4:
         return False
-    return min(runs) > 5.0 and max(runs) / min(runs) > 1.5
+    return min(runs) > 1.0 and max(runs) / min(runs) > 1.4
 
 
 def _run_suite(spark, sf_dir: str):

@@ -490,27 +490,25 @@ def ivf_assignments(embeddings: DataFrame,
     )
 
 
-def knn_ivf(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
-            n_centroids: int = N_CENTROIDS, nprobe: int = N_PROBE) -> DataFrame:
-    """Approximate top-k: probe the ``nprobe`` nearest centroids per
-    query and search only their buckets.
-
-    At 100 TB the bucketed corpus is written partitioned by
-    ``centroid_id`` so a probe prunes partitions at the scan; here the
-    pruning is the equi-join on centroid_id.
-
-    Recall honesty: the oracle mirrors the approximation; true-neighbor
-    recall@5 vs :func:`knn_bruteforce` is gated at ≥0.8 (observed
-    0.92) by ``test_ivf_recall_vs_bruteforce``.
-    """
-    v = _prep(embeddings)
-    queries = v.where(F.col("vec_id") < n_queries).select(
+def _ivf_queries(v: DataFrame, n_queries: int) -> DataFrame:
+    """The (query_id, qv, qn) probe side — shared by the in-memory
+    and persisted-index IVF paths so tie-breaking and the query-set
+    definition can never diverge between them (their value-parity is
+    a tested contract)."""
+    return v.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qv"),
         F.col("norm").alias("qn"))
+
+
+def _ivf_probes(v: DataFrame, n_queries: int, n_centroids: int,
+                nprobe: int) -> DataFrame:
+    """Per-query nprobe nearest seed centroids by quantized cosine,
+    (ccos desc, centroid_id) tie-break — the single source of truth
+    for probe selection."""
+    queries = _ivf_queries(v, n_queries)
     centroids = v.where(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("centroid_id"), F.col("vec").alias("cv"),
         F.col("norm").alias("cn"))
-
     probe_scored = (
         F.broadcast(queries).crossJoin(F.broadcast(centroids))
         .select("query_id", "centroid_id",
@@ -519,16 +517,53 @@ def knn_ivf(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
     )
     wp = Window.partitionBy("query_id").orderBy(
         F.col("ccos").desc(), F.col("centroid_id"))
-    probes = (
+    return (
         probe_scored.withColumn("rn", F.row_number().over(wp))
         .where(F.col("rn") <= nprobe)
         .select("query_id", "centroid_id")
     )
 
-    # Bucketed corpus (excludes queries AND centroid seeds, matching
-    # ivf_assignments' corpus definition).
-    buckets = ivf_assignments(embeddings, n_centroids).where(
+
+def _topk(cands: DataFrame, k: int) -> DataFrame:
+    """Per-query top-k by (cos desc, neighbor_id) — the shared final
+    ranking of every kNN path."""
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(wk).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _ivf_buckets(embeddings: DataFrame, n_queries: int,
+                n_centroids: int) -> DataFrame:
+    """Bucketed corpus (excludes queries AND centroid seeds, matching
+    ivf_assignments' corpus definition) — shared by the in-memory
+    probe join and the index writer so the two paths can never
+    disagree on membership."""
+    return ivf_assignments(embeddings, n_centroids).where(
         F.col("vec_id") >= n_queries)
+
+
+def knn_ivf(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
+            n_centroids: int = N_CENTROIDS, nprobe: int = N_PROBE) -> DataFrame:
+    """Approximate top-k: probe the ``nprobe`` nearest centroids per
+    query and search only their buckets.
+
+    At 100 TB the bucketed corpus is written partitioned by
+    ``centroid_id`` so a probe prunes partitions at the scan; here the
+    pruning is the equi-join on centroid_id (the persisted, pruned
+    variant is :func:`knn_ivf_pruned`, value-identical by test).
+
+    Recall honesty: the oracle mirrors the approximation; true-neighbor
+    recall@5 vs :func:`knn_bruteforce` is gated at ≥0.8 (observed
+    0.92) by ``test_ivf_recall_vs_bruteforce``.
+    """
+    v = _prep(embeddings)
+    queries = _ivf_queries(v, n_queries)
+    probes = _ivf_probes(v, n_queries, n_centroids, nprobe)
+
+    buckets = _ivf_buckets(embeddings, n_queries, n_centroids)
     corpus = v.select(F.col("vec_id").alias("neighbor_id"),
                       F.col("vec").alias("nv"), F.col("norm").alias("nn"))
 
@@ -541,12 +576,7 @@ def knn_ivf(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
                 _cos(F.col("qv"), F.col("nv"), F.col("qn"), F.col("nn"))
                 .alias("cos"))
     )
-    wk = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id"))
-    return (
-        cands.withColumn("rank", F.row_number().over(wk).cast("long"))
-        .where(F.col("rank") <= k)
-    )
+    return _topk(cands, k)
 
 
 def write_ivf_index(embeddings: DataFrame, path: str,
@@ -558,8 +588,7 @@ def write_ivf_index(embeddings: DataFrame, path: str,
     step that turns the probe's equi-join into a partition-PRUNED
     scan — at 100 TB the index is written once and every query batch
     reads only ``nprobe`` of ``n_centroids`` directories."""
-    buckets = ivf_assignments(embeddings, n_centroids).where(
-        F.col("vec_id") >= n_queries)
+    buckets = _ivf_buckets(embeddings, n_queries, n_centroids)
     v = _prep(embeddings)
     (buckets.join(v, "vec_id")
      .select("vec_id", "vec", "norm", "centroid_id")
@@ -582,25 +611,8 @@ def knn_ivf_pruned(spark, embeddings: DataFrame, path: str,
     execution, no DPP runtime machinery needed.
     """
     v = _prep(embeddings)
-    queries = v.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("vec").alias("qv"),
-        F.col("norm").alias("qn"))
-    centroids = v.where(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("centroid_id"), F.col("vec").alias("cv"),
-        F.col("norm").alias("cn"))
-    probe_scored = (
-        F.broadcast(queries).crossJoin(F.broadcast(centroids))
-        .select("query_id", "centroid_id",
-                _cos(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"))
-                .alias("ccos"))
-    )
-    wp = Window.partitionBy("query_id").orderBy(
-        F.col("ccos").desc(), F.col("centroid_id"))
-    probes = (
-        probe_scored.withColumn("rn", F.row_number().over(wp))
-        .where(F.col("rn") <= nprobe)
-        .select("query_id", "centroid_id")
-    )
+    queries = _ivf_queries(v, n_queries)
+    probes = _ivf_probes(v, n_queries, n_centroids, nprobe)
     probe_ids = sorted(
         r.centroid_id for r in probes.select("centroid_id").distinct().collect())
 
@@ -614,9 +626,4 @@ def knn_ivf_pruned(spark, embeddings: DataFrame, path: str,
                 _cos(F.col("qv"), F.col("nv"), F.col("qn"), F.col("nn"))
                 .alias("cos"))
     )
-    wk = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id"))
-    return (
-        cands.withColumn("rank", F.row_number().over(wk).cast("long"))
-        .where(F.col("rank") <= k)
-    )
+    return _topk(cands, k)

@@ -364,22 +364,48 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "span_deduped_corpus",
-    oracle=_SPAN_CTE + ",\nflagged AS (SELECT w.* FROM w JOIN g USING (fp)"
-    " WHERE n_docs >= 2 AND w.doc_id <> g.min_doc),\n" + _ISLANDS_SQL + f"""
-, nrm AS (
-  SELECT doc_id, CAST(count(DISTINCT island) AS BIGINT) AS n
-  FROM isl2 GROUP BY doc_id
+    oracle=_SPAN_CTE + f"""
+, flagged AS (
+  SELECT w.*, g.min_doc FROM w JOIN g USING (fp) WHERE n_docs >= 2
 ),
 cov AS (
   SELECT DISTINCT doc_id, j
   FROM flagged, unnest(range(i, i + {_SPN})) AS r(j)
+  WHERE doc_id <> min_doc
+),
+keepcov AS (
+  SELECT DISTINCT doc_id, j
+  FROM flagged, unnest(range(i, i + {_SPN})) AS r(j)
+  WHERE doc_id = min_doc
+),
+removed AS (
+  SELECT doc_id, j FROM cov ANTI JOIN keepcov USING (doc_id, j)
+),
+risl AS (
+  SELECT doc_id, j,
+         CASE WHEN max(j) OVER prev IS NULL
+                OR j > max(j) OVER prev + 1
+              THEN 1 ELSE 0 END AS opens
+  FROM removed
+  WINDOW prev AS (PARTITION BY doc_id ORDER BY j
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+risl2 AS (
+  SELECT *, sum(opens) OVER (PARTITION BY doc_id ORDER BY j
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS island
+  FROM risl
+),
+nrm AS (
+  SELECT doc_id, CAST(count(DISTINCT island) AS BIGINT) AS n
+  FROM risl2 GROUP BY doc_id
 ),
 tokpos AS (
   SELECT doc_id, i AS j, toks[i] AS tk
   FROM t, unnest(range(1, len(toks) + 1)) AS r(i)
 ),
 kept AS (
-  SELECT doc_id, j, tk FROM tokpos ANTI JOIN cov USING (doc_id, j)
+  SELECT doc_id, j, tk FROM tokpos ANTI JOIN removed USING (doc_id, j)
 ),
 ct AS (
   SELECT doc_id, string_agg(tk, ' ' ORDER BY j) AS clean_text
@@ -391,9 +417,11 @@ FROM t LEFT JOIN nrm USING (doc_id) LEFT JOIN ct USING (doc_id)
 """,
 )
 def q_span_deduped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Span-level dedup, removal half: keep-first token-span removal
-    (the min-id doc keeps its copy; every other doc drops the covered
-    tokens). Oracle recomputes coverage token-by-token from scratch —
-    the hash match proves island merging, ownership, and the
-    filter-by-index reconstruction all at once."""
+    """Span-level dedup, removal half: window-granular keep-first
+    removal with ownership protection (a doc never loses tokens
+    covered by a repeated window IT keeps — see the operator
+    docstring for why that guarantee needs the protection term).
+    Oracle recomputes the coverage algebra token-by-token from
+    scratch — the hash match proves flagging, ownership, protection,
+    island merging, and the filter-by-index reconstruction at once."""
     return D.span_deduped_corpus(load_table(spark, sf_dir, "documents"))

@@ -304,10 +304,15 @@ def q_knn_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # Path is unique per (Spark application, sf): a concurrent
+    # session (driver verify vs a local pytest run) must never
+    # overwrite the index files another session's already-planned
+    # scan is reading.
     tag = os.path.basename(os.path.normpath(sf_dir))
+    app = spark.sparkContext.applicationId
     repo = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    path = os.path.join(repo, "spark-warehouse", f"ivf_index_{tag}")
+    path = os.path.join(repo, "spark-warehouse", f"ivf_index_{app}_{tag}")
     S.write_ivf_index(emb, path, n_queries=10)
     df = S.knn_ivf_pruned(spark, emb, path, n_queries=10, k=5)
     return df.withColumnRenamed("cos", "cos_sim")

@@ -636,6 +636,31 @@ def test_span_deduped_corpus_keep_first_semantics(spark):
     assert got[4].clean_text == ""
 
 
+def test_span_dedup_overlapping_ownership(spark):
+    """Review-found bug, pinned: when overlapping repeated windows
+    have DIFFERENT keeper docs, naive window-level removal can gut
+    the shared passage in every doc (each keeper loses the part the
+    other keeper owns). The ownership-protection term guarantees a
+    doc never loses tokens covered by a window it keeps."""
+    a = " ".join(f"a{i}" for i in range(1, 9))        # a1..a8
+    docs = _docs(spark, [
+        (0, a.split(" ", 1)[1] + " b1"),              # a2..a8 b1 (owns it)
+        (1, a + " b1"),                               # owns a1..a8
+        (2, "pad " + a + " tail"),
+    ])
+    got = {r.doc_id: r for r in D.span_deduped_corpus(docs, n=8).collect()}
+    # doc 0 keeps its window (it is the keeper) — untouched
+    assert got[0].n_spans_removed == 0
+    assert got[0].clean_text == "a2 a3 a4 a5 a6 a7 a8 b1"
+    # doc 1 keeps a1..a8 (it is that window's keeper); only the b1
+    # token — covered solely by doc 0's window — is removed
+    assert got[1].n_spans_removed == 1
+    assert got[1].clean_text == a
+    # doc 2 keeps nothing; its copy of a1..a8 is removed
+    assert got[2].n_spans_removed == 1
+    assert got[2].clean_text == "pad tail"
+
+
 def test_span_dedup_short_and_clean_docs_pass_through(spark):
     docs = _docs(spark, [
         (7, "short"),

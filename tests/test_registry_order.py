@@ -114,8 +114,12 @@ _ROUND_BASE = "73df5cc"  # driver's round-4 commit; bump each round
 # attested unchanged this round. Round 5's package edits are:
 # operators/dedup.py (APPENDED span-dedup operators + shared
 # dedup_survivors operator + one import line), operators/
-# similarity.py (APPENDED write_ivf_index/knn_ivf_pruned),
-# operators/text.py (bm25_topk function body only — in-window),
+# similarity.py (APPENDED write_ivf_index/knn_ivf_pruned, plus the
+# knn_ivf probe/top-k blocks extracted into shared _ivf_* helpers —
+# knn_ivf's EXECUTED PLAN verified structurally identical
+# before/after at sf0.001 and sf0.01 in-session, lambda-counter
+# normalization only), operators/text.py (bm25_topk function body
+# only — in-window),
 # plans/queries_dedup.py (APPENDED span registrations + the
 # dedup_survivors body now calls the shared operator — its EXECUTED
 # PLAN was verified byte-identical before/after in-session, and its
