@@ -353,7 +353,7 @@ FROM isl2 GROUP BY doc_id, island
 def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level cross-doc dedup, detection half (Lee et al. 2021
     repeated-substring removal, distributed as fixed-length token
-    window fingerprints): maximal merged regions whose {SPAN_N}-token
+    window fingerprints): maximal merged regions whose SPAN_N(=8)-token
     windows recur in >= 2 distinct docs. The corpus-scale window
     table groups on an 8-byte fp with map-side partial aggregation;
     only repeated fps (the repeated CONTENT — tiny) come back via an

@@ -706,3 +706,77 @@ def test_ivf_pruned_index_scan_and_value_parity(spark, sf_smoke, tmp_path):
     want = {(r.query_id, r.neighbor_id, r.cos, r.rank)
             for r in S.knn_ivf(emb, nprobe=1).collect()}
     assert got == want and len(got) > 0
+
+
+def test_span_dedup_matches_python_reference_property(spark):
+    """Property: on random small-alphabet docs (maximal window
+    collisions), the distributed span pipeline equals an independent
+    pure-Python reference for BOTH halves — detection regions and
+    keep-first removal with ownership protection. The reference
+    recomputes everything from first principles (no shared helpers),
+    so island merging, keeper selection, protection, and the
+    filter-by-index reconstruction are all cross-checked."""
+    from hypothesis import given, settings, strategies as st
+
+    N = 3
+
+    def ref(rows):
+        toks = {d: t.split() if t else [] for d, t in rows}
+        wins = {d: [(i, " ".join(t[i:i + N])) for i in range(len(t) - N + 1)]
+                for d, t in toks.items()}
+        docs_of = {}
+        for d, ws in wins.items():
+            for _, s in ws:
+                docs_of.setdefault(s, set()).add(d)
+        rep = {s for s, ds in docs_of.items() if len(ds) >= 2}
+        keeper = {s: min(docs_of[s]) for s in rep}
+        # detection: union of coverage of repeated windows, per doc
+        regions = set()
+        removed_runs = {}
+        clean = {}
+        for d, t in toks.items():
+            cov = set()
+            for i, s in wins[d]:
+                if s in rep:
+                    cov.update(range(i, i + N))
+            for a, b in _runs(cov):
+                regions.add((d, a + 1, b - a + 1))  # 1-based start
+            rm = set()
+            keep = set()
+            for i, s in wins[d]:
+                if s in rep:
+                    (keep if keeper[s] == d else rm).update(range(i, i + N))
+            gone = rm - keep
+            removed_runs[d] = len(_runs(gone))
+            clean[d] = " ".join(tok for j, tok in enumerate(t) if j not in gone)
+        return regions, removed_runs, clean
+
+    def _runs(js):
+        runs, cur = [], None
+        for j in sorted(js):
+            if cur and j == cur[1] + 1:
+                cur[1] = j
+            else:
+                cur = [j, j]
+                runs.append(cur)
+        return [(a, b) for a, b in runs]
+
+    words = ["aa", "bb", "cc"]
+    doc = st.lists(st.sampled_from(words), min_size=0, max_size=9)
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(doc, min_size=2, max_size=5))
+    def prop(docs_words):
+        rows = [(i, " ".join(ws)) for i, ws in enumerate(docs_words)]
+        docs = _docs(spark, rows)
+        want_regions, want_nrm, want_clean = ref(rows)
+        got_regions = {(r.doc_id, r.span_start, r.span_len)
+                       for r in D.repeated_spans(docs, n=N).collect()}
+        assert got_regions == want_regions
+        got = {r.doc_id: r for r in D.span_deduped_corpus(docs, n=N).collect()}
+        assert set(got) == set(want_clean)
+        for d in want_clean:
+            assert got[d].n_spans_removed == want_nrm[d], f"doc {d}"
+            assert got[d].clean_text == want_clean[d], f"doc {d}"
+
+    prop()
