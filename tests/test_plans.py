@@ -203,9 +203,14 @@ def test_no_multi_inlined_tokenizer_in_generates(spark):
 def test_span_dedup_no_allpairs_and_fp_equijoin(spark):
     """Span dedup must never compare documents pairwise: candidate
     flagging is an equi-join on the 8-byte window fingerprint, and
-    everything else is per-doc window/aggregate work."""
+    everything else is per-doc window/aggregate work. At this sf the
+    repeated-content side is small, so every join must be broadcast —
+    in particular the final corpus<-regions LEFT join: a sort-merge
+    there would shuffle the corpus's token arrays (document bodies)
+    on doc_id just to attach a tiny region list."""
     for name in ("repeated_spans", "span_deduped_corpus"):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "SortMergeJoin" not in plan, name
         assert "fp#" in plan, name  # the fingerprint key is the join key
