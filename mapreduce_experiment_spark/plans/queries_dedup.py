@@ -320,21 +320,27 @@ g AS (
 )
 """
 
-_ISLANDS_SQL = f"""
-isl AS (
-  SELECT doc_id, i, fp, i + {_SPN - 1} AS e,
-         CASE WHEN max(i + {_SPN - 1}) OVER prev IS NULL
-                OR i > max(i + {_SPN - 1}) OVER prev + 1
+def _islands_sql(src: str, pos: str, end_expr: str, prefix: str) -> str:
+    """Gaps-and-islands over per-doc coverage intervals [pos,
+    end_expr] — the SQL mirror of operators.dedup._merge_islands,
+    parameterized so the window-interval use (repeated_spans, width
+    SPAN_N) and the removed-token use (span_deduped_corpus, unit
+    width) share ONE copy of the open-condition logic."""
+    return f"""
+{prefix} AS (
+  SELECT *, {end_expr} AS e,
+         CASE WHEN max({end_expr}) OVER prev IS NULL
+                OR {pos} > max({end_expr}) OVER prev + 1
               THEN 1 ELSE 0 END AS opens
-  FROM flagged
-  WINDOW prev AS (PARTITION BY doc_id ORDER BY i
+  FROM {src}
+  WINDOW prev AS (PARTITION BY doc_id ORDER BY {pos}
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
 ),
-isl2 AS (
-  SELECT *, sum(opens) OVER (PARTITION BY doc_id ORDER BY i
+{prefix}2 AS (
+  SELECT *, sum(opens) OVER (PARTITION BY doc_id ORDER BY {pos}
                              ROWS BETWEEN UNBOUNDED PRECEDING
                              AND CURRENT ROW) AS island
-  FROM isl
+  FROM {prefix}
 )
 """
 
@@ -342,7 +348,8 @@ isl2 AS (
 @register(
     "repeated_spans",
     oracle=_SPAN_CTE + ",\nflagged AS (SELECT w.* FROM w JOIN g USING (fp)"
-    " WHERE n_docs >= 2),\n" + _ISLANDS_SQL + f"""
+    " WHERE n_docs >= 2),\n"
+    + _islands_sql("flagged", "i", f"i + {_SPN - 1}", "isl") + f"""
 SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
        CAST(max(e) - min(i) + 1 AS BIGINT) AS span_len,
        arg_min(fp, i) AS lead_fp,
@@ -381,21 +388,8 @@ keepcov AS (
 removed AS (
   SELECT doc_id, j FROM cov ANTI JOIN keepcov USING (doc_id, j)
 ),
-risl AS (
-  SELECT doc_id, j,
-         CASE WHEN max(j) OVER prev IS NULL
-                OR j > max(j) OVER prev + 1
-              THEN 1 ELSE 0 END AS opens
-  FROM removed
-  WINDOW prev AS (PARTITION BY doc_id ORDER BY j
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-),
-risl2 AS (
-  SELECT *, sum(opens) OVER (PARTITION BY doc_id ORDER BY j
-                             ROWS BETWEEN UNBOUNDED PRECEDING
-                             AND CURRENT ROW) AS island
-  FROM risl
-),
+{_islands_sql("removed", "j", "j", "risl").strip().rstrip()}
+,
 nrm AS (
   SELECT doc_id, CAST(count(DISTINCT island) AS BIGINT) AS n
   FROM risl2 GROUP BY doc_id

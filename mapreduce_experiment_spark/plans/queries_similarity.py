@@ -307,12 +307,28 @@ def q_knn_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Path is unique per (Spark application, sf): a concurrent
     # session (driver verify vs a local pytest run) must never
     # overwrite the index files another session's already-planned
-    # scan is reading.
+    # scan is reading. Stale siblings from PAST applications are
+    # pruned opportunistically (mtime > 1 h — a live session reads
+    # its index seconds after writing it), so the per-app naming
+    # cannot leak disk without bound.
+    import shutil
+    import time
+
     tag = os.path.basename(os.path.normpath(sf_dir))
     app = spark.sparkContext.applicationId
     repo = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    path = os.path.join(repo, "spark-warehouse", f"ivf_index_{app}_{tag}")
+    wh = os.path.join(repo, "spark-warehouse")
+    try:
+        for d in os.listdir(wh):
+            full = os.path.join(wh, d)
+            if (d.startswith("ivf_index_") and not d.startswith(
+                    f"ivf_index_{app}_")
+                    and time.time() - os.path.getmtime(full) > 3600):
+                shutil.rmtree(full, ignore_errors=True)
+    except OSError:
+        pass
+    path = os.path.join(wh, f"ivf_index_{app}_{tag}")
     S.write_ivf_index(emb, path, n_queries=10)
     df = S.knn_ivf_pruned(spark, emb, path, n_queries=10, k=5)
     return df.withColumnRenamed("cos", "cos_sim")
