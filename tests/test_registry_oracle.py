@@ -32,3 +32,35 @@ def test_query_vs_oracle_correctness_sf(spark, sf_correctness, name):
         assert df.count() >= 0
     else:
         assert_matches(df, run_oracle(spec.oracle, sf_correctness), name)
+
+
+@pytest.mark.slow
+def test_queries_run_under_bare_driver_session():
+    """Driver parity: the round driver calls queries() with ITS OWN
+    SparkSession — a bare getOrCreate() with none of get_session's
+    confs. registry.ensure_session_confs must make every query
+    self-sufficient (the r2 incident: events reads threw
+    PARQUET_TYPE_ILLEGAL without nanosAsLong; UTC matters for
+    timestamp value-hashes). Run a timestamp-sensitive query and an
+    events query in a FRESH bare-session subprocess."""
+    import subprocess
+    import sys
+
+    script = r"""
+import sys
+sys.path.insert(0, ".")
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.ui.enabled", "false").getOrCreate())
+import __spark_entry__ as e
+q = e.queries()
+for name in ("sessionize_events", "pricing_summary"):
+    n = q[name](spark, "/root/testdata/sf0.001").count()
+    assert n > 0, name
+    print(name, n)
+"""
+    r = subprocess.run([sys.executable, "-c", script],
+                       capture_output=True, text=True, timeout=300,
+                       cwd=__file__.rsplit("/tests/", 1)[0])
+    assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr[-2000:]}"
+    assert "sessionize_events" in r.stdout and "pricing_summary" in r.stdout
