@@ -214,3 +214,17 @@ def test_span_dedup_no_allpairs_and_fp_equijoin(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "SortMergeJoin" not in plan, name
         assert "fp#" in plan, name  # the fingerprint key is the join key
+
+
+def test_knn_ivf_pruned_registered_query_scans_pruned_index(spark):
+    """The REGISTERED pruned-IVF query must carry a static partition
+    filter on centroid_id at its index scan — the 100 TB probe path
+    (read nprobe of n_centroids directories), not a full-index scan
+    with a post-filter. (The operator-level test additionally proves
+    value parity with knn_ivf and strict-subset pruning at nprobe=1;
+    this pin covers the registered default configuration.)"""
+    plan = _plan(spark, "knn_ivf_pruned")
+    assert any("FileScan parquet" in line
+               and "PartitionFilters: [centroid_id" in line
+               and (" IN (" in line or "INSET" in line)
+               for line in plan.splitlines())
