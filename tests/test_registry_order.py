@@ -343,3 +343,34 @@ def test_current_window_snapshot_is_fresh():
         "mapreduce_experiment_spark.plans.registry import SPECS; "
         "print(json.dumps(list(SPECS())[:50]))\")"
     )
+
+
+def test_no_query_exceeds_one_round_staleness():
+    """The freshness invariant, made mechanical: every registered
+    query must be (a) green in the LATEST driver correctness file,
+    (b) in the current verification window (so the coming round
+    re-verifies it), or (c) explicitly deferred. A query in none of
+    the three would silently age to 2+ rounds without a verdict —
+    exactly the rotation debt the round-3 verdict flagged. At the
+    100-query saturation ceiling (see plans/registry.py) this forces
+    the alternate-round rotation to stay exact."""
+    import glob
+    import json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+    if not files:
+        import pytest
+        pytest.skip("no driver correctness file yet")
+    latest = json.load(open(files[-1]))
+    green = {k for k, v in latest.items()
+             if isinstance(v, dict) and v.get("hash_match")}
+    specs = SPECS()
+    window = set(list(specs)[:WINDOW])
+    stale = [n for n in specs
+             if n not in green and n not in window
+             and n not in _DEFERRED_TO_NEXT_WINDOW]
+    assert not stale, (
+        f"queries neither verified last round nor scheduled this "
+        f"round: {stale} — rotate them into _ORDER's window"
+    )
