@@ -46,7 +46,9 @@ def test_queries_run_under_bare_driver_session():
     import subprocess
     import sys
 
-    script = r"""
+    from tests.conftest import SF_SMOKE
+
+    script = f"""
 import sys
 sys.path.insert(0, ".")
 from pyspark.sql import SparkSession
@@ -55,12 +57,21 @@ spark = (SparkSession.builder.master("local[2]")
 import __spark_entry__ as e
 q = e.queries()
 for name in ("sessionize_events", "pricing_summary"):
-    n = q[name](spark, "/root/testdata/sf0.001").count()
+    n = q[name](spark, {SF_SMOKE!r}).count()
     assert n > 0, name
     print(name, n)
+# The wrapper must have applied the driver-compat confs to THIS bare
+# session — the point of the test: count()>0 alone would stay green
+# even if ensure_session_confs were deleted (current testdata is
+# micros-typed, so nanosAsLong is a no-op on it).
+assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+print("confs-applied")
 """
     r = subprocess.run([sys.executable, "-c", script],
                        capture_output=True, text=True, timeout=300,
                        cwd=__file__.rsplit("/tests/", 1)[0])
     assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr[-2000:]}"
     assert "sessionize_events" in r.stdout and "pricing_summary" in r.stdout
+    assert "confs-applied" in r.stdout

@@ -154,6 +154,15 @@ _ATTESTED_UNCHANGED = {
     "streaming_view_attribution", "stratified_event_sample",
 }
 
+def _round_sorted(paths: list[str]) -> list[str]:
+    """Sort round-stamped artifact files by NUMERIC round: plain
+    lexicographic sort would place r100 before r99 once the round
+    number gains a digit, silently making files[-1] a stale round."""
+    import re
+
+    return sorted(paths, key=lambda p: int(re.search(r"_r(\d+)", p).group(1)))
+
+
 _PKG = "mapreduce_experiment_spark"
 
 
@@ -283,7 +292,7 @@ def test_driver_window_contract_holds():
     import json
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    files = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+    files = _round_sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
     if not files:
         import pytest
         pytest.skip("no driver correctness file yet")
@@ -310,7 +319,7 @@ def test_window_snapshots_match_driver_verification():
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     checked = 0
-    for wf in sorted(glob.glob(os.path.join(repo, "WINDOW_r*.json"))):
+    for wf in _round_sorted(glob.glob(os.path.join(repo, "WINDOW_r*.json"))):
         cf = wf.replace("WINDOW_", "CORRECTNESS_")
         if not os.path.exists(cf):
             continue  # snapshot for a round the driver hasn't run yet
@@ -335,7 +344,7 @@ def test_current_window_snapshot_is_fresh():
     import json
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    files = sorted(glob.glob(os.path.join(repo, "WINDOW_r*.json")))
+    files = _round_sorted(glob.glob(os.path.join(repo, "WINDOW_r*.json")))
     latest = json.load(open(files[-1]))
     assert latest == list(SPECS())[:WINDOW], (
         f"{os.path.basename(files[-1])} is stale vs _ORDER[:50] — "
@@ -358,7 +367,7 @@ def test_no_query_exceeds_one_round_staleness():
     import json
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    files = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+    files = _round_sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
     if not files:
         import pytest
         pytest.skip("no driver correctness file yet")
