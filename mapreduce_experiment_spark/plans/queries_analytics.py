@@ -185,32 +185,16 @@ def q_monthly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "brand_revenue_by_year",
-    oracle="""
-SELECT p_brand, CAST(year(o_orderdate) AS BIGINT) AS order_year,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
-         / 100.0 AS revenue
-FROM lineitem
-JOIN part   ON l_partkey = p_partkey
-JOIN orders ON l_orderkey = o_orderkey
-GROUP BY p_brand, year(o_orderdate)
-""",
-)
-def q_brand_revenue_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-line profit rollup (TPC-H Q9 family)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    p = load_table(spark, sf_dir, "part")
-    o = load_table(spark, sf_dir, "orders")
-    cents = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
-    ).cast("long")
-    return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy("p_brand", F.year("o_orderdate").cast("long").alias("order_year"))
-        .agg((F.sum(cents) / 100.0).alias("revenue"))
-    )
+# RETIRED round 6 (registry saturation — new queries displace, never
+# accrete; see plans/registry.py): ``brand_revenue_by_year`` (Q9-family
+# broadcast-join rollup — its only operators, broadcast dim join +
+# year-keyed agg, are covered by volume_shipping and asia_market_share),
+# ``daily_event_type_pivot`` (pivot_counts surface duplicated by
+# mktsegment_pivot), ``order_value_histogram`` (fixed-width binning —
+# distribution surface covered by order_size_distribution and
+# value_distribution_stats). Displaced by canonical_url_groups and
+# clean_corpus (queries_dedup.py) plus the changed-plan ``triangles``
+# rotation slot.
 
 
 @register(
@@ -255,28 +239,6 @@ def q_top_parts_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
                       (F.col("cents") / 100.0).alias("revenue"), "rn")
 
 
-_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
-
-
-@register(
-    "daily_event_type_pivot",
-    oracle=f"""
-SELECT date_trunc('day', ts) AS day,
-       {", ".join(f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}"
-                  for t in _EVENT_TYPES)}
-FROM events GROUP BY 1
-""",
-)
-def q_daily_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily wide-format activity matrix (fixed pivot value list)."""
-    from ..operators.relational import pivot_counts
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "day", F.date_trunc("day", "ts"))
-    out = pivot_counts(ev, "day", "event_type", _EVENT_TYPES)
-    return out.select(
-        "day", *[F.col(t).alias(f"n_{t}") for t in _EVENT_TYPES])
-
-
 @register(
     "order_size_distribution",
     oracle="""
@@ -293,24 +255,3 @@ def q_order_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     sizes = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_items"))
     return sizes.groupBy("n_items").agg(F.count(F.lit(1)).alias("n_orders"))
-
-
-@register(
-    "order_value_histogram",
-    oracle="""
-SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
-       count(*) AS n_orders,
-       CAST(floor(o_totalprice / 50000) AS BIGINT) * 50000.0 AS bucket_low
-FROM orders GROUP BY 1
-""",
-)
-def q_order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-width histogram binning — floor division on identical
-    doubles is deterministic; one hash aggregate."""
-    o = load_table(spark, sf_dir, "orders")
-    bucket = F.floor(F.col("o_totalprice") / 50000).cast("long")
-    return (
-        o.groupBy(bucket.alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .withColumn("bucket_low", F.col("bucket") * 50000.0)
-    )

@@ -304,9 +304,15 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SPN = D.SPAN_N
 
-_SPAN_CTE = f"""
+
+def _span_cte(src: str = "documents") -> str:
+    """The span-dedup oracle preamble (tokenize → window fps → fp
+    groups), parameterized on the source relation so the composed
+    ``clean_corpus`` oracle can run the identical algebra over the
+    survivor CTE instead of the raw corpus."""
+    return f"""
 WITH t AS (
-  SELECT doc_id, {tokenize_sql('text')} AS toks FROM documents
+  SELECT doc_id, {tokenize_sql('text')} AS toks FROM {src}
 ),
 w AS (
   SELECT doc_id, i,
@@ -319,6 +325,9 @@ g AS (
   FROM w GROUP BY fp
 )
 """
+
+
+_SPAN_CTE = _span_cte()
 
 def _islands_sql(src: str, pos: str, end_expr: str, prefix: str) -> str:
     """Gaps-and-islands over per-doc coverage intervals [pos,
@@ -369,9 +378,11 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.repeated_spans(load_table(spark, sf_dir, "documents"))
 
 
-@register(
-    "span_deduped_corpus",
-    oracle=_SPAN_CTE + f"""
+# The removal-half oracle body after the span preamble: source-
+# agnostic (it only references the t/w/g CTEs), shared verbatim by
+# ``span_deduped_corpus`` (over the raw corpus) and ``clean_corpus``
+# (over the survivor corpus).
+_SPAN_REMOVAL_TAIL = f"""
 , flagged AS (
   SELECT w.*, g.min_doc FROM w JOIN g USING (fp) WHERE n_docs >= 2
 ),
@@ -408,7 +419,12 @@ ct AS (
 SELECT t.doc_id, coalesce(nrm.n, 0) AS n_spans_removed,
        coalesce(ct.clean_text, '') AS clean_text
 FROM t LEFT JOIN nrm USING (doc_id) LEFT JOIN ct USING (doc_id)
-""",
+"""
+
+
+@register(
+    "span_deduped_corpus",
+    oracle=_SPAN_CTE + _SPAN_REMOVAL_TAIL,
 )
 def q_span_deduped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level dedup, removal half: window-granular keep-first
@@ -419,3 +435,79 @@ def q_span_deduped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch — the hash match proves flagging, ownership, protection,
     island merging, and the filter-by-index reconstruction at once."""
     return D.span_deduped_corpus(load_table(spark, sf_dir, "documents"))
+
+
+# --- URL/metadata dedup ------------------------------------------------------
+
+def _canon_url_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`operators.dedup.canonical_url`: the
+    same lowercase + :data:`URL_CANON_STEPS` regex chain, generated
+    from the one shared constant tuple so the engines cannot drift.
+    Every step matches at most one region, so RE2's first-match
+    regexp_replace equals Java's replace-all here."""
+    e = f"lower({expr})"
+    for pat, rep in D.URL_CANON_STEPS:
+        e = f"regexp_replace({e}, '{pat}', '{rep}')"
+    return e
+
+
+@register(
+    "canonical_url_groups",
+    oracle=f"""
+SELECT {_canon_url_sql('source')} AS canonical_url,
+       min(doc_id) AS canonical_id,
+       count(*) AS n_docs,
+       count(DISTINCT source) AS n_variants
+FROM documents
+GROUP BY 1
+""",
+)
+def q_canonical_url_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/metadata dedup — the FIRST pass real pipelines run, before
+    any content dedup: group re-fetches of the same resource
+    (scheme / www / query-param / fragment / trailing-slash variants)
+    by canonical URL. Same hash-agg scale shape as
+    ``exact_dedup_groups``; the canonicalization itself is a codegen
+    regexp chain evaluated inside the scan. The synthetic ``source``
+    column holds opaque ids (already canonical — the driver check
+    verifies the algebra is value-preserving on them);
+    ``test_canonical_url_cross_engine`` proves the Spark and DuckDB
+    chains agree on realistic messy URLs."""
+    return D.canonical_url_groups(load_table(spark, sf_dir, "documents"))
+
+
+# --- end-to-end curation composition ----------------------------------------
+
+def _clean_corpus_oracle() -> str:
+    """Composed oracle: the dedup_survivors cluster replay (all-pairs
+    Jaccard + unrolled CC — proves LSH recall and CC convergence)
+    feeds the span-removal algebra (token-recomputed — proves
+    flagging/ownership/protection/merge) over the SURVIVOR corpus.
+    One hash match checks the whole chained pipeline."""
+    surv = f"""WITH surv AS (
+  WITH clus AS ({_dedup_clusters_oracle()})
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN clus c ON d.doc_id = c.doc_id WHERE c.is_canonical = 1
+),
+"""
+    span = _span_cte("surv").lstrip().removeprefix("WITH")
+    return surv + span + _SPAN_REMOVAL_TAIL
+
+
+@register("clean_corpus", oracle=_clean_corpus_oracle())
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shipped artifact of a curation pipeline, end-to-end: doc-
+    level near-dedup REMOVAL first (MinHash-LSH → CC → keep canonical
+    members), THEN span-level repeated-substring removal over the
+    survivors — the order real pipelines use (Lee et al. 2021 run
+    exact-substring dedup after document-level dedup; removing doc
+    dups first also shrinks the span fingerprint table and prevents
+    whole-doc near-dups from masquerading as giant repeated spans).
+
+    Scale shape: composition adds NO new shuffle classes — the
+    survivor anti-join streams the corpus map-side, and the span
+    stage's only corpus-scale shuffle remains the 8-byte fp group.
+    Returns (doc_id, n_spans_removed, clean_text) for every surviving
+    doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.span_deduped_corpus(D.dedup_survivors(docs, threshold=0.8))

@@ -76,50 +76,52 @@ def register(name: str, oracle: str | None = None, headline: bool = False):
 # SATURATION: with a 50-query window on alternate-round rotation, 100
 # registered queries is the EXACT ceiling at which every entry can
 # hold a driver verdict <= 1 round old (50 verified this round, 50
-# last round). The registry sits at that ceiling as of round 5 —
-# adding an (N+1)th query now structurally breaks the freshness
-# invariant for some query unless an existing one retires, so new
-# registrations must displace, not accrete.
+# last round). Round 5 sat exactly at that ceiling; round 6 RETIRED
+# three near-duplicate BI variants (brand_revenue_by_year,
+# daily_event_type_pivot, order_value_histogram — see the retirement
+# note in queries_analytics.py) to make displacement room for two new
+# queries (canonical_url_groups, clean_corpus) plus the changed-plan
+# ``triangles`` rotation slot, leaving the registry at 99 with one
+# free slot. New registrations must still displace, not accrete,
+# whenever the count would exceed 100.
 _ORDER: list[str] = [
-    # -- round 5: new queries --
-    "repeated_spans",               # new: span-level cross-doc dedup
-    "span_deduped_corpus",          # new: keep-first span removal
-    # -- round 5: changed plan (explicit broadcast of the term->df
-    #    table; the static plan gains BroadcastHashJoin where the
-    #    pre-hint plan had SortMergeJoin + 2 Exchanges, so the r4
-    #    verdict no longer covers the shipped plan) --
-    "bm25_topk",
-    # -- the 47 queries whose last driver verdict is r3 (everything
-    #    outside the r4 window rotates in en bloc — keeps every
-    #    registry entry's verdict <= 1 round old) --
-    "edges_derive", "symmetrize", "adjacency", "degrees",
-    "candidate_pairs", "triangles", "pagerank", "triangles_faithful",
-    "pricing_summary", "revenue_by_nation",
-    "top_customers_per_nation", "customer_running_spend",
-    "order_gap_days", "top_orders_global", "order_priority_rollup",
-    "returnflag_status_cube", "mktsegment_pivot", "parts_never_ordered",
-    "suppliers_with_orders", "customers_retained", "customers_churned",
-    "orders_above_customer_average", "order_scalar_functions",
-    "events_json_extract", "nation_order_stats", "account_balance_union",
-    "exact_dedup_groups", "minhash_signatures", "minhash_dedup_pairs",
-    "ngram_jaccard_pairs", "simhash_signatures", "simhash_near_dups",
-    "knn_bruteforce_blas", "kmeans_centroids", "kmeans_ivf_assignments",
-    "knn_ivf_trained",
-    "lang_id", "quality_scores", "token_counts", "token_frequencies",
-    "pii_redaction", "tfidf_doc_pairs", "fingerprints",
-    "sessionize_events", "user_value_scd2", "grouping_sets_sql",
-    "approx_distinct_counts",
+    # -- round 6: new queries --
+    "canonical_url_groups",         # new: URL/metadata dedup pre-pass
+    "clean_corpus",                 # new: survivors -> span-dedup chain
+    # -- round 6: changed plan (explicit closure-stage partition count
+    #    in _simple_triangle_corners — the AQE-coalesced exchange fix
+    #    measured in BENCHNOTES.md; triangles shares that helper with
+    #    triangle_count, so its r5 verdict no longer covers the
+    #    shipped plan) --
+    "triangles",
+    # -- deferred from round 5 (window was exactly full) --
+    "knn_ivf_pruned",
+    # -- the 46 remaining queries whose last driver verdict is r4
+    #    (everything outside the r5 window, minus the 3 retirements,
+    #    rotates in en bloc — keeps every verdict <= 1 round old) --
+    "approx_order_percentiles", "asia_market_share",
+    "connected_components", "decontaminated_corpus",
+    "decontamination_external", "decontamination_pairs",
+    "dedup_clusters", "dedup_survivors", "doc_chunks",
+    "embedding_near_dups", "event_type_counts_salted",
+    "hourly_event_counts", "ivf_assignments", "knn_bruteforce",
+    "knn_ivf", "lineitem_profile", "media_byte_histograms",
+    "media_frame_sample", "media_metadata", "monthly_retention_cohorts",
+    "nation_participants_full_outer", "order_size_distribution",
+    "packed_sequence_fragments", "packed_sequences",
+    "price_quantity_correlation", "purchase_last_click_asof",
+    "quality_filtered_corpus", "repetition_scores", "session_stats",
+    "session_window_stats", "signup_to_purchase_funnel",
+    "source_mixture_sample", "srp_bucket_stats",
+    "stateful_streaming_sessions", "stratified_event_sample",
+    "streaming_event_dedup", "streaming_hourly_counts",
+    "streaming_minhash_dedup", "streaming_triangle_count",
+    "streaming_view_attribution", "top_parts_per_nation",
+    "triangle_count", "trigram_counts", "value_band_range_join",
+    "value_distribution_stats", "volume_shipping",
     # ---- verification-window boundary: len(_ORDER) == 50, pinned by
     #      test_order_is_exactly_the_window ----
-    # knn_ivf_pruned (new r5) follows FIRST among the out-of-window
-    # queries: the 50 slots are exactly consumed by the 47 rotations
-    # + 1 changed + 2 new span queries, so its driver verification is
-    # deferred one round (it is locally oracle-gated at two SFs by
-    # test_registry_oracle in the meantime) and the deferral is
-    # enforced mechanically — see _DEFERRED_TO_NEXT_WINDOW in
-    # tests/test_registry_order.py.
-    "knn_ivf_pruned",
-    # r4-green unchanged queries follow in registration order.
+    # r5-green unchanged queries follow in registration order.
 ]
 
 

@@ -12,44 +12,50 @@ import os
 
 from mapreduce_experiment_spark.plans.registry import _ORDER, SPECS
 
-# Round 5 contract: the two new span-dedup queries, bm25_topk (its
-# static plan changed — explicit broadcast of the term->df join), and
-# ALL 47 queries whose last driver verdict was r3 (everything outside
-# the r4 window — keeps every verdict <= 1 round old).
+# Round 6 contract: the two new queries (canonical_url_groups,
+# clean_corpus), the changed-plan triangles (explicit closure-stage
+# partition count in the shared _simple_triangle_corners helper),
+# knn_ivf_pruned (deferred from r5 — its first driver verdict), and
+# ALL 46 remaining queries whose last driver verdict was r4
+# (everything outside the r5 window minus the 3 round-6 retirements —
+# keeps every verdict <= 1 round old).
 _MUST_BE_IN_WINDOW = {
-    # new or changed in round 5
-    "repeated_spans", "span_deduped_corpus", "bm25_topk",
-    # last driver verdict r3 (the full r4 out-of-window set)
-    "edges_derive", "symmetrize", "adjacency", "degrees",
-    "candidate_pairs", "triangles", "pagerank", "triangles_faithful",
-    "pricing_summary", "revenue_by_nation",
-    "top_customers_per_nation", "customer_running_spend",
-    "order_gap_days", "top_orders_global", "order_priority_rollup",
-    "returnflag_status_cube", "mktsegment_pivot", "parts_never_ordered",
-    "suppliers_with_orders", "customers_retained", "customers_churned",
-    "orders_above_customer_average", "order_scalar_functions",
-    "events_json_extract", "nation_order_stats", "account_balance_union",
-    "exact_dedup_groups", "minhash_signatures", "minhash_dedup_pairs",
-    "ngram_jaccard_pairs", "simhash_signatures", "simhash_near_dups",
-    "knn_bruteforce_blas", "kmeans_centroids", "kmeans_ivf_assignments",
-    "knn_ivf_trained",
-    "lang_id", "quality_scores", "token_counts", "token_frequencies",
-    "pii_redaction", "tfidf_doc_pairs", "fingerprints",
-    "sessionize_events", "user_value_scd2", "grouping_sets_sql",
-    "approx_distinct_counts",
+    # new, changed, or deferred in round 6
+    "canonical_url_groups", "clean_corpus", "triangles",
+    "knn_ivf_pruned",
+    # last driver verdict r4 (the r5 out-of-window set minus the
+    # retired brand_revenue_by_year / daily_event_type_pivot /
+    # order_value_histogram)
+    "approx_order_percentiles", "asia_market_share",
+    "connected_components", "decontaminated_corpus",
+    "decontamination_external", "decontamination_pairs",
+    "dedup_clusters", "dedup_survivors", "doc_chunks",
+    "embedding_near_dups", "event_type_counts_salted",
+    "hourly_event_counts", "ivf_assignments", "knn_bruteforce",
+    "knn_ivf", "lineitem_profile", "media_byte_histograms",
+    "media_frame_sample", "media_metadata", "monthly_retention_cohorts",
+    "nation_participants_full_outer", "order_size_distribution",
+    "packed_sequence_fragments", "packed_sequences",
+    "price_quantity_correlation", "purchase_last_click_asof",
+    "quality_filtered_corpus", "repetition_scores", "session_stats",
+    "session_window_stats", "signup_to_purchase_funnel",
+    "source_mixture_sample", "srp_bucket_stats",
+    "stateful_streaming_sessions", "stratified_event_sample",
+    "streaming_event_dedup", "streaming_hourly_counts",
+    "streaming_minhash_dedup", "streaming_triangle_count",
+    "streaming_view_attribution", "top_parts_per_nation",
+    "triangle_count", "trigram_counts", "value_band_range_join",
+    "value_distribution_stats", "volume_shipping",
 }
 
 WINDOW = 50
 
-# New queries that could NOT fit this round's 50-slot window (the 47
-# mandatory rotations + 1 changed + 2 new already fill it) and whose
-# driver verification is therefore deferred EXACTLY one round: they
-# must sit immediately after the window boundary so the next
-# rotation picks them up first, and they carry local oracle gating
-# (test_registry_oracle, sf0.001 + sf0.01) in the meantime. This is
-# the honest accounting for "more new queries than free slots" — not
-# an attestation (nothing to attest: they have no prior verdict).
-_DEFERRED_TO_NEXT_WINDOW = ["knn_ivf_pruned"]
+# New queries that could NOT fit this round's 50-slot window and whose
+# driver verification is therefore deferred EXACTLY one round (they
+# must sit immediately after the window boundary and carry local
+# oracle gating in the meantime). Round 6's retirements made room for
+# everything, so the deferral list is empty this round.
+_DEFERRED_TO_NEXT_WINDOW: list[str] = []
 
 
 def test_order_is_exactly_the_window():
@@ -108,50 +114,50 @@ def test_registry_has_expected_size():
 # either sit inside the window or be explicitly attested unchanged
 # below (a conscious, reviewable act in the diff).
 
-_ROUND_BASE = "73df5cc"  # driver's round-4 commit; bump each round
+_ROUND_BASE = "a5a5f4c"  # driver's round-5 commit; bump each round
 
 # Queries living in touched modules whose own plan + oracle are
-# attested unchanged this round. Round 5's package edits are:
-# operators/dedup.py (APPENDED span-dedup operators + shared
-# dedup_survivors operator + one import line), operators/
-# similarity.py (APPENDED write_ivf_index/knn_ivf_pruned, plus the
-# knn_ivf probe/top-k blocks extracted into shared _ivf_* helpers —
-# knn_ivf's EXECUTED PLAN verified structurally identical
-# before/after at sf0.001 and sf0.01 in-session, lambda-counter
-# normalization only), operators/text.py (bm25_topk function body
-# only — in-window),
-# plans/queries_dedup.py (APPENDED span registrations + the
-# dedup_survivors body now calls the shared operator — its EXECUTED
-# PLAN was verified byte-identical before/after in-session, and its
-# oracle text is untouched), plans/queries_similarity.py (APPENDED
-# knn_ivf_pruned registration). Every name below is r4-green with
-# plan + oracle text untouched by those hunks.
+# attested unchanged this round. Round 6's package edits are:
+# operators/graph.py (one hunk INSIDE _simple_triangle_corners — the
+# explicit closure-stage partition count; only ``triangles`` and
+# ``triangle_count`` reach that helper, both in-window),
+# operators/dedup.py (APPENDED canonical_url operators + the
+# dedup_survivors broadcast-hint removal — a hunk inside the
+# dedup_survivors function body only; dedup_survivors is in-window),
+# plans/queries_dedup.py (APPENDED canonical_url_groups/clean_corpus
+# registrations + the span-oracle constants refactored into
+# _span_cte()/_SPAN_REMOVAL_TAIL — generated oracle TEXT verified
+# byte-identical to HEAD in-session for all 11 pre-existing
+# registrations), plans/queries_analytics.py (three query
+# RETIREMENTS — remaining registrations untouched, all in-window),
+# operators/similarity.py (bounded-probe-set guard inside
+# knn_ivf_pruned only; in-window), plans/queries_similarity.py
+# (stale-index GC horizon inside q_knn_ivf_pruned only; in-window).
+# Every name below is r5-green with plan + oracle text untouched by
+# those hunks.
 _ATTESTED_UNCHANGED = {
-    # reach operators/text.py, whose only r5 hunk is inside the
-    # bm25_topk function body (bm25_topk itself is in-window).
-    "packed_sequences", "packed_sequence_fragments",
-    "decontamination_pairs", "decontamination_external",
-    "repetition_scores", "quality_filtered_corpus",
-    "decontaminated_corpus", "doc_chunks", "trigram_counts",
-    "source_mixture_sample",
-    # registered in queries_dedup.py / reach operators/dedup.py
-    # (append-only hunks + the plan-identical dedup_survivors
-    # refactor).
-    "streaming_minhash_dedup", "dedup_clusters", "dedup_survivors",
+    # registered in queries_graph / reach operators/graph.py (hunk
+    # confined to _simple_triangle_corners, which none of these call)
+    # and operators/dedup.py via the static import chain
+    # queries_graph -> streaming.pipeline -> operators.dedup
+    # (dedup hunks: appended functions + dedup_survivors body).
+    "edges_derive", "symmetrize", "adjacency", "degrees",
+    "candidate_pairs", "pagerank", "triangles_faithful",
+    # registered in queries_events / same streaming.pipeline ->
+    # operators.dedup transitive chain (no dedup code on their path).
+    "sessionize_events", "user_value_scd2",
+    # registered in queries_dedup.py / reach operators/dedup.py:
+    # append-only hunks + the dedup_survivors-body hunk (none of
+    # these call dedup_survivors), oracle text byte-identical.
+    "exact_dedup_groups", "minhash_signatures", "minhash_dedup_pairs",
+    "ngram_jaccard_pairs", "simhash_signatures", "simhash_near_dups",
+    "repeated_spans", "span_deduped_corpus",
     # registered in queries_similarity.py / reach
-    # operators/similarity.py (append-only hunks).
-    "embedding_near_dups", "srp_bucket_stats", "knn_bruteforce",
-    "ivf_assignments", "knn_ivf",
-    # reach operators/dedup.py only transitively through
-    # streaming/pipeline.py (itself untouched this round; the dep
-    # scan follows the static import chain queries_graph/
-    # queries_events -> streaming.pipeline -> operators.dedup).
-    "triangle_count", "streaming_triangle_count",
-    "connected_components",
-    "session_stats", "hourly_event_counts", "session_window_stats",
-    "stateful_streaming_sessions", "streaming_event_dedup",
-    "streaming_hourly_counts", "value_band_range_join",
-    "streaming_view_attribution", "stratified_event_sample",
+    # operators/similarity.py: both r6 hunks live inside the
+    # knn_ivf_pruned path (operator + registered query), which none
+    # of these touch.
+    "knn_bruteforce_blas", "kmeans_centroids",
+    "kmeans_ivf_assignments", "knn_ivf_trained",
 }
 
 def _round_sorted(paths: list[str]) -> list[str]:
@@ -345,6 +351,7 @@ def test_current_window_snapshot_is_fresh():
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     files = _round_sorted(glob.glob(os.path.join(repo, "WINDOW_r*.json")))
+    assert files, "no WINDOW_r*.json committed — regenerate the snapshot"
     latest = json.load(open(files[-1]))
     assert latest == list(SPECS())[:WINDOW], (
         f"{os.path.basename(files[-1])} is stale vs _ORDER[:50] — "
@@ -354,32 +361,78 @@ def test_current_window_snapshot_is_fresh():
     )
 
 
+def _round_of(path: str) -> int:
+    import re
+
+    return int(re.search(r"_r(\d+)", os.path.basename(path)).group(1))
+
+
 def test_no_query_exceeds_one_round_staleness():
-    """The freshness invariant, made mechanical: every registered
-    query must be (a) green in the LATEST driver correctness file,
-    (b) in the current verification window (so the coming round
-    re-verifies it), or (c) explicitly deferred. A query in none of
-    the three would silently age to 2+ rounds without a verdict —
-    exactly the rotation debt the round-3 verdict flagged. At the
-    100-query saturation ceiling (see plans/registry.py) this forces
-    the alternate-round rotation to stay exact."""
+    """The freshness invariant, made mechanical — restructured per the
+    r5 verdict so a round's SHIPPED tree is never red by design.
+
+    Two observable repo states:
+
+    - Rotation committed for the coming round (latest WINDOW_r{N}
+      post-dates the latest CORRECTNESS file): verify the rotation's
+      COMPLETENESS — every registered query must be (a) green in the
+      latest correctness file, (b) in the new window, or (c)
+      explicitly deferred. A query in none of the three would
+      silently age to 2+ rounds without a verdict.
+    - Driver verdict is current (WINDOW round <= CORRECTNESS round —
+      the judging-time state): the tree is green AS SHIPPED; the
+      forcing function instead checks that no package work has been
+      committed on top of the verdict WITHOUT rotating first. A
+      session that starts changing package code before committing the
+      next rotation goes red on its first commit — the tripwire now
+      fires at work-start, not at judging time."""
     import glob
     import json
+    import subprocess
+
+    import pytest
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    files = _round_sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
-    if not files:
-        import pytest
+    cfiles = _round_sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+    wfiles = _round_sorted(glob.glob(os.path.join(repo, "WINDOW_r*.json")))
+    if not cfiles:
         pytest.skip("no driver correctness file yet")
-    latest = json.load(open(files[-1]))
-    green = {k for k, v in latest.items()
-             if isinstance(v, dict) and v.get("hash_match")}
-    specs = SPECS()
-    window = set(list(specs)[:WINDOW])
-    stale = [n for n in specs
-             if n not in green and n not in window
-             and n not in _DEFERRED_TO_NEXT_WINDOW]
-    assert not stale, (
-        f"queries neither verified last round nor scheduled this "
-        f"round: {stale} — rotate them into _ORDER's window"
+    assert wfiles, "no WINDOW_r*.json committed"
+    cround, wround = _round_of(cfiles[-1]), _round_of(wfiles[-1])
+
+    if wround > cround:
+        # Rotation committed: check its completeness.
+        latest = json.load(open(cfiles[-1]))
+        green = {k for k, v in latest.items()
+                 if isinstance(v, dict) and v.get("hash_match")}
+        specs = SPECS()
+        window = set(list(specs)[:WINDOW])
+        stale = [n for n in specs
+                 if n not in green and n not in window
+                 and n not in _DEFERRED_TO_NEXT_WINDOW]
+        assert not stale, (
+            f"queries neither verified last round nor scheduled this "
+            f"round: {stale} — rotate them into _ORDER's window"
+        )
+        return
+
+    # Judging-time state: red only if package work landed after the
+    # verdict without a rotation.
+    try:
+        verdict_commit = subprocess.run(
+            ["git", "log", "-n1", "--format=%H", "--",
+             os.path.basename(cfiles[-1])],
+            capture_output=True, text=True, check=True, cwd=repo,
+        ).stdout.strip()
+        changed = subprocess.run(
+            ["git", "diff", "--name-only", verdict_commit, "HEAD"],
+            capture_output=True, text=True, check=True, cwd=repo,
+        ).stdout.splitlines()
+    except (OSError, subprocess.CalledProcessError) as e:
+        pytest.skip(f"git history unavailable: {e}")
+    pkg_changed = [p for p in changed if p.startswith(_PKG + "/")]
+    assert not pkg_changed, (
+        f"package files changed since {os.path.basename(cfiles[-1])} "
+        f"without committing a WINDOW_r{cround + 1}.json rotation: "
+        f"{pkg_changed} — rotate _ORDER and commit the snapshot FIRST"
     )
