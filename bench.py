@@ -147,9 +147,15 @@ def _run_suite(spark, sf_dir: str):
                 if best_delta is None:
                     best_delta = delta
                 else:
+                    # Merge only keys BOTH runs observed: defaulting a
+                    # missing key to 0 would permanently zero that
+                    # metric (a partially-drifted py4j snapshot or an
+                    # empty delta would silently under-report shuffle/
+                    # CPU/spill for the query).
                     best_delta = {
-                        k: min(best_delta.get(k, 0), v)
+                        k: min(best_delta[k], v)
                         for k, v in delta.items()
+                        if k in best_delta
                     }
         timings[name] = round(best, 3)
         m: dict[str, int] = {"output_rows": rows}
@@ -193,6 +199,26 @@ def main() -> None:
     out["loadavg_1m_before"] = round(load_before[0], 2)
     out["loadavg_1m_after"] = round(os.getloadavg()[0], 2)
     print(json.dumps(out))
+    # The consumer records only the TAIL of stdout (observed: last
+    # 2000 bytes), and the full line above outgrew that in round 5 —
+    # the sf0.1 headline was lost to truncation. Emit a compact
+    # summary LAST (<500 bytes: headline + per-query walls only) so
+    # the tail always ends with one complete, parseable JSON line,
+    # and persist the full payload to a local file for the record.
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": out["sf"],
+    }
+    for k in ("value_sf2", "sf2", "loadavg_1m_before", "loadavg_1m_after"):
+        if k in out:
+            compact[k] = out[k]
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCHFULL.json"), "w") as f:
+        json.dump(out, f)
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

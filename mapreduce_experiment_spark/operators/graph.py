@@ -172,7 +172,19 @@ def _simple_triangle_corners(edges: DataFrame,
     # (measured: ~8.5 s at sf0.1 with ~1 effective task vs ~3 s with
     # 32). Orientation bounds per-key fan-out by O(sqrt(m)), so
     # hashing on lo cannot itself create a hot partition.
-    o = _oriented(ce).repartition(F.col("lo"))
+    #
+    # The partition COUNT must be explicit: AQE's coalescing targets
+    # bytes (the 64 MB advisory size), but this exchange feeds a
+    # compute-bound join whose output is ~1000× its input — at sf0.1
+    # the ~19 MB shuffle coalesces to 8 tasks on 32 cores and the
+    # closure stage runs 1.3–1.8× slower (measured cold-pair 7.41 vs
+    # 13.33 s, warm 6.17 vs 7.86 s; BENCHNOTES.md round-5 "Queued for
+    # round 6"). 2× the cluster's core count keeps every core busy
+    # through stragglers and scales with the cluster instead of
+    # hard-coding this box; the floor of 64 preserves the measured
+    # local[32] operating point even under smaller test sessions.
+    nparts = max(64, 2 * ce.sparkSession.sparkContext.defaultParallelism)
+    o = _oriented(ce).repartition(nparts, F.col("lo"))
     p1 = o.select(F.col("lo").alias("w"), F.col("hi").alias("x"))
     p2 = o.select(F.col("lo").alias("w"), F.col("hi").alias("y"))
     # Open triads from the low corner; x<y dedups the unordered pair.

@@ -613,6 +613,17 @@ def knn_ivf_pruned(spark, embeddings: DataFrame, path: str,
     v = _prep(embeddings)
     queries = _ivf_queries(v, n_queries)
     probes = _ivf_probes(v, n_queries, n_centroids, nprobe)
+    # Static pruning only makes sense for a bounded probe set: the
+    # IN-list is driver state AND a per-task filter. A misconfigured
+    # huge query batch must fail loudly here, not build a
+    # million-element predicate — batch-split or fall back to the
+    # equi-join path (knn_ivf) instead.
+    n_probe_ids = nprobe * n_queries
+    if n_probe_ids > 10_000:
+        raise ValueError(
+            f"knn_ivf_pruned: nprobe*n_queries = {n_probe_ids} probed "
+            "centroids exceeds the static-pruning bound (10000); "
+            "split the query batch or use knn_ivf's equi-join path")
     probe_ids = sorted(
         r.centroid_id for r in probes.select("centroid_id").distinct().collect())
 

@@ -308,9 +308,12 @@ def q_knn_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session (driver verify vs a local pytest run) must never
     # overwrite the index files another session's already-planned
     # scan is reading. Stale siblings from PAST applications are
-    # pruned opportunistically (mtime > 1 h — a live session reads
-    # its index seconds after writing it), so the per-app naming
-    # cannot leak disk without bound.
+    # pruned opportunistically so the per-app naming cannot leak disk
+    # without bound. The horizon is 24 h, NOT session-scale: a
+    # long-lived peer session that wrote its index hours ago can
+    # lazily re-execute a DataFrame that still reads those files, and
+    # deleting them mid-scan would fail ITS query — a day comfortably
+    # outlives any session on this box while still bounding leakage.
     import shutil
     import time
 
@@ -324,7 +327,7 @@ def q_knn_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             full = os.path.join(wh, d)
             if (d.startswith("ivf_index_") and not d.startswith(
                     f"ivf_index_{app}_")
-                    and time.time() - os.path.getmtime(full) > 3600):
+                    and time.time() - os.path.getmtime(full) > 86400):
                 shutil.rmtree(full, ignore_errors=True)
     except OSError:
         pass

@@ -661,6 +661,97 @@ def test_span_dedup_overlapping_ownership(spark):
     assert got[2].clean_text == "pad tail"
 
 
+def _py_span_dedup(texts: dict[int, str], n: int):
+    """Independent pure-Python mirror of the span-dedup algebra at
+    window length ``n`` — windows keyed by their literal token TUPLE
+    (no hashing), coverage recomputed position-by-position. The Spark
+    operator matching this for every doc proves the distributed
+    fingerprint/group/coverage/island plan implements the intended
+    token-level semantics, not just that two Spark formulations
+    agree."""
+    import re
+
+    toks = {d: re.sub(r"[^a-z0-9]+", " ", t.lower()).strip().split()
+            for d, t in texts.items()}
+    groups: dict[tuple, set[int]] = {}
+    for d, ts in toks.items():
+        for i in range(len(ts) - n + 1):
+            groups.setdefault(tuple(ts[i:i + n]), set()).add(d)
+    out: dict[int, tuple[int, str]] = {}
+    for d, ts in toks.items():
+        cover = [None] * len(ts)  # None=uncovered, True=all-removable
+        for i in range(len(ts) - n + 1):
+            members = groups[tuple(ts[i:i + n])]
+            if len(members) < 2:
+                continue
+            removable = d != min(members)
+            for j in range(i, i + n):
+                cover[j] = removable if cover[j] is None \
+                    else (cover[j] and removable)
+        removed = [bool(c) for c in cover]
+        n_runs = sum(1 for j, r in enumerate(removed)
+                     if r and (j == 0 or not removed[j - 1]))
+        clean = " ".join(t for t, r in zip(ts, removed) if not r)
+        out[d] = (n_runs, clean)
+    return out, groups
+
+
+def test_span_dedup_at_production_window_length(spark):
+    """SPAN_N=8 is a scale-down for the ~54-token synthetic corpus;
+    this proves the token-window algebra at the Lee-et-al operating
+    grain (n=50) on long synthetic docs with planted boilerplate:
+    60-token license block shared by several ~300-token docs (varied
+    offsets), two overlapping repeats with DIFFERENT keeper docs
+    (the ownership-protection case, scaled), a pure-boilerplate doc,
+    and a doc shorter than the window. Every result row must equal
+    the independent pure-Python recomputation, and every repeated
+    span must survive verbatim in exactly its keeper doc."""
+    import random
+
+    rng = random.Random(20260814)
+
+    def words(k, tag):
+        return [f"{tag}{rng.randrange(10**6)}x{i}" for i in range(k)]
+
+    n = 50
+    boiler = " ".join(f"lic{i}" for i in range(60))      # 60-token block
+    shift = " ".join(f"lic{i}" for i in range(10, 60)) + " " \
+        + " ".join(f"post{i}" for i in range(10))        # overlaps boiler
+    texts = {}
+    # docs 1..4 embed the license block at varied offsets
+    for d, off in ((1, 40), (2, 0), (3, 137), (4, 220)):
+        pre, post = words(off, f"u{d}p"), words(300 - off, f"u{d}s")
+        texts[d] = " ".join(pre) + " " + boiler + " " + " ".join(post)
+    # doc 0 owns a shifted window family overlapping the block
+    texts[0] = shift + " " + " ".join(words(120, "u0"))
+    texts[5] = boiler                                    # nothing but it
+    texts[6] = " ".join(words(30, "short"))              # < window length
+    texts[7] = " ".join(words(280, "clean"))             # no repeats
+
+    docs = _docs(spark, sorted(texts.items()))
+    got = {r.doc_id: (r.n_spans_removed, r.clean_text)
+           for r in D.span_deduped_corpus(docs, n=n).collect()}
+    want, groups = _py_span_dedup(texts, n)
+    assert got == want
+    # Ownership guarantee at n=50, per WINDOW (the operator's actual
+    # contract — with overlapping repeats owned by different keepers,
+    # no single doc is promised the whole planted block): every
+    # repeated 50-token window survives contiguously in its keeper
+    # doc (the minimum id holding it). The protection term keeps the
+    # keeper's copy intact even where a different-keeper window
+    # overlaps it.
+    repeated = {k: m for k, m in groups.items() if len(m) >= 2}
+    # the plant actually exercises the path: 11 in-block windows (the
+    # 60-token block at n=50) incl. one shared with doc 0's family
+    assert len(repeated) == 11
+    for key, members in repeated.items():
+        assert " ".join(key) in got[min(members)][1], key[:3]
+    # Non-keeper copies are gone: the block survives nowhere but its
+    # keepers' protected regions.
+    assert all(boiler not in got[d][1] for d in (2, 3, 4, 5))
+    assert got[7] == (0, texts[7])  # clean doc untouched
+
+
 def test_span_dedup_short_and_clean_docs_pass_through(spark):
     docs = _docs(spark, [
         (7, "short"),

@@ -169,11 +169,19 @@ def test_bm25_query_side_broadcasts(spark):
 
 
 def test_dedup_survivors_removal_is_broadcast_anti_join(spark):
-    """The removal list (bounded by actual near-dups) must broadcast;
-    the corpus side anti-joins map-side without shuffling."""
-    plan = _plan(spark, "dedup_survivors")
-    assert "BroadcastHashJoin LeftAnti" in plan or \
-        ("LeftAnti" in plan and "BroadcastHashJoin" in plan)
+    """The removal list (bounded by actual near-dups) must broadcast
+    AT RUNTIME so the corpus side anti-joins map-side without
+    shuffling. The hint is no longer forced (a dup-heavy corpus
+    would OOM a forced broadcast), so the pin moves to the
+    AQE-finalized executed plan: after execution the anti-join must
+    have been converted to a broadcast join."""
+    df = SPECS()["dedup_survivors"].fn(spark, SF_SMOKE)
+    # collect() runs THIS DataFrame's QueryExecution (a write would
+    # plan a separate command), finalizing its adaptive plan.
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
 
 
