@@ -580,6 +580,46 @@ def test_dedup_survivors_one_per_cluster(spark):
     assert ids == {1, 3}                     # 2 deduped into 1's cluster
 
 
+# --- URL/metadata dedup ------------------------------------------------------
+def test_canonical_url_cross_engine(spark):
+    """The driver corpus's ``source`` values are opaque ids, so the
+    registered query never exercises the URL regex branches — this
+    does, on realistic messy URLs, and proves the Spark (Java-regex)
+    and DuckDB (RE2) canonicalization chains agree value-for-value
+    (they are generated from the same URL_CANON_STEPS constant)."""
+    import duckdb
+
+    from mapreduce_experiment_spark.plans.queries_dedup import _canon_url_sql
+
+    urls = [
+        "https://www.Example.com/Path/Page/?utm_source=x&id=7#frag",
+        "http://example.com/path/page",
+        "example.com/path/page///",
+        "HTTPS://EXAMPLE.COM",
+        "https://www.example.com",
+        "example.com",
+        "https://sub.www.example.com/x",   # www. strips at host START only
+        "ftp://fileserver/pub",            # non-http scheme untouched
+        "src7",                            # the synthetic corpus shape
+        "https://a.io/q?x=1&y=2",
+        "https://a.io/q#only-fragment",
+    ]
+    got = [r.c for r in spark.createDataFrame(
+        [(u,) for u in urls], "url string"
+    ).select(D.canonical_url(F.col("url")).alias("c")).collect()]
+    con = duckdb.connect()
+    want = [con.execute(f"SELECT {_canon_url_sql('?')}", [u]).fetchone()[0]
+            for u in urls]
+    assert got == want
+    # and the chain actually canonicalizes: the first three variants
+    # (and the next three host-only variants) collapse to one key each
+    assert len(set(got[:3])) == 1 and got[0] == "example.com/path/page"
+    assert len(set(got[3:6])) == 1 and got[3] == "example.com"
+    assert got[6] == "sub.www.example.com/x"
+    assert got[7] == "ftp://fileserver/pub"
+    assert got[8] == "src7"
+
+
 # --- span-level cross-document dedup ----------------------------------------
 _BOILER = ("this content is licensed under a creative "
            "commons attribution share alike license")  # 12 tokens

@@ -224,6 +224,34 @@ def test_span_dedup_no_allpairs_and_fp_equijoin(spark):
         assert "fp#" in plan, name  # the fingerprint key is the join key
 
 
+def test_canonical_url_groups_is_pure_aggregate(spark):
+    """URL dedup must stay the exact_dedup_groups shape: canonicalize
+    inside the scan projection (codegen regexp chain, no UDF), then
+    aggregate — no join anywhere. The count(DISTINCT source) expands
+    to Spark's standard two-exchange distinct-aggregate (partial agg
+    on (canon, source) → re-key on canon), both exchanges on narrow
+    derived keys with map-side partials, so exactly 2 exchanges; a
+    3rd would mean the canonicalization got keyed separately. The
+    scan must prune to the two columns the query touches — at 100 TB
+    reading document bodies to group URLs would be the whole cost."""
+    plan = _plan(spark, "canonical_url_groups")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
+    assert "regexp_replace" in plan
+    read = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "text" not in read and "doc_id" in read and "source" in read
+
+
+def test_clean_corpus_keeps_component_plan_shapes(spark):
+    """The composed curation pipeline must not regress either stage's
+    plan discipline: no cartesian/nested-loop anywhere, the span
+    candidate flagging still an equi-join on the fingerprint key."""
+    plan = _plan(spark, "clean_corpus")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "fp#" in plan
+
+
 def test_knn_ivf_pruned_registered_query_scans_pruned_index(spark):
     """The REGISTERED pruned-IVF query must carry a static partition
     filter on centroid_id at its index scan — the 100 TB probe path
