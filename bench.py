@@ -147,15 +147,17 @@ def _run_suite(spark, sf_dir: str):
                 if best_delta is None:
                     best_delta = delta
                 else:
-                    # Merge only keys BOTH runs observed: defaulting a
-                    # missing key to 0 would permanently zero that
-                    # metric (a partially-drifted py4j snapshot or an
-                    # empty delta would silently under-report shuffle/
-                    # CPU/spill for the query).
+                    # Min over the runs that OBSERVED each key:
+                    # defaulting a missing key to 0 would permanently
+                    # zero the metric, and intersecting keys would
+                    # discard a metric one drifted/empty snapshot
+                    # failed to observe even though other runs
+                    # measured it validly.
                     best_delta = {
-                        k: min(best_delta[k], v)
-                        for k, v in delta.items()
-                        if k in best_delta
+                        k: min(best_delta[k], delta[k])
+                        if k in best_delta and k in delta
+                        else best_delta.get(k, delta.get(k))
+                        for k in {*best_delta, *delta}
                     }
         timings[name] = round(best, 3)
         m: dict[str, int] = {"output_rows": rows}
@@ -215,9 +217,17 @@ def main() -> None:
     for k in ("value_sf2", "sf2", "loadavg_1m_before", "loadavg_1m_after"):
         if k in out:
             compact[k] = out[k]
-    here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCHFULL.json"), "w") as f:
-        json.dump(out, f)
+    # Best-effort only: a read-only checkout or full disk must never
+    # suppress the compact line below (losing it would re-create the
+    # truncation failure this exists to fix). BENCHFULL.json is the
+    # LATEST run, clobbered each invocation and gitignored; a curated
+    # quiet-window record is committed under a round-stamped name.
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCHFULL.json"), "w") as f:
+            json.dump(out, f)
+    except OSError:
+        pass
     print(json.dumps(compact))
 
 

@@ -441,14 +441,18 @@ def q_span_deduped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _canon_url_sql(expr: str) -> str:
     """DuckDB mirror of :func:`operators.dedup.canonical_url`: the
-    same lowercase + :data:`URL_CANON_STEPS` regex chain, generated
-    from the one shared constant tuple so the engines cannot drift.
-    Every step matches at most one region, so RE2's first-match
-    regexp_replace equals Java's replace-all here."""
-    e = f"lower({expr})"
+    same :data:`URL_CANON_STEPS` regex chain + host-only lowercasing,
+    generated from the one shared constant tuple so the engines
+    cannot drift. Every step is start-anchored or consumes to
+    end-of-string ([\\s\\S]*), so RE2's first-match regexp_replace
+    equals Java's replace-all (newlines included — see the constant's
+    rationale)."""
+    e = expr
     for pat, rep in D.URL_CANON_STEPS:
         e = f"regexp_replace({e}, '{pat}', '{rep}')"
-    return e
+    h = D.URL_HOST_RE
+    return (f"lower(regexp_extract({e}, '{h}'))"
+            f" || regexp_replace({e}, '{h}', '')")
 
 
 @register(

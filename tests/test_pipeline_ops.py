@@ -592,7 +592,7 @@ def test_canonical_url_cross_engine(spark):
     from mapreduce_experiment_spark.plans.queries_dedup import _canon_url_sql
 
     urls = [
-        "https://www.Example.com/Path/Page/?utm_source=x&id=7#frag",
+        "https://WWW.Example.com/path/page/?utm_source=x&id=7#frag",
         "http://example.com/path/page",
         "example.com/path/page///",
         "HTTPS://EXAMPLE.COM",
@@ -603,13 +603,19 @@ def test_canonical_url_cross_engine(spark):
         "src7",                            # the synthetic corpus shape
         "https://a.io/q?x=1&y=2",
         "https://a.io/q#only-fragment",
+        "https://a.io/API/Users",          # path case is PRESERVED
+        "example.com/\n",                  # trailing newline (the Java
+        "a.io/x#b\nc.io/y#d",              # $-vs-\z and .*-vs-newline
+        " \thttps://pad.io/x ",            # divergence traps)
     ]
     got = [r.c for r in spark.createDataFrame(
         [(u,) for u in urls], "url string"
     ).select(D.canonical_url(F.col("url")).alias("c")).collect()]
     con = duckdb.connect()
-    want = [con.execute(f"SELECT {_canon_url_sql('?')}", [u]).fetchone()[0]
-            for u in urls]
+    # bind through a subquery: the mirror references its input
+    # expression more than once (host extract + host removal)
+    sql = f"SELECT {_canon_url_sql('url')} FROM (SELECT ? AS url) t"
+    want = [con.execute(sql, [u]).fetchone()[0] for u in urls]
     assert got == want
     # and the chain actually canonicalizes: the first three variants
     # (and the next three host-only variants) collapse to one key each
@@ -618,6 +624,12 @@ def test_canonical_url_cross_engine(spark):
     assert got[6] == "sub.www.example.com/x"
     assert got[7] == "ftp://fileserver/pub"
     assert got[8] == "src7"
+    # RFC 3986: only scheme/host are case-insensitive — the path keeps
+    # its case (distinct resources must not merge)
+    assert got[11] == "a.io/API/Users"
+    assert got[12] == "example.com"
+    assert got[13] == "a.io/x"  # fragment strip consumes to END of string
+    assert got[14] == "pad.io/x"
 
 
 # --- span-level cross-document dedup ----------------------------------------

@@ -70,13 +70,14 @@ def test_triangle_closure_exchange_has_explicit_partition_count(spark):
     REPARTITION_BY_COL, which AQE coalesces by shuffle BYTES and
     serializes the compute-bound triad stage (measured 8 tasks on 32
     cores, 1.3-1.8x wall at sf0.1)."""
+    import re
+
     plan = _plan(spark, "triangle_count")
     lines = [ln for ln in plan.splitlines()
              if "hashpartitioning(lo" in ln]
     assert lines, "closure exchange on lo missing from the plan"
     for ln in lines:
         assert "REPARTITION_BY_NUM" in ln, ln
-        import re
         n = int(re.search(r"hashpartitioning\(lo#\d+L?, (\d+)\)", ln).group(1))
         assert n >= 64, ln
 

@@ -424,6 +424,16 @@ def test_no_query_exceeds_one_round_staleness():
              os.path.basename(cfiles[-1])],
             capture_output=True, text=True, check=True, cwd=repo,
         ).stdout.strip()
+        # `git log -- <untracked file>` exits 0 with EMPTY output; the
+        # downstream diff would then fail and be mis-reported as "git
+        # unavailable", silently disabling this tripwire. An
+        # uncommitted latest verdict is itself the unrotated-work
+        # state — fail with the accurate message.
+        assert verdict_commit, (
+            f"{os.path.basename(cfiles[-1])} exists but is not "
+            "committed — commit the driver verdict and the "
+            f"WINDOW_r{cround + 1}.json rotation before package work"
+        )
         changed = subprocess.run(
             ["git", "diff", "--name-only", verdict_commit, "HEAD"],
             capture_output=True, text=True, check=True, cwd=repo,
