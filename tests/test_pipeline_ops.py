@@ -632,6 +632,36 @@ def test_canonical_url_cross_engine(spark):
     assert got[14] == "pad.io/x"
 
 
+def test_canonical_url_cross_engine_property(spark):
+    """Property form of the identity claim: for ARBITRARY ASCII inputs
+    (URL punctuation, slashes, #/?, embedded and trailing whitespace/
+    newlines, mixed case — not just well-formed URLs) the Spark and
+    DuckDB canonicalization chains must agree byte-for-byte. Scope is
+    deliberately ASCII: non-ASCII case mapping (Turkish I, sigma, ß)
+    differs between Java and DuckDB lower(); IDN hosts are expected
+    punycoded upstream, as real crawl pipelines store them."""
+    import random
+
+    import duckdb
+
+    from mapreduce_experiment_spark.plans.queries_dedup import _canon_url_sql
+
+    rng = random.Random(42)
+    alphabet = ("abcXYZ09" "/?#&=._-:" " \t\n") + "www." + "https://"
+    cases = ["".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 40)))
+             for _ in range(300)]
+    cases += ["", "#", "?", "/", "//", "www.", "WWW.x", "https://",
+              "HtTpS://WwW.A.b/C?d#e", "\n\n", "x#\ny?z", "a/b/c///\n \t"]
+    got = [r.c for r in spark.createDataFrame(
+        [(u,) for u in cases], "url string"
+    ).select(D.canonical_url(F.col("url")).alias("c")).collect()]
+    con = duckdb.connect()
+    sql = f"SELECT {_canon_url_sql('url')} FROM (SELECT ? AS url) t"
+    for u, g in zip(cases, got):
+        w = con.execute(sql, [u]).fetchone()[0]
+        assert g == w, f"engines diverge on {u!r}: spark={g!r} duckdb={w!r}"
+
+
 # --- span-level cross-document dedup ----------------------------------------
 _BOILER = ("this content is licensed under a creative "
            "commons attribution share alike license")  # 12 tokens
