@@ -205,25 +205,48 @@ def test_dedup_survivors_removal_is_broadcast_anti_join(spark):
 
 
 @pytest.mark.slow
-def test_no_multi_inlined_tokenizer_in_generates(spark):
-    """Generate inlines its generator expression without CSE: an
-    n-gram/shingle explode written over `tokenize(text)` re-runs the
-    regex tokenizer once per reference (three for the shingle shape —
-    guard size, sequence size, slice), tripling the corpus-scan cost.
-    Caught live in trigram_counts and the three decontamination
-    queries (~1.6-5x wall); the fix is materializing the token array
-    in a projection below the explode. Pin the whole registry."""
-    offenders = []
+def test_registry_wide_plan_antipattern_sweep(spark):
+    """ONE plan-build pass over the whole registry, checking every
+    blanket anti-pattern invariant the engine claims:
+
+    - No multi-inlined tokenizer inside a Generate: the generator
+      expression is inlined without CSE, so an explode written over
+      `tokenize(text)` re-runs the regex once per reference (~1.6-5x
+      wall, caught live in trigram_counts + decontamination); the fix
+      is materializing the token array in a projection below.
+    - No row-at-a-time Python UDFs anywhere (`BatchEvalPython`):
+      Python is allowed ONLY through Arrow-vectorized surfaces
+      (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas[WithState]
+      — mapInPandas, applyInPandasWithState), which batch-transfer
+      and stay off the per-row pickle path.
+    - No CartesianProduct in ANY registered query: every cross-shaped
+      computation must be bucketed/banded/broadcast (small-side
+      crossJoins plan as BroadcastNestedLoopJoin, which stays legal
+      where pinned per-query)."""
+    tok_off, udf_off, cart_off = [], [], []
     for name, s in SPECS().items():
         plan = s.fn(spark, SF_SMOKE) \
             ._jdf.queryExecution().executedPlan().toString()
+        if "BatchEvalPython" in plan:
+            udf_off.append(name)
+        if "CartesianProduct" in plan:
+            cart_off.append(name)
         for line in plan.splitlines():
             if "Generate" in line and line.count("regexp_replace") > 1:
-                offenders.append(name)
+                tok_off.append(name)
                 break
-    assert not offenders, (
-        f"queries re-running the tokenizer inside a Generate: {offenders}"
+    assert not tok_off, (
+        f"queries re-running the tokenizer inside a Generate: {tok_off}"
         " — materialize the token array in a projection below the explode"
+    )
+    assert not udf_off, (
+        f"queries planning row-at-a-time Python UDFs: {udf_off} — use "
+        "built-in expressions or an Arrow surface (mapInPandas/"
+        "applyInPandas)"
+    )
+    assert not cart_off, (
+        f"queries planning a CartesianProduct: {cart_off} — bucket, "
+        "band, or broadcast the small side"
     )
 
 
