@@ -250,6 +250,54 @@ def test_registry_wide_plan_antipattern_sweep(spark):
     )
 
 
+def test_no_driver_collect_outside_bounded_state_sites():
+    """Source-level pin of the 'no collect on data paths' invariant
+    (audited by hand in every round verdict so far): every
+    .collect()/.toPandas()/.toLocalIterator() in the package must sit
+    in an explicitly allowlisted function whose result is BOUNDED
+    driver state (query vectors, centroid seeds, Lloyd partial sums,
+    probe ids — all O(queries) or O(k*d), never O(data)). A new
+    collect anywhere else fails until it is either removed or
+    consciously added here with the same boundedness argument."""
+    import ast
+    import os
+
+    allowed = {
+        # (module-relative path, enclosing function)
+        ("operators/similarity.py", "knn_bruteforce_blas"),  # n_queries rows
+        ("operators/similarity.py", "kmeans_train"),  # k seeds + k*d sums
+        ("operators/similarity.py", "knn_ivf_pruned"),  # <=10k probe ids
+    }
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "mapreduce_experiment_spark")
+    offenders = []
+    for root, _dirs, files in os.walk(pkg):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            rel = os.path.relpath(path, pkg)
+            tree = ast.parse(open(path).read())
+            # map each call to its enclosing function name
+            def walk(node, func):
+                if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                    func = node.name
+                if (isinstance(node, ast.Call)
+                        and isinstance(node.func, ast.Attribute)
+                        and node.func.attr in ("collect", "toPandas",
+                                               "toLocalIterator")):
+                    if (rel, func) not in allowed:
+                        offenders.append((rel, func, node.lineno))
+                for child in ast.iter_child_nodes(node):
+                    walk(child, func)
+            walk(tree, None)
+    assert not offenders, (
+        f"driver-side collection outside the bounded-state allowlist: "
+        f"{offenders} — data paths must stay distributed"
+    )
+
+
 def test_span_dedup_no_allpairs_and_fp_equijoin(spark):
     """Span dedup must never compare documents pairwise: candidate
     flagging is an equi-join on the 8-byte window fingerprint, and
