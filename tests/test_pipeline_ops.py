@@ -834,6 +834,38 @@ def test_span_dedup_at_production_window_length(spark):
     assert got[7] == (0, texts[7])  # clean doc untouched
 
 
+def test_span_dedup_randomized_corpora_match_python_mirror(spark):
+    """30 random corpora vs the pure-Python mirror, in ONE Spark job:
+    each corpus's docs are concatenations of a small set of random
+    phrases, so 8-token windows genuinely repeat across docs with
+    overlaps, nesting, and varied keepers — the adversarial inputs
+    for the island-merge/ownership algebra that hand-written cases
+    can't enumerate. Token namespaces are disjoint per corpus (c{i}
+    prefix), so fingerprints never collide across corpora and the
+    union run is semantically identical to 30 separate runs."""
+    import random
+
+    rng = random.Random(606)
+    texts: dict[int, str] = {}
+    base = 0
+    for c in range(30):
+        phrases = [" ".join(f"c{c}w{rng.randrange(14)}"
+                            for _ in range(rng.randrange(4, 11)))
+                   for _ in range(4)]
+        for d in range(rng.randrange(2, 6)):
+            parts = [rng.choice(phrases)
+                     for _ in range(rng.randrange(1, 5))]
+            texts[base + d] = " ".join(parts)
+        base += 5  # fixed stride keeps ids disjoint and deterministic
+    docs = _docs(spark, sorted(texts.items()))
+    got = {r.doc_id: (r.n_spans_removed, r.clean_text)
+           for r in D.span_deduped_corpus(docs, n=8).collect()}
+    want, groups = _py_span_dedup(texts, 8)
+    assert got == want
+    # sanity: the generator actually produced cross-doc repeats
+    assert sum(1 for m in groups.values() if len(m) >= 2) > 50
+
+
 def test_span_dedup_short_and_clean_docs_pass_through(spark):
     docs = _docs(spark, [
         (7, "short"),
