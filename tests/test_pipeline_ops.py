@@ -864,6 +864,58 @@ def test_span_dedup_randomized_corpora_match_python_mirror(spark):
     assert got == want
     # sanity: the generator actually produced cross-doc repeats
     assert sum(1 for m in groups.values() if len(m) >= 2) > 50
+    # Detection half against an interval-merge mirror on the same
+    # corpora: maximal merged flagged regions per doc.
+    import re as _re
+    det = {(r.doc_id, r.span_start, r.span_len, r.n_windows)
+           for r in D.repeated_spans(docs, n=8).collect()}
+    want_det = set()
+    for d, t in texts.items():
+        ts = _re.sub(r"[^a-z0-9]+", " ", t.lower()).strip().split()
+        starts = [i + 1 for i in range(len(ts) - 7)
+                  if len(groups[tuple(ts[i:i + 8])]) >= 2]
+        run: list[int] = []
+        for i in starts + [None]:
+            if run and (i is None or i > run[-1] + 8):
+                want_det.add((d, run[0], run[-1] + 8 - run[0], len(run)))
+                run = []
+            if i is not None:
+                run.append(i)
+    assert det == want_det
+
+
+def test_span_dedup_hot_fingerprint_many_holders(spark):
+    """Skew shape: ONE boilerplate shared by 100 docs (a single fp
+    group with 100 members — the hot key AQE would skew-split at
+    scale). Correctness must be unaffected: the minimum id keeps its
+    copy, the other 99 lose exactly the boilerplate tokens."""
+    docs = _docs(spark, [
+        (i, f"u{i}a u{i}b " + _BOILER + f" u{i}c") for i in range(100)
+    ])
+    got = {r.doc_id: r for r in D.span_deduped_corpus(docs, n=8).collect()}
+    assert len(got) == 100
+    assert got[0].n_spans_removed == 0
+    assert got[0].clean_text == "u0a u0b " + _BOILER + " u0c"
+    for i in range(1, 100):
+        assert got[i].n_spans_removed == 1, i
+        assert got[i].clean_text == f"u{i}a u{i}b u{i}c", i
+
+
+def test_knn_ivf_pruned_rejects_unbounded_probe_sets(spark):
+    """The static-pruning guard, pinned: a query batch whose
+    nprobe x n_queries exceeds the IN-list bound must fail loudly
+    BEFORE collecting probe ids (batch-split or use knn_ivf
+    instead), not build a million-element predicate."""
+    import pytest as _pytest
+
+    from mapreduce_experiment_spark.operators import similarity as S
+    from mapreduce_experiment_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    with _pytest.raises(ValueError, match="static-pruning bound"):
+        S.knn_ivf_pruned(spark, emb, "/nonexistent-index-path",
+                         n_queries=10_001, nprobe=1)
 
 
 def test_span_dedup_short_and_clean_docs_pass_through(spark):
