@@ -82,8 +82,11 @@ def register(name: str, oracle: str | None = None, headline: bool = False):
 # note in queries_analytics.py) to make displacement room for two new
 # queries (canonical_url_groups, clean_corpus) plus the changed-plan
 # ``triangles`` rotation slot, leaving the registry at 99 with one
-# free slot. New registrations must still displace, not accrete,
-# whenever the count would exceed 100.
+# free slot. That slot was then used by ``corpus_shuffle`` (new r6,
+# deferred to the r7 window — see the tail of this list), putting the
+# registry back at the exact 100 ceiling with the r7 rotation
+# arithmetic squared: 49 r5-greens + 1 deferred = the full 50 window.
+# New registrations must again displace, not accrete.
 _ORDER: list[str] = [
     # -- round 6: new queries --
     "canonical_url_groups",         # new: URL/metadata dedup pre-pass
@@ -121,6 +124,14 @@ _ORDER: list[str] = [
     "value_distribution_stats", "volume_shipping",
     # ---- verification-window boundary: len(_ORDER) == 50, pinned by
     #      test_order_is_exactly_the_window ----
+    # corpus_shuffle (new r6, registered AFTER the rotation froze the
+    # r6 window) fills the registry's last free slot via the honest
+    # deferral mechanism established in r5: it sits first among the
+    # out-of-window queries so the r7 rotation (the 49 r5-greens + it
+    # = exactly 50) picks it up, and it carries local oracle gating
+    # (test_registry_oracle, sf0.001 + sf0.01) until then — enforced
+    # by _DEFERRED_TO_NEXT_WINDOW in tests/test_registry_order.py.
+    "corpus_shuffle",
     # r5-green unchanged queries follow in registration order.
 ]
 
@@ -155,7 +166,7 @@ _loaded = False
 _PLAN_MODULES = ("queries_graph", "queries_relational", "queries_dedup",
                  "queries_similarity", "queries_text", "queries_events",
                  "queries_multimodal", "queries_asof", "queries_profiling",
-                 "queries_analytics", "queries_sketches")
+                 "queries_analytics", "queries_sketches", "queries_ordering")
 
 
 def _load_all() -> None:

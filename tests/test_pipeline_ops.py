@@ -580,6 +580,34 @@ def test_dedup_survivors_one_per_cluster(spark):
     assert ids == {1, 3}                     # 2 deduped into 1's cluster
 
 
+# --- global ordering ---------------------------------------------------------
+def test_corpus_shuffle_is_permutation_and_bucket_invariant(spark):
+    """corpus_shuffle must assign a permutation of 1..N, be
+    deterministic across invocations, change with the seed, and —
+    the core algebra check — produce IDENTICAL positions for any
+    bucket count (the bucketing is a parallelization detail, not a
+    semantic one; a bucket-boundary bug would show up as a
+    disagreement between coarse and fine bucketings)."""
+    from mapreduce_experiment_spark.operators.ordering import corpus_shuffle
+    from mapreduce_experiment_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    a = {r.doc_id: r.shuffle_pos
+         for r in corpus_shuffle(docs, n_buckets=1024).collect()}
+    assert sorted(a.values()) == list(range(1, len(a) + 1))  # permutation
+    b = {r.doc_id: r.shuffle_pos
+         for r in corpus_shuffle(docs, n_buckets=7).collect()}
+    assert a == b  # bucket-count invariance
+    again = {r.doc_id: r.shuffle_pos
+             for r in corpus_shuffle(docs, n_buckets=1024).collect()}
+    assert a == again  # deterministic
+    other = {r.doc_id: r.shuffle_pos
+             for r in corpus_shuffle(docs, seed="other-seed").collect()}
+    assert other != a  # seed actually changes the order
+    assert sorted(other.values()) == sorted(a.values())
+
+
 # --- URL/metadata dedup ------------------------------------------------------
 def test_canonical_url_cross_engine(spark):
     """The driver corpus's ``source`` values are opaque ids, so the

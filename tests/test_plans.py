@@ -342,6 +342,33 @@ def test_clean_corpus_keeps_component_plan_shapes(spark):
     assert "fp#" in plan
 
 
+def test_corpus_shuffle_rank_window_is_bucket_partitioned(spark):
+    """The global-position assignment must never run an unpartitioned
+    window over CORPUS rows (the naive row_number-over-hash plan —
+    one task for 100 TB). Exactly one SinglePartition exchange is
+    allowed: the one feeding the offsets window over the B-row
+    bucket-count aggregate. The corpus-side row_number must be
+    partitioned by the bucket column, and the offsets table must
+    broadcast back."""
+    plan = _plan(spark, "corpus_shuffle")
+    assert plan.count("Exchange SinglePartition") == 1
+    # the SinglePartition exchange's input is the bucket-count
+    # aggregate (B rows), not corpus rows: in the printed tree the
+    # aggregate sits directly beneath it
+    below = plan.split("Exchange SinglePartition", 1)[1]
+    assert "HashAggregate" in below.split("\n", 3)[1] or \
+        "HashAggregate" in below.split("\n", 3)[2]
+    # corpus-side rank window partitions by the bucket column
+    rank_lines = [ln for ln in plan.splitlines()
+                  if "row_number() windowspecdefinition(" in ln]
+    assert rank_lines
+    for ln in rank_lines:
+        spec = ln.split("windowspecdefinition(", 1)[1]
+        assert spec.split(",")[0].startswith("_b#"), ln
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_knn_ivf_pruned_registered_query_scans_pruned_index(spark):
     """The REGISTERED pruned-IVF query must carry a static partition
     filter on centroid_id at its index scan — the 100 TB probe path

@@ -51,11 +51,15 @@ _MUST_BE_IN_WINDOW = {
 WINDOW = 50
 
 # New queries that could NOT fit this round's 50-slot window and whose
-# driver verification is therefore deferred EXACTLY one round (they
-# must sit immediately after the window boundary and carry local
-# oracle gating in the meantime). Round 6's retirements made room for
-# everything, so the deferral list is empty this round.
-_DEFERRED_TO_NEXT_WINDOW: list[str] = []
+# driver verification is therefore deferred EXACTLY one round: they
+# must sit immediately after the window boundary so the next rotation
+# picks them up first, and they carry local oracle gating
+# (test_registry_oracle, sf0.001 + sf0.01) in the meantime.
+# corpus_shuffle was registered AFTER the r6 rotation froze
+# WINDOW_r06.json, so it takes the registry's last free slot through
+# this mechanism — and squares the r7 arithmetic: 49 r5-greens + 1
+# deferred = exactly the 50-slot window.
+_DEFERRED_TO_NEXT_WINDOW = ["corpus_shuffle"]
 
 
 def test_order_is_exactly_the_window():
