@@ -82,6 +82,22 @@ def _stage_delta(before: dict, after: dict) -> dict[str, int]:
     return out
 
 
+def _merge_deltas(best: dict[str, int], delta: dict[str, int]) -> dict[str, int]:
+    """Merge one run's stage-metric delta into the best-so-far: min
+    over the runs that OBSERVED each key. Defaulting a missing key to
+    0 would permanently zero the metric (the r5 defect), and
+    intersecting keys would discard a metric one drifted/empty
+    snapshot failed to observe even though other runs measured it
+    validly (the first fix's defect). Module-level so the test pins
+    the ACTUAL merge code, not a re-implementation (r6 ADVICE)."""
+    return {
+        k: min(best[k], delta[k])
+        if k in best and k in delta
+        else best.get(k, delta.get(k))
+        for k in {*best, *delta}
+    }
+
+
 def _more_runs(runs: list[float]) -> bool:
     """Per-query run policy: 2 runs for trivial queries (min =
     reproducible capability); any query whose best run still exceeds
@@ -147,18 +163,7 @@ def _run_suite(spark, sf_dir: str):
                 if best_delta is None:
                     best_delta = delta
                 else:
-                    # Min over the runs that OBSERVED each key:
-                    # defaulting a missing key to 0 would permanently
-                    # zero the metric, and intersecting keys would
-                    # discard a metric one drifted/empty snapshot
-                    # failed to observe even though other runs
-                    # measured it validly.
-                    best_delta = {
-                        k: min(best_delta[k], delta[k])
-                        if k in best_delta and k in delta
-                        else best_delta.get(k, delta.get(k))
-                        for k in {*best_delta, *delta}
-                    }
+                    best_delta = _merge_deltas(best_delta, delta)
         timings[name] = round(best, 3)
         m: dict[str, int] = {"output_rows": rows}
         if best_delta is not None:

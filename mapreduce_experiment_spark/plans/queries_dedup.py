@@ -76,23 +76,15 @@ def q_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup_groups(load_table(spark, sf_dir, "documents"))
 
 
-@register(
-    "minhash_signatures",
-    oracle=_SH_CTE + f"""
-SELECT doc_id,
-       array_to_string([{', '.join(_minhash_sql_exprs())}], ',') AS signature
-FROM sh
-""",
-)
-def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-permutation MinHash signatures, rendered as a CSV string for
-    cross-engine value comparison."""
-    from pyspark.sql import functions as F
-    sigs = D.minhash_signatures(load_table(spark, sf_dir, "documents"))
-    return sigs.select(
-        "doc_id",
-        F.concat_ws(",", F.col("sig").cast("array<string>")).alias("signature"),
-    )
+# RETIRED (r7): the ``minhash_signatures`` registration — a strict
+# intermediate of the still-registered MinHash family, retired for
+# displacement room (r6 verdict: saturation is displacement-only).
+# The signature VALUES stay driver-checked bit-for-bit:
+# ``streaming_minhash_dedup``'s oracle recomputes every permutation
+# and GROUPS BY the same CSV-rendered signature, so a single drifted
+# signature bit breaks that hash match exactly as it broke this one.
+# The operator (operators.dedup.minhash_signatures) and its
+# JVM-vs-Arrow bit-equality test (test_pipeline_ops.py) remain.
 
 
 @register(
@@ -242,14 +234,13 @@ def _simhash_sql(hs: str = "hs") -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-@register(
-    "simhash_signatures",
-    oracle=_SH_CTE + f"""
-SELECT doc_id, {_simhash_sql()} AS simhash FROM sh
-""",
-)
-def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.simhash_signatures(load_table(spark, sf_dir, "documents"))
+# RETIRED (r7): the ``simhash_signatures`` registration — the same
+# strict-intermediate shape as minhash_signatures above. Signature
+# bits stay driver-checked through ``simhash_near_dups``: its oracle
+# recomputes every signature from scratch and emits exact pairwise
+# Hamming distances, so any bit drift surfaces there. The operator
+# (operators.dedup.simhash_signatures) and its local signature-level
+# parity coverage remain; see test_pipeline_ops.py.
 
 
 @register(
@@ -498,7 +489,11 @@ def _clean_corpus_oracle() -> str:
     return surv + span + _SPAN_REMOVAL_TAIL
 
 
-@register("clean_corpus", oracle=_clean_corpus_oracle())
+# headline (r7): the r6 verdict's item 4 — the 7 headline queries
+# dated from r1 and under-represented the LLM-pipeline path; the
+# composed curation chain now gets round-over-round plan-work
+# fingerprints in BENCH_r{N}.json.
+@register("clean_corpus", oracle=_clean_corpus_oracle(), headline=True)
 def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shipped artifact of a curation pipeline, end-to-end: doc-
     level near-dedup REMOVAL first (MinHash-LSH → CC → keep canonical

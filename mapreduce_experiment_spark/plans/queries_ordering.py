@@ -31,6 +31,10 @@ SELECT doc_id,
          AS shuffle_pos
 FROM documents
 """,
+    # headline (r7, r6 verdict item 4): the global-ordering path gets
+    # round-over-round plan-work fingerprints alongside the r1-era
+    # headliners.
+    headline=True,
 )
 def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic seeded training-order shuffle of the corpus —

@@ -87,6 +87,70 @@ def q_srp_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vectors"))
 
 
+@register(
+    "embedding_near_dups_indexed",
+    # Value-parity contract with embedding_near_dups: the IDENTICAL
+    # oracle — the persisted-index path must reproduce the recompute
+    # path's pairs bit-for-bit, like knn_ivf_pruned vs knn_ivf.
+    oracle=_V_CTE + _srp_sigs_cte() + f"""
+, cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sigs a JOIN sigs b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+   AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b, {_q6cos('a.vec', 'b.vec')} AS cos_sim
+FROM cand c JOIN v a ON a.vec_id = c.id_a JOIN v b ON b.vec_id = c.id_b
+WHERE {_q6cos('a.vec', 'b.vec')} >= 0.45
+""",
+)
+def q_embedding_near_dups_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs served from the PERSISTED SRP-LSH
+    signature index (r6 verdict item 3): signatures are written ONCE
+    as a parquet table bucketed on (band_id, band_val) — the bucket
+    self-join then plans with NO Exchange on either side (pinned by
+    ``test_srp_index_self_join_is_shuffle_free``), and value parity
+    with the recompute path is both oracle-checked here and pinned by
+    ``test_srp_index_value_parity``.
+
+    Like ``knn_ivf_pruned``, the registered query (re)writes its index
+    each run to stay self-contained and idempotent; a deployment
+    writes once and probes incrementally — the entire point of the
+    persistence (see ``operators.similarity.write_srp_index``).
+    The table/dir name is unique per (Spark application, sf) and
+    stale siblings from past applications are GC'd on the same 24 h
+    horizon, for the same concurrent-session rationale as the IVF
+    index below."""
+    import os
+    import shutil
+    import time
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    wh = os.path.join(repo, "spark-warehouse")
+    try:
+        for d in os.listdir(wh):
+            full = os.path.join(wh, d)
+            if (d.startswith("srp_index_") and not d.startswith(
+                    f"srp_index_{app}_")
+                    and time.time() - os.path.getmtime(full) > 86400):
+                shutil.rmtree(full, ignore_errors=True)
+    except OSError:
+        pass
+    table = f"srp_index_{app}_{tag}"
+    os.makedirs(wh, exist_ok=True)
+    # External table at an explicit repo-warehouse path: the driver's
+    # own session may carry a different spark.sql.warehouse.dir, and
+    # the GC sweep above must see every session's index dirs in ONE
+    # place for the per-app naming not to leak disk.
+    S.write_srp_index(emb, table, path=os.path.join(wh, table))
+    df = S.embedding_near_dups_from_index(spark, emb, table, threshold=0.45)
+    return df.withColumnRenamed("cos", "cos_sim")
+
+
 _KNN_BF_SQL = _V_CTE + f"""
 , q AS (SELECT vec_id AS query_id, vec AS qv FROM v WHERE vec_id < 10),
 c AS (SELECT vec_id AS neighbor_id, vec AS nv FROM v WHERE vec_id >= 10),
@@ -106,13 +170,15 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumnRenamed("cos", "cos_sim")
 
 
-@register("knn_bruteforce_blas", oracle=_KNN_BF_SQL)
-def q_knn_bruteforce_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same top-k via the Arrow+numpy matmul path — checked against
-    the identical oracle as the JVM expression path."""
-    df = S.knn_bruteforce_blas(load_table(spark, sf_dir, "embeddings"),
-                               n_queries=10, k=5)
-    return df.withColumnRenamed("cos", "cos_sim")
+# RETIRED (r7): the ``knn_bruteforce_blas`` registration — identical
+# output contract AND identical oracle (_KNN_BF_SQL) as
+# ``knn_bruteforce``, the overlap the r6 verdict named when it asked
+# for displacement room. The Arrow/BLAS operator itself
+# (operators.similarity.knn_bruteforce_blas) remains: it is the
+# execution shape wide-embedding corpora want, and
+# tests/test_pipeline_ops.py keeps pinning it value-equal to the JVM
+# path, so the capability stays covered without spending a
+# driver-window slot on a duplicate (name, oracle) pair.
 
 
 _IVF_ASSIGN_SQL = _V_CTE + f"""

@@ -76,63 +76,60 @@ def register(name: str, oracle: str | None = None, headline: bool = False):
 # SATURATION: with a 50-query window on alternate-round rotation, 100
 # registered queries is the EXACT ceiling at which every entry can
 # hold a driver verdict <= 1 round old (50 verified this round, 50
-# last round). Round 5 sat exactly at that ceiling; round 6 RETIRED
-# three near-duplicate BI variants (brand_revenue_by_year,
-# daily_event_type_pivot, order_value_histogram — see the retirement
-# note in queries_analytics.py) to make displacement room for two new
-# queries (canonical_url_groups, clean_corpus) plus the changed-plan
-# ``triangles`` rotation slot, leaving the registry at 99 with one
-# free slot. That slot was then used by ``corpus_shuffle`` (new r6,
-# deferred to the r7 window — see the tail of this list), putting the
-# registry back at the exact 100 ceiling with the r7 rotation
-# arithmetic squared: 49 r5-greens + 1 deferred = the full 50 window.
-# New registrations must again displace, not accrete.
+# last round). Round 6 sat at that ceiling (after retiring three
+# near-duplicate BI variants — see queries_analytics.py). Round 7
+# needs THREE window slots beyond the mechanical rotation (the 49
+# r5-greens + the deferred corpus_shuffle already fill all 50):
+# embedding_near_dups_indexed (new — the persisted SRP-LSH signature
+# index, r6 verdict item 3), streaming_event_dedup (CHANGED — drains
+# through a real parquet file sink + checkpoint instead of the
+# memory sink, clearing the r6 ``weak``), and canonical_url_groups
+# (CHANGED — URL_CANON_STEPS' \s classes replaced by an explicit
+# shared ASCII class per r6 ADVICE, so its r6 verdict no longer
+# covers the shipped chain). Per the displacement rule, three
+# strict-intermediate queries are RETIRED to fund those slots:
+# knn_bruteforce_blas (same contract + same oracle as knn_bruteforce,
+# the overlap the r6 verdict itself named; the Arrow/BLAS operator
+# and its bit-parity tests remain), and minhash_signatures /
+# simhash_signatures (signature-table intermediates whose operator
+# paths — and signature VALUES — stay driver-checked through
+# streaming_minhash_dedup's signature-grouped oracle and
+# simhash_near_dups' exact-Hamming oracle; see the retirement notes
+# in queries_dedup.py / queries_similarity.py). Registry: 98.
 _ORDER: list[str] = [
-    # -- round 6: new queries --
-    "canonical_url_groups",         # new: URL/metadata dedup pre-pass
-    "clean_corpus",                 # new: survivors -> span-dedup chain
-    # -- round 6: changed plan (explicit closure-stage partition count
-    #    in _simple_triangle_corners — the AQE-coalesced exchange fix
-    #    measured in BENCHNOTES.md; triangles shares that helper with
-    #    triangle_count, so its r5 verdict no longer covers the
-    #    shipped plan) --
-    "triangles",
-    # -- deferred from round 5 (window was exactly full) --
-    "knn_ivf_pruned",
-    # -- the 46 remaining queries whose last driver verdict is r4
-    #    (everything outside the r5 window, minus the 3 retirements,
-    #    rotates in en bloc — keeps every verdict <= 1 round old) --
-    "approx_order_percentiles", "asia_market_share",
-    "connected_components", "decontaminated_corpus",
-    "decontamination_external", "decontamination_pairs",
-    "dedup_clusters", "dedup_survivors", "doc_chunks",
-    "embedding_near_dups", "event_type_counts_salted",
-    "hourly_event_counts", "ivf_assignments", "knn_bruteforce",
-    "knn_ivf", "lineitem_profile", "media_byte_histograms",
-    "media_frame_sample", "media_metadata", "monthly_retention_cohorts",
-    "nation_participants_full_outer", "order_size_distribution",
-    "packed_sequence_fragments", "packed_sequences",
-    "price_quantity_correlation", "purchase_last_click_asof",
-    "quality_filtered_corpus", "repetition_scores", "session_stats",
-    "session_window_stats", "signup_to_purchase_funnel",
-    "source_mixture_sample", "srp_bucket_stats",
-    "stateful_streaming_sessions", "stratified_event_sample",
-    "streaming_event_dedup", "streaming_hourly_counts",
-    "streaming_minhash_dedup", "streaming_triangle_count",
-    "streaming_view_attribution", "top_parts_per_nation",
-    "triangle_count", "trigram_counts", "value_band_range_join",
-    "value_distribution_stats", "volume_shipping",
+    # -- deferred from round 6 (window was exactly full; carried local
+    #    oracle gating at sf0.001 + sf0.01 in the meantime) --
+    "corpus_shuffle",
+    # -- round 7: new query --
+    "embedding_near_dups_indexed",  # persisted SRP-LSH signature index
+    # -- round 7: changed plans --
+    "streaming_event_dedup",        # memory sink -> parquet file sink
+    "canonical_url_groups",         # \s -> explicit ASCII class
+    # -- the 46 remaining queries whose last driver verdict is r5
+    #    (the r5 window minus ``triangles``, which re-verified in r6
+    #    after its closure-stage fix, minus the 3 retirements above) --
+    "account_balance_union", "adjacency", "approx_distinct_counts",
+    "bm25_topk", "candidate_pairs", "customer_running_spend",
+    "customers_churned", "customers_retained", "degrees",
+    "edges_derive", "events_json_extract", "exact_dedup_groups",
+    "fingerprints", "grouping_sets_sql", "kmeans_centroids",
+    "kmeans_ivf_assignments", "knn_ivf_trained", "lang_id",
+    "minhash_dedup_pairs", "mktsegment_pivot", "nation_order_stats",
+    "ngram_jaccard_pairs", "order_gap_days", "order_priority_rollup",
+    "order_scalar_functions", "orders_above_customer_average",
+    "pagerank", "parts_never_ordered", "pii_redaction",
+    "pricing_summary", "quality_scores", "repeated_spans",
+    "returnflag_status_cube", "revenue_by_nation", "sessionize_events",
+    "simhash_near_dups", "span_deduped_corpus", "suppliers_with_orders",
+    "symmetrize", "tfidf_doc_pairs", "token_counts",
+    "token_frequencies", "top_customers_per_nation",
+    "top_orders_global", "triangles_faithful", "user_value_scd2",
     # ---- verification-window boundary: len(_ORDER) == 50, pinned by
     #      test_order_is_exactly_the_window ----
-    # corpus_shuffle (new r6, registered AFTER the rotation froze the
-    # r6 window) fills the registry's last free slot via the honest
-    # deferral mechanism established in r5: it sits first among the
-    # out-of-window queries so the r7 rotation (the 49 r5-greens + it
-    # = exactly 50) picks it up, and it carries local oracle gating
-    # (test_registry_oracle, sf0.001 + sf0.01) until then — enforced
-    # by _DEFERRED_TO_NEXT_WINDOW in tests/test_registry_order.py.
-    "corpus_shuffle",
-    # r5-green unchanged queries follow in registration order.
+    # (no deferred tail this round: _DEFERRED_TO_NEXT_WINDOW is empty —
+    # the r8 rotation is the 48 r6-greens not re-verified here, with
+    # two slots of slack for new work.)
+    # r6-green unchanged queries follow in registration order.
 ]
 
 

