@@ -155,7 +155,7 @@ _ATTESTED_UNCHANGED = {
     "streaming_hourly_counts", "streaming_view_attribution",
     "event_type_counts_salted", "stratified_event_sample",
     "monthly_retention_cohorts", "signup_to_purchase_funnel",
-    "purchase_last_click_asof",
+    "purchase_last_click_asof", "value_band_range_join",
     # reach operators/dedup.py via queries_text/queries_profiling
     # import chains (decontamination shares the shingle machinery):
     # none touch canonical_url.
