@@ -653,7 +653,9 @@ def embedding_near_dups_from_index(spark, embeddings: DataFrame, table: str,
     Incremental probing falls out of the same shape: a NEW document
     batch computes only its own signatures and equi-joins them against
     this index on (band_id, band_val) — the corpus side is never
-    re-projected.
+    re-projected (:func:`embedding_near_dups_probe_index`, whose
+    equivalence to re-running the full pipeline is pinned by
+    ``test_srp_index_incremental_probe``).
     """
     sigs = spark.table(table)
     a = sigs.select(F.col("vec_id").alias("id_a"), "band_id", "band_val")
@@ -665,6 +667,52 @@ def embedding_near_dups_from_index(spark, embeddings: DataFrame, table: str,
         .distinct()
     )
     v = _prep(embeddings)
+    va = v.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("va"),
+                  F.col("norm").alias("na"))
+    vb = v.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"),
+                  F.col("norm").alias("nb"))
+    return (
+        cands.join(va, "id_a").join(vb, "id_b")
+        .select("id_a", "id_b",
+                _cos(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+                .alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def embedding_near_dups_probe_index(spark, batch: DataFrame,
+                                    batch_vectors: DataFrame, table: str,
+                                    threshold: float = 0.45) -> DataFrame:
+    """Incremental near-dup probe: signatures are computed for the NEW
+    ``batch`` only (one narrow Arrow pass over the batch — the indexed
+    corpus is never re-projected) and equi-joined against the persisted
+    signature index on (band_id, band_val). Returns (id_a, id_b, cos)
+    with the batch side as id_b and the indexed side as id_a, verified
+    by exact cosine against ``batch_vectors`` (the union of corpus and
+    batch vectors, for the verify join only — a real deployment passes
+    the corpus table here).
+
+    This is the daily-ingest shape of a 100 TB dedup pipeline: index
+    once, then each arriving batch pays signatures-over-batch plus a
+    bucket equi-join whose corpus side is a narrow 24-byte-row scan.
+    Self-pairs within the batch are the caller's choice (a batch is
+    normally probed against the index BEFORE being appended to it;
+    pairs among batch rows come from the batch's own self-join, which
+    is :func:`embedding_near_dup_pairs_lsh` on the batch alone).
+    """
+    bsigs = srp_signatures(batch)
+    isigs = spark.table(table)
+    cands = (
+        isigs.select(F.col("vec_id").alias("id_a"), "band_id", "band_val")
+        .join(bsigs.select(F.col("vec_id").alias("id_b"),
+                           "band_id", "band_val"),
+              ["band_id", "band_val"])
+        .where(F.col("id_a") != F.col("id_b"))
+        .select(F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"))
+        .distinct()
+    )
+    v = _prep(batch_vectors)
     va = v.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("va"),
                   F.col("norm").alias("na"))
     vb = v.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"),

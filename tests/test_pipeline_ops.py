@@ -375,6 +375,34 @@ def test_srp_index_value_parity(spark, sf_smoke, tmp_path):
     assert idx == ref and idx
 
 
+def test_srp_index_incremental_probe(spark, sf_smoke, tmp_path):
+    """The daily-ingest claim, demonstrated: index the corpus half
+    ONCE, then probe a new batch against the persisted index — the
+    cross pairs must equal the full recompute pipeline's pairs
+    restricted to (batch x corpus), with the corpus never
+    re-projected (only the batch's signatures are computed at probe
+    time)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_experiment_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    corpus = emb.where(F.col("vec_id") >= 50)
+    batch = emb.where(F.col("vec_id") < 50)
+    table = "srp_index_incremental_test"
+    S.write_srp_index(corpus, table, path=str(tmp_path / table))
+    got = {(r.id_a, r.id_b, r.cos)
+           for r in S.embedding_near_dups_probe_index(
+               spark, batch, emb, table, threshold=0.45).collect()}
+    full = {(r.id_a, r.id_b, r.cos)
+            for r in S.embedding_near_dup_pairs_lsh(
+                emb, threshold=0.45).collect()}
+    cross = {(a, b, c) for (a, b, c) in full if (a < 50) != (b < 50)}
+    assert got == cross
+    assert got  # sf0.001 plants (23, 319): the equality is not vacuous
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_knn_bruteforce_blas_matches_jvm_path(spark, sf_smoke):
     """The Arrow+numpy matmul top-k must stay value-identical to the
     JVM expression path. This pin replaced the retired
