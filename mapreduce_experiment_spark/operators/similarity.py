@@ -682,15 +682,23 @@ def embedding_near_dups_from_index(spark, embeddings: DataFrame, table: str,
 
 def embedding_near_dups_probe_index(spark, batch: DataFrame,
                                     batch_vectors: DataFrame, table: str,
-                                    threshold: float = 0.45) -> DataFrame:
+                                    threshold: float = 0.45,
+                                    bands: int = SRP_BANDS,
+                                    rows: int = SRP_ROWS) -> DataFrame:
     """Incremental near-dup probe: signatures are computed for the NEW
     ``batch`` only (one narrow Arrow pass over the batch — the indexed
     corpus is never re-projected) and equi-joined against the persisted
-    signature index on (band_id, band_val). Returns (id_a, id_b, cos)
-    with the batch side as id_b and the indexed side as id_a, verified
-    by exact cosine against ``batch_vectors`` (the union of corpus and
-    batch vectors, for the verify join only — a real deployment passes
-    the corpus table here).
+    signature index on (band_id, band_val). ``bands``/``rows`` MUST
+    match the parameters the index was written with: band values pack
+    ``rows`` sign bits, so mismatched parameters make the equi-join
+    silently miss true pairs rather than error — a deployment stores
+    the banding config next to the index path. Returns (id_a, id_b,
+    cos) with pairs CANONICALIZED as id_a < id_b (side attribution is
+    numeric, not batch-vs-index — recover "which endpoint is new" from
+    the caller's own id ranges), verified by exact cosine against
+    ``batch_vectors`` (the union of corpus and batch vectors, for the
+    verify join only — a real deployment passes the corpus table
+    here).
 
     This is the daily-ingest shape of a 100 TB dedup pipeline: index
     once, then each arriving batch pays signatures-over-batch plus a
@@ -700,7 +708,7 @@ def embedding_near_dups_probe_index(spark, batch: DataFrame,
     pairs among batch rows come from the batch's own self-join, which
     is :func:`embedding_near_dup_pairs_lsh` on the batch alone).
     """
-    bsigs = srp_signatures(batch)
+    bsigs = srp_signatures(batch, bands, rows)
     isigs = spark.table(table)
     cands = (
         isigs.select(F.col("vec_id").alias("id_a"), "band_id", "band_val")

@@ -122,8 +122,8 @@ def q_embedding_near_dups_indexed(spark: SparkSession, sf_dir: str) -> DataFrame
     horizon, for the same concurrent-session rationale as the IVF
     index below."""
     import os
-    import shutil
-    import time
+
+    from ..sources.io import gc_stale_dirs
 
     emb = load_table(spark, sf_dir, "embeddings")
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
@@ -131,15 +131,7 @@ def q_embedding_near_dups_indexed(spark: SparkSession, sf_dir: str) -> DataFrame
     repo = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     wh = os.path.join(repo, "spark-warehouse")
-    try:
-        for d in os.listdir(wh):
-            full = os.path.join(wh, d)
-            if (d.startswith("srp_index_") and not d.startswith(
-                    f"srp_index_{app}_")
-                    and time.time() - os.path.getmtime(full) > 86400):
-                shutil.rmtree(full, ignore_errors=True)
-    except OSError:
-        pass
+    gc_stale_dirs(wh, "srp_index_", keep_prefix=f"srp_index_{app}_")
     table = f"srp_index_{app}_{tag}"
     os.makedirs(wh, exist_ok=True)
     # External table at an explicit repo-warehouse path: the driver's

@@ -61,21 +61,14 @@ def _stream_sink_dir(prefix: str) -> str:
     lazily re-read its sink files hours after the drain, so only
     day-old runs are swept)."""
     import os
-    import shutil
-    import time
     import uuid
+
+    from ..sources.io import gc_stale_dirs
 
     repo = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     base = os.path.join(repo, "spark-warehouse", "stream_sinks")
-    try:
-        for d in os.listdir(base):
-            full = os.path.join(base, d)
-            if (d.startswith(prefix)
-                    and time.time() - os.path.getmtime(full) > 86400):
-                shutil.rmtree(full, ignore_errors=True)
-    except OSError:
-        pass
+    gc_stale_dirs(base, prefix)
     run = os.path.join(base, f"{prefix}{uuid.uuid4().hex}")
     os.makedirs(run, exist_ok=True)
     return run

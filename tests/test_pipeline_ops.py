@@ -372,6 +372,7 @@ def test_srp_index_value_parity(spark, sf_smoke, tmp_path):
     ref = {(r.id_a, r.id_b, r.cos)
            for r in S.embedding_near_dup_pairs_lsh(
                emb, threshold=0.45).collect()}
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
     assert idx == ref and idx
 
 
@@ -397,10 +398,10 @@ def test_srp_index_incremental_probe(spark, sf_smoke, tmp_path):
     full = {(r.id_a, r.id_b, r.cos)
             for r in S.embedding_near_dup_pairs_lsh(
                 emb, threshold=0.45).collect()}
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
     cross = {(a, b, c) for (a, b, c) in full if (a < 50) != (b < 50)}
     assert got == cross
     assert got  # sf0.001 plants (23, 319): the equality is not vacuous
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
 def test_knn_bruteforce_blas_matches_jvm_path(spark, sf_smoke):

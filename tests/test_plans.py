@@ -420,12 +420,11 @@ def test_embedding_near_dups_indexed_registered_plan(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "srp_index_" in plan  # candidate scan reads the persisted table
-    # exactly one Arrow stage (the verify-side vector prep) may appear;
-    # candidate generation itself must NOT re-run the signature matmul:
-    # the signature mapInPandas yields (vec_id, band_id, band_val),
-    # whose schema would show as a MapInPandas over the embeddings scan
-    # feeding the self-join. The index scans make that impossible —
-    # assert the self-join side has no MapInPandas above the table scan.
+    # NO Arrow stage anywhere in the probe plan: the signature matmul
+    # (a MapInPandas over the embeddings scan) runs only at index-WRITE
+    # time, and the verify-side vector prep is pure JVM expressions —
+    # any MapInPandas here means signature recompute sneaked back into
+    # the read path.
     assert plan.count("MapInPandas") == 0
 
 

@@ -131,8 +131,11 @@ _ROUND_BASE = "7fed003"  # driver's round-6 commit; bump each round
 # streaming_event_dedup memory-sink → parquet-sink hunk, confined to
 # that function; streaming_event_dedup is in-window),
 # plans/queries_ordering.py (corpus_shuffle headline=True flag;
-# in-window anyway). Every name below is r6-green with plan + oracle
-# text untouched by those hunks.
+# in-window anyway), sources/io.py (APPENDED gc_stale_dirs helper
+# only — artifact-dir GC, reached solely from the in-window
+# streaming_event_dedup / embedding_near_dups_indexed paths). Every
+# name below is r6-green with plan + oracle text untouched by those
+# hunks.
 _ATTESTED_UNCHANGED = {
     # registered in queries_similarity.py / reach
     # operators/similarity.py: both r7 hunks are a retirement and
@@ -443,6 +446,11 @@ def test_no_query_exceeds_one_round_staleness():
             # than every commit (verdict newer than all work), red
             # only when commits made AFTER the verdict dropped touch
             # the package.
+            # mtime is the only drop-time signal an untracked file
+            # has; it is trustworthy here because driver artifacts are
+            # never rewritten by the build session (re-touching
+            # CORRECTNESS_r{N}.json would reset the clock and soften
+            # this check — don't).
             head_time = int(subprocess.run(
                 ["git", "log", "-1", "--format=%ct", "HEAD"],
                 capture_output=True, text=True, check=True, cwd=repo,
