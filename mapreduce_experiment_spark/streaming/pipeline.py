@@ -53,6 +53,21 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def dedup_events(events: DataFrame) -> DataFrame:
+    """The stateful core of :func:`streaming_event_dedup`, stream in →
+    stream out: watermark-bounded ``dropDuplicates`` on event_id.
+    Factored so tests can drive the exact product transform through a
+    stop/RESTART cycle on one checkpoint — the state store must carry
+    the seen-key set across runs, so a re-delivery arriving in a later
+    run (after a restart) is still dropped exactly once
+    (``test_streaming_event_dedup_state_survives_restart``)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
 def _stream_sink_dir(prefix: str) -> str:
     """A fresh run directory for a checkpointed file sink under the
     repo's gitignored spark-warehouse, plus a 24 h GC sweep of stale
@@ -93,12 +108,7 @@ def streaming_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the right tool."""
     a = read_event_stream(spark, sf_dir)
     b = read_event_stream(spark, sf_dir)
-    deduped = (
-        a.unionByName(b)
-        .withWatermark("ts", "1 hour")
-        .dropDuplicates(["event_id"])
-        .select("event_id", "user_id", "event_type", "value")
-    )
+    deduped = dedup_events(a.unionByName(b))
     import os
 
     run = _stream_sink_dir("dedup_")

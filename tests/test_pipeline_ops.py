@@ -537,6 +537,67 @@ def test_streaming_minhash_dedup_state_spans_batches(spark, tmp_path):
     assert len({sig_of[1], sig_of[2], sig_of[4]}) == 3
 
 
+def test_streaming_event_dedup_state_survives_restart(spark, tmp_path):
+    """The checkpointed file sink's exactly-once claim, driven through
+    a real STOP → RESTART cycle on one checkpoint: drain 1 commits
+    file A's events; drain 2 is a NEW query on the same checkpoint
+    that must (a) not reprocess file A (source offsets recovered) and
+    (b) still drop file B's re-deliveries of A's events — the
+    dropDuplicates seen-key state comes back from the state store,
+    not from process memory. The union of the two drains' committed
+    output is each event exactly once; this is what makes the
+    registered query's sink restartable at scale, beyond the single
+    availableNow drain the oracle check exercises."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from mapreduce_experiment_spark.streaming.pipeline import dedup_events
+
+    sch = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    src = tmp_path / "events_in"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    ts = pd.Timestamp("2024-01-01 00:00:00")
+
+    def drain():
+        q = (dedup_events(spark.readStream.schema(sch).parquet(str(src)))
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    def got():
+        return sorted(r.event_id for r in
+                      spark.read.schema(
+                          "event_id long, user_id long, event_type string,"
+                          " value double").parquet(out).collect())
+
+    # coerce to micros: pandas' default ns timestamps read back as
+    # bigint under the session's nanosAsLong conf and would mismatch
+    # the declared TimestampType
+    pd.DataFrame({"event_id": [1, 2, 3], "user_id": [10, 10, 11],
+                  "event_type": ["view"] * 3, "value": [1.0, 2.0, 3.0],
+                  "ts": [ts] * 3}).to_parquet(src / "a.parquet",
+                                              coerce_timestamps="us")
+    drain()
+    assert got() == [1, 2, 3]
+
+    # file B after the restart: re-deliveries of 2 and 3, plus new 4
+    pd.DataFrame({"event_id": [2, 3, 4], "user_id": [10, 11, 12],
+                  "event_type": ["view"] * 3, "value": [2.0, 3.0, 4.0],
+                  "ts": [ts] * 3}).to_parquet(src / "b.parquet",
+                                              coerce_timestamps="us")
+    drain()
+    assert got() == [1, 2, 3, 4]  # exactly once each, across the restart
+
+
 def test_repetition_scores_crafted(spark):
     """Hand-computed repetition stats: a looping phrase must dominate
     the bigram mass; an all-distinct doc scores 1/n fractions."""
