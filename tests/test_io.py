@@ -111,3 +111,30 @@ def test_events_ts_normalized_across_parquet_generations(spark, tmp_path):
     rows_n = {r.event_id: r.ts for r in got_n.collect()}
     rows_u = {r.event_id: r.ts for r in got_u.collect()}
     assert rows_n == rows_u
+
+
+def test_gc_stale_dirs_sweeps_only_stale_prefix_matches(tmp_path):
+    """The shared artifact-dir GC: removes prefix-matching dirs past
+    the horizon, never fresh dirs, never the current session's own
+    (keep_prefix) dirs, never unrelated dirs — and a missing base is
+    a no-op, not an error (GC must never break the query that
+    triggered it)."""
+    import os
+    import time
+
+    old = tmp_path / "pfx_old"
+    new = tmp_path / "pfx_new"
+    keep = tmp_path / "pfx_keep_mine"
+    other = tmp_path / "other_old"
+    for d in (old, new, keep, other):
+        d.mkdir()
+        (d / "f").write_text("x")
+    past = time.time() - 90000  # > the 24 h horizon
+    for d in (old, keep, other):
+        os.utime(d, (past, past))
+    EIO.gc_stale_dirs(str(tmp_path), "pfx_", keep_prefix="pfx_keep_")
+    assert not old.exists()          # stale + prefix match -> swept
+    assert new.exists()              # fresh -> kept
+    assert keep.exists()             # own session -> kept even stale
+    assert other.exists()            # different prefix -> untouched
+    EIO.gc_stale_dirs(str(tmp_path / "missing"), "pfx_")  # no raise
