@@ -55,15 +55,25 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_events(events: DataFrame) -> DataFrame:
     """The stateful core of :func:`streaming_event_dedup`, stream in →
-    stream out: watermark-bounded ``dropDuplicates`` on event_id.
-    Factored so tests can drive the exact product transform through a
-    stop/RESTART cycle on one checkpoint — the state store must carry
-    the seen-key set across runs, so a re-delivery arriving in a later
-    run (after a restart) is still dropped exactly once
+    stream out: ``dropDuplicatesWithinWatermark`` on event_id.
+
+    WithinWatermark, not plain ``dropDuplicates``: with the event-time
+    column absent from the key subset, plain dropDuplicates NEVER
+    evicts its state by watermark (the watermark would only drop late
+    first-deliveries) — seen-key state then grows with the corpus and
+    the "state is bounded" claim is false. WithinWatermark is the
+    purpose-built operator: each key's state lives for the watermark
+    delay past its event time and is then evicted, so the guarantee is
+    exactly-once for re-deliveries arriving within the delay (the
+    at-least-once replay window an ingest pipeline actually has) and
+    state is bounded by the delay window's key cardinality, not the
+    corpus. Factored so tests can drive the exact product transform
+    through a stop/RESTART cycle on one checkpoint — recovered state
+    must still drop a later run's re-deliveries
     (``test_streaming_event_dedup_state_survives_restart``)."""
     return (
         events.withWatermark("ts", "1 hour")
-        .dropDuplicates(["event_id"])
+        .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "user_id", "event_type", "value")
     )
 
@@ -92,9 +102,12 @@ def _stream_sink_dir(prefix: str) -> str:
 def streaming_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming deduplication: the event stream is ingested
     TWICE (two sources over the same file — the at-least-once delivery
-    scenario) and ``dropDuplicates`` on the key + watermark keeps
-    exactly one copy per event_id. Output equals the distinct batch
-    events, which is how it is value-checked.
+    scenario) and ``dropDuplicatesWithinWatermark`` on the key keeps
+    exactly one copy per event_id for re-deliveries arriving within
+    the 1 h watermark delay — with per-key state EVICTED after the
+    delay, so dedup state is bounded by the replay window, not the
+    corpus (see :func:`dedup_events`). Output equals the distinct
+    batch events, which is how it is value-checked.
 
     This query drains through a real checkpointed PARQUET sink, not
     the memory sink (r6 verdict ``weak``): its output is linear in the

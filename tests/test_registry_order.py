@@ -128,8 +128,11 @@ _ROUND_BASE = "7fed003"  # driver's round-6 commit; bump each round
 # operators/dedup.py (the URL_CANON_STEPS \s → explicit-ASCII-class
 # hunk, reachable ONLY from canonical_url / canonical_url_groups,
 # which is in-window), streaming/pipeline.py (the
-# streaming_event_dedup memory-sink → parquet-sink hunk, confined to
-# that function; streaming_event_dedup is in-window),
+# streaming_event_dedup memory-sink → parquet-sink conversion plus
+# two helpers factored out of / serving only that path —
+# dedup_events and _stream_sink_dir — and its WithinWatermark state-
+# eviction fix; no other streaming function's body changed;
+# streaming_event_dedup is in-window),
 # plans/queries_ordering.py (corpus_shuffle headline=True flag;
 # in-window anyway), sources/io.py (APPENDED gc_stale_dirs helper
 # only — artifact-dir GC, reached solely from the in-window
@@ -175,7 +178,8 @@ def _round_sorted(paths: list[str]) -> list[str]:
     number gains a digit, silently making files[-1] a stale round."""
     import re
 
-    return sorted(paths, key=lambda p: int(re.search(r"_r(\d+)", p).group(1)))
+    return sorted(paths, key=lambda p: int(
+        re.search(r"_r(\d+)", os.path.basename(p)).group(1)))
 
 
 _PKG = "mapreduce_experiment_spark"
@@ -512,7 +516,11 @@ def test_staleness_tripwire_handles_just_judged_state(tmp_path):
     wfiles = _round_sorted(glob.glob(str(clone / "WINDOW_r*.json")))
     wround = _round_of(wfiles[-1])
     keys = json.load(open(wfiles[-1]))
-    fake = str(clone / f"CORRECTNESS_r{wround}.json")
+    # zero-padded like the real driver artifacts, so the fake never
+    # coexists with a differently-spelled tracked file of the same
+    # round (a same-round tie would make cfiles[-1] glob-order-
+    # dependent)
+    fake = str(clone / f"CORRECTNESS_r{wround:02d}.json")
     json.dump({k: {"rows_match": True, "schema_match": True,
                    "hash_match": True, "err": None} for k in keys},
               open(fake, "w"))
@@ -524,8 +532,10 @@ def test_staleness_tripwire_handles_just_judged_state(tmp_path):
              "test_no_query_exceeds_one_round_staleness"],
             cwd=clone, capture_output=True, text=True)
 
-    # Just-judged state: verdict file mtime AFTER the last commit.
-    os.utime(fake, (time.time() + 30, time.time() + 30))
+    # Just-judged state: verdict file mtime AFTER the last commit —
+    # a full day ahead so a future-dated HEAD (clock-skewed committer)
+    # cannot flip the comparison.
+    os.utime(fake, (time.time() + 86400, time.time() + 86400))
     r = run_tripwire()
     assert r.returncode == 0, (
         "tripwire red in the just-judged state (untracked verdict, no "
