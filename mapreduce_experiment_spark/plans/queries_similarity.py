@@ -8,12 +8,27 @@ assignment and probe pruning, not just "returns rows".
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_sql, q6_sql
 from ..operators import similarity as S
+from ..sources.io import gc_stale_dirs
 from ..sources.tables import load_table
 from .registry import register
+
+
+def _warehouse_dir() -> str:
+    """The repo's gitignored spark-warehouse dir (absolute), created on
+    demand — the shared home for per-app persisted index tables, so
+    every session's GC sweep sees every session's dirs in ONE place."""
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    wh = os.path.join(repo, "spark-warehouse")
+    os.makedirs(wh, exist_ok=True)
+    return wh
 
 
 def _q6cos(a: str, b: str) -> str:
@@ -49,26 +64,16 @@ def _srp_sigs_cte() -> str:
     return ", sigs AS (" + "\nUNION ALL\n".join(selects) + ")"
 
 
-@register(
-    "embedding_near_dups",
-    oracle=_V_CTE + _srp_sigs_cte() + f"""
-, cand AS (
-  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM sigs a JOIN sigs b
-    ON a.band_id = b.band_id AND a.band_val = b.band_val
-   AND a.vec_id < b.vec_id
-)
-SELECT c.id_a, c.id_b, {_q6cos('a.vec', 'b.vec')} AS cos_sim
-FROM cand c JOIN v a ON a.vec_id = c.id_a JOIN v b ON b.vec_id = c.id_b
-WHERE {_q6cos('a.vec', 'b.vec')} >= 0.45
-""",
-)
-def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-LSH bucketed near-dup pairs (bucket equi-join + exact
-    cosine verify — no cartesian anywhere in the plan)."""
-    df = S.embedding_near_dup_pairs_lsh(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.45)
-    return df.withColumnRenamed("cos", "cos_sim")
+# RETIRED (r8): the ``embedding_near_dups`` registration — identical
+# output contract AND identical oracle as ``embedding_near_dups_indexed``
+# (the persisted-index path, r7-green), the redundancy the r7 verdict
+# named when it asked for displacement room. The recompute operator
+# itself (operators.similarity.embedding_near_dup_pairs_lsh) remains:
+# it is the one-shot shape (no index on disk), and
+# ``test_srp_index_value_parity`` keeps pinning it value-equal to the
+# indexed path, so the capability stays driver-checked through the
+# surviving registration without spending a window slot on a
+# duplicate (contract, oracle) pair.
 
 
 @register(
@@ -140,6 +145,55 @@ def q_embedding_near_dups_indexed(spark: SparkSession, sf_dir: str) -> DataFrame
     # place for the per-app naming not to leak disk.
     S.write_srp_index(emb, table, path=os.path.join(wh, table))
     df = S.embedding_near_dups_from_index(spark, emb, table, threshold=0.45)
+    return df.withColumnRenamed("cos", "cos_sim")
+
+
+@register(
+    "embedding_near_dups_probe",
+    # The oracle replays the same split: corpus = vec_id % 7 != 0 is
+    # indexed, batch = vec_id % 7 == 0 probes it. Candidates are
+    # exactly the cross-split band collisions (the batch's own
+    # self-pairs are out of contract — a batch is probed BEFORE being
+    # appended to the index), canonicalized id_a < id_b via
+    # least/greatest like the operator.
+    oracle=_V_CTE + _srp_sigs_cte() + f"""
+, cand AS (
+  SELECT DISTINCT least(i.vec_id, b.vec_id) AS id_a,
+                  greatest(i.vec_id, b.vec_id) AS id_b
+  FROM sigs i JOIN sigs b
+    ON i.band_id = b.band_id AND i.band_val = b.band_val
+  WHERE i.vec_id % 7 <> 0 AND b.vec_id % 7 = 0
+)
+SELECT c.id_a, c.id_b, {_q6cos('a.vec', 'b.vec')} AS cos_sim
+FROM cand c JOIN v a ON a.vec_id = c.id_a JOIN v b ON b.vec_id = c.id_b
+WHERE {_q6cos('a.vec', 'b.vec')} >= 0.30
+""",
+)
+def q_embedding_near_dups_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup probe of the persisted SRP index — the
+    daily-ingest shape of a 100 TB dedup pipeline, promoted to a
+    registered query (r7: pinned only by
+    ``test_srp_index_incremental_probe``): the corpus (6/7 of the
+    embeddings, by vec_id mod) is indexed ONCE; the arriving batch
+    (the other 1/7) computes signatures over ITSELF only and
+    equi-joins the bucketed index on (band_id, band_val) — the corpus
+    is never re-projected, and the index side of the join is a narrow
+    24-byte-row scan. Threshold 0.30 (vs the self-join queries' 0.45)
+    so the cross-split pair set stays non-trivial at small sf; the
+    verify join is exact cosine either way."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    batch = emb.where(F.col("vec_id") % 7 == 0)
+    corpus = emb.where(F.col("vec_id") % 7 != 0)
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    table = f"srp_probe_index_{app}_{tag}"
+    wh = _warehouse_dir()
+    gc_stale_dirs(wh, "srp_probe_index_",
+                  keep_prefix=f"srp_probe_index_{app}_")
+    S.write_srp_index(corpus, table, path=os.path.join(wh, table))
+    df = S.embedding_near_dups_probe_index(spark, batch, emb, table,
+                                           threshold=0.30)
     return df.withColumnRenamed("cos", "cos_sim")
 
 

@@ -48,9 +48,9 @@ def test_no_cartesian_in_near_dup_plans(spark):
     stay bucketed (SRP-LSH / prefix-filter equi-joins) — a cartesian
     or broadcast-nested-loop join here is the N² plan the 100 TB
     design forbids."""
-    for name in ("embedding_near_dups", "ngram_jaccard_pairs",
-                 "srp_bucket_stats", "minhash_dedup_pairs",
-                 "simhash_near_dups"):
+    for name in ("embedding_near_dups_indexed", "embedding_near_dups_probe",
+                 "ngram_jaccard_pairs", "srp_bucket_stats",
+                 "minhash_dedup_pairs", "simhash_near_dups"):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name

@@ -12,36 +12,42 @@ import os
 
 from mapreduce_experiment_spark.plans.registry import _ORDER, SPECS
 
-# Round 7 contract: corpus_shuffle (deferred from r6 — its first
-# driver verdict), embedding_near_dups_indexed (new — persisted
-# SRP-LSH index), streaming_event_dedup (changed — memory sink →
-# parquet file sink), canonical_url_groups (changed — URL_CANON_STEPS
-# \s → explicit ASCII class), and ALL 46 remaining queries whose last
-# driver verdict was r5 (the r5 window minus the r6-reverified
-# triangles, minus the 3 round-7 retirements: knn_bruteforce_blas,
-# minhash_signatures, simhash_signatures — keeps every verdict <= 1
-# round old).
+# Round 8 contract: the three r6-green queries whose plans change
+# this round (streaming_minhash_dedup / stateful_streaming_sessions:
+# memory sink → checkpointed parquet sink + bounded state;
+# knn_ivf_pruned: per-app index-write memo), the two r7-greens whose
+# plans also change (embedding_near_dups_indexed: index memo +
+# banding-config table properties; streaming_event_dedup: shared
+# artifact-dir helper on its sink path), the NEW
+# embedding_near_dups_probe, and ALL 44 remaining queries whose last
+# driver verdict was r6 (the 48 rotated out of the r7 window minus
+# the 3 changed ones above, minus the round-8 retirement
+# embedding_near_dups — keeps every verdict <= 1 round old).
 _MUST_BE_IN_WINDOW = {
-    # deferred, new, or changed in round 7
-    "corpus_shuffle", "embedding_near_dups_indexed",
-    "streaming_event_dedup", "canonical_url_groups",
-    # last driver verdict r5
-    "account_balance_union", "adjacency", "approx_distinct_counts",
-    "bm25_topk", "candidate_pairs", "customer_running_spend",
-    "customers_churned", "customers_retained", "degrees",
-    "edges_derive", "events_json_extract", "exact_dedup_groups",
-    "fingerprints", "grouping_sets_sql", "kmeans_centroids",
-    "kmeans_ivf_assignments", "knn_ivf_trained", "lang_id",
-    "minhash_dedup_pairs", "mktsegment_pivot", "nation_order_stats",
-    "ngram_jaccard_pairs", "order_gap_days", "order_priority_rollup",
-    "order_scalar_functions", "orders_above_customer_average",
-    "pagerank", "parts_never_ordered", "pii_redaction",
-    "pricing_summary", "quality_scores", "repeated_spans",
-    "returnflag_status_cube", "revenue_by_nation", "sessionize_events",
-    "simhash_near_dups", "span_deduped_corpus", "suppliers_with_orders",
-    "symmetrize", "tfidf_doc_pairs", "token_counts",
-    "token_frequencies", "top_customers_per_nation",
-    "top_orders_global", "triangles_faithful", "user_value_scd2",
+    # changed or new in round 8
+    "streaming_minhash_dedup", "stateful_streaming_sessions",
+    "knn_ivf_pruned", "embedding_near_dups_indexed",
+    "streaming_event_dedup", "embedding_near_dups_probe",
+    # last driver verdict r6
+    "approx_order_percentiles", "asia_market_share", "clean_corpus",
+    "connected_components", "decontaminated_corpus",
+    "decontamination_external", "decontamination_pairs",
+    "dedup_clusters", "dedup_survivors", "doc_chunks",
+    "event_type_counts_salted", "hourly_event_counts",
+    "ivf_assignments", "knn_bruteforce", "knn_ivf",
+    "lineitem_profile", "media_byte_histograms", "media_frame_sample",
+    "media_metadata", "monthly_retention_cohorts",
+    "nation_participants_full_outer", "order_size_distribution",
+    "packed_sequence_fragments", "packed_sequences",
+    "price_quantity_correlation", "purchase_last_click_asof",
+    "quality_filtered_corpus", "repetition_scores", "session_stats",
+    "session_window_stats", "signup_to_purchase_funnel",
+    "source_mixture_sample", "srp_bucket_stats",
+    "stratified_event_sample", "streaming_hourly_counts",
+    "streaming_triangle_count", "streaming_view_attribution",
+    "top_parts_per_nation", "triangle_count", "triangles",
+    "trigram_counts", "value_band_range_join",
+    "value_distribution_stats", "volume_shipping",
 }
 
 WINDOW = 50
@@ -51,9 +57,9 @@ WINDOW = 50
 # must sit immediately after the window boundary so the next rotation
 # picks them up first, and they carry local oracle gating
 # (test_registry_oracle, sf0.001 + sf0.01) in the meantime.
-# Round 7 has no deferral: the rotation arithmetic closed exactly
-# (46 r5-greens + 1 r6-deferred + 1 new + 2 changed = 50), funded by
-# the three registration retirements.
+# Round 8 has no deferral: the rotation arithmetic closed exactly
+# (44 r6-greens + 5 changed + 1 new = 50), funded by the
+# embedding_near_dups registration retirement.
 _DEFERRED_TO_NEXT_WINDOW: list[str] = []
 
 
@@ -113,63 +119,47 @@ def test_registry_has_expected_size():
 # either sit inside the window or be explicitly attested unchanged
 # below (a conscious, reviewable act in the diff).
 
-_ROUND_BASE = "7fed003"  # driver's round-6 commit; bump each round
+_ROUND_BASE = "b53ff96"  # driver's round-7 commit; bump each round
 
 # Queries living in touched modules whose own plan + oracle are
-# attested unchanged this round. Round 7's package edits are:
-# plans/queries_similarity.py (the knn_bruteforce_blas registration
-# RETIREMENT + the APPENDED embedding_near_dups_indexed registration
-# — every other registration's text is untouched),
-# operators/similarity.py (APPENDED write_srp_index /
-# embedding_near_dups_from_index only — no pre-existing function
-# touched), plans/queries_dedup.py (the minhash_signatures /
-# simhash_signatures registration retirements + the clean_corpus
-# headline=True flag — no plan or oracle text changed),
-# operators/dedup.py (the URL_CANON_STEPS \s → explicit-ASCII-class
-# hunk, reachable ONLY from canonical_url / canonical_url_groups,
-# which is in-window), streaming/pipeline.py (the
-# streaming_event_dedup memory-sink → parquet-sink conversion plus
-# two helpers factored out of / serving only that path —
-# dedup_events and _stream_sink_dir — and its WithinWatermark state-
-# eviction fix; no other streaming function's body changed;
-# streaming_event_dedup is in-window),
-# plans/queries_ordering.py (corpus_shuffle headline=True flag;
-# in-window anyway), sources/io.py (APPENDED gc_stale_dirs helper
-# only — artifact-dir GC, reached solely from the in-window
-# streaming_event_dedup / embedding_near_dups_indexed paths). Every
-# name below is r6-green with plan + oracle text untouched by those
-# hunks.
+# attested unchanged this round. Round 8's package edits are:
+# plans/queries_similarity.py (the embedding_near_dups registration
+# RETIREMENT, the APPENDED embedding_near_dups_probe registration,
+# and the index-memo/shared-helper rework of the in-window
+# knn_ivf_pruned + embedding_near_dups_indexed — the kmeans/trained
+# registrations' text is untouched), operators/similarity.py
+# (banding-config table properties on write_srp_index and their
+# validation in embedding_near_dups_probe_index — both reached only
+# from the in-window indexed/probe queries), streaming/pipeline.py
+# (the streaming_minhash_dedup memory-sink → parquet-sink conversion
+# + its state-eviction timeout, confined to
+# minhash_dedup_over_stream / streaming_minhash_dedup, and the
+# _stream_sink_dir move onto the shared io helper — reached only
+# from the in-window streaming sink queries), streaming/sessions.py
+# (the stateful_streaming_sessions sink conversion; that query is
+# in-window), sources/io.py (the per-directory OSError guard in
+# gc_stale_dirs per r7 ADVICE + the APPENDED shared artifact-dir
+# helper), and plans/queries_dedup.py / plans/queries_events.py
+# (docstring-only touches on the two converted streaming
+# registrations, both in-window). Every name below is r7-green with
+# plan + oracle text untouched by those hunks.
 _ATTESTED_UNCHANGED = {
     # registered in queries_similarity.py / reach
-    # operators/similarity.py: both r7 hunks are a retirement and
-    # appended functions; none of these queries' code paths changed.
-    "embedding_near_dups", "srp_bucket_stats", "knn_bruteforce",
-    "knn_ivf", "ivf_assignments", "knn_ivf_pruned",
-    # registered in queries_dedup.py / reach operators/dedup.py:
-    # retirements + appended-only + the URL hunk (none of these call
-    # canonical_url; clean_corpus's edit is the headline flag only —
-    # plan fn and oracle text byte-identical).
-    "dedup_clusters", "dedup_survivors", "clean_corpus",
-    "streaming_minhash_dedup",
-    # reach operators/dedup.py or streaming/pipeline.py transitively
-    # (queries_graph/queries_events -> streaming.pipeline ->
-    # operators.dedup): the streaming hunk is confined to
-    # streaming_event_dedup's body, the dedup hunk to canonical_url.
-    "triangles", "triangle_count", "connected_components",
-    "streaming_triangle_count", "session_stats", "session_window_stats",
-    "hourly_event_counts", "stateful_streaming_sessions",
-    "streaming_hourly_counts", "streaming_view_attribution",
-    "event_type_counts_salted", "stratified_event_sample",
-    "monthly_retention_cohorts", "signup_to_purchase_funnel",
-    "purchase_last_click_asof", "value_band_range_join",
-    # reach operators/dedup.py via queries_text/queries_profiling
-    # import chains (decontamination shares the shingle machinery):
-    # none touch canonical_url.
-    "decontaminated_corpus", "decontamination_external",
-    "decontamination_pairs", "quality_filtered_corpus",
-    "repetition_scores", "doc_chunks", "trigram_counts",
-    "source_mixture_sample", "packed_sequences",
-    "packed_sequence_fragments",
+    # operators/similarity.py: the r8 hunks live in the retired
+    # registration, the appended probe, and the indexed/pruned-index
+    # paths; the kmeans training + trained-IVF paths are untouched.
+    "kmeans_centroids", "kmeans_ivf_assignments", "knn_ivf_trained",
+    # registered in queries_dedup.py / queries_events.py or reaching
+    # streaming/pipeline.py, streaming/sessions.py, sources/io.py
+    # transitively (queries_graph/queries_events -> streaming ->
+    # operators.dedup; io's gc guard is inside gc_stale_dirs only):
+    # the streaming hunks are confined to the two converted sink
+    # queries' bodies and _stream_sink_dir.
+    "canonical_url_groups", "exact_dedup_groups", "minhash_dedup_pairs",
+    "ngram_jaccard_pairs", "repeated_spans", "simhash_near_dups",
+    "span_deduped_corpus", "adjacency", "candidate_pairs", "degrees",
+    "edges_derive", "pagerank", "symmetrize", "triangles_faithful",
+    "sessionize_events", "user_value_scd2",
 }
 
 def _round_sorted(paths: list[str]) -> list[str]:
