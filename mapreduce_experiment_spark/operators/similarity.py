@@ -598,6 +598,40 @@ def write_ivf_index(embeddings: DataFrame, path: str,
 SRP_INDEX_BUCKETS = 16
 
 
+def srp_config_props(bands: int, rows: int,
+                     dim: int = EMBED_DIM) -> dict[str, str]:
+    """The banding configuration an SRP index is bound to, as table
+    properties: bands/rows/dim plus an md5 fingerprint of the actual
+    plane matrix (the planes are md5-derived from indices, so the
+    fingerprint also pins the generation scheme itself — a future
+    change to :func:`srp_planes` invalidates old indexes loudly
+    instead of silently probing with different geometry)."""
+    import hashlib
+
+    planes = srp_planes(bands * rows, dim)
+    fp = hashlib.md5(repr(planes).encode()).hexdigest()
+    return {"srp.bands": str(bands), "srp.rows": str(rows),
+            "srp.dim": str(dim), "srp.planes_md5": fp}
+
+
+def validate_srp_index_config(spark, table: str, bands: int, rows: int,
+                              dim: int = EMBED_DIM) -> None:
+    """Raise ValueError unless ``table`` was written with exactly this
+    banding configuration (r7 ADVICE: a mismatched probe equi-join
+    silently misses true pairs — band values pack ``rows`` sign bits,
+    so there is no schema-level error to save you)."""
+    got = {r["key"]: r["value"]
+           for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()}
+    want = srp_config_props(bands, rows, dim)
+    bad = {k: (got.get(k), v) for k, v in want.items() if got.get(k) != v}
+    if bad:
+        raise ValueError(
+            f"SRP index {table!r} banding config mismatch (probe would "
+            f"silently miss true pairs): "
+            + "; ".join(f"{k}: index={g!r} probe={w!r}"
+                        for k, (g, w) in sorted(bad.items())))
+
+
 def write_srp_index(embeddings: DataFrame, table: str, path: str | None = None,
                     bands: int = SRP_BANDS, rows: int = SRP_ROWS,
                     n_buckets: int = SRP_INDEX_BUCKETS) -> None:
@@ -626,6 +660,13 @@ def write_srp_index(embeddings: DataFrame, table: str, path: str | None = None,
     The pre-write ``repartition(n_buckets, keys)`` uses the same
     murmur3 pmod as the bucket spec, so every task holds exactly the
     rows of its own bucket -> one file per bucket, no small-file spray.
+
+    The banding configuration travels WITH the index as table
+    properties (r7 ADVICE: the bands/rows contract between writer and
+    prober was documented but not machine-checked — a mismatched probe
+    silently misses true pairs rather than erroring):
+    :func:`embedding_near_dups_probe_index` validates them and raises
+    on mismatch.
     """
     sigs = srp_signatures(embeddings, bands, rows)
     w = (sigs.repartition(n_buckets, F.col("band_id"), F.col("band_val"))
@@ -639,6 +680,10 @@ def write_srp_index(embeddings: DataFrame, table: str, path: str | None = None,
         # lives in the catalog either way.
         w = w.option("path", path)
     w.saveAsTable(table)
+    props = srp_config_props(bands, rows)
+    kv = ", ".join(f"'{k}'='{v}'" for k, v in props.items())
+    embeddings.sparkSession.sql(
+        f"ALTER TABLE {table} SET TBLPROPERTIES ({kv})")
 
 
 def embedding_near_dups_from_index(spark, embeddings: DataFrame, table: str,
@@ -689,10 +734,12 @@ def embedding_near_dups_probe_index(spark, batch: DataFrame,
     ``batch`` only (one narrow Arrow pass over the batch — the indexed
     corpus is never re-projected) and equi-joined against the persisted
     signature index on (band_id, band_val). ``bands``/``rows`` MUST
-    match the parameters the index was written with: band values pack
-    ``rows`` sign bits, so mismatched parameters make the equi-join
-    silently miss true pairs rather than error — a deployment stores
-    the banding config next to the index path. Returns (id_a, id_b,
+    match the parameters the index was written with; that contract is
+    machine-checked here against the banding config
+    :func:`write_srp_index` stores as table properties —
+    :func:`validate_srp_index_config` raises on mismatch instead of
+    letting the equi-join silently miss true pairs (r7 ADVICE; pinned
+    by ``test_srp_probe_rejects_mismatched_banding``). Returns (id_a, id_b,
     cos) with pairs CANONICALIZED as id_a < id_b (side attribution is
     numeric, not batch-vs-index — recover "which endpoint is new" from
     the caller's own id ranges), verified by exact cosine against
@@ -708,6 +755,7 @@ def embedding_near_dups_probe_index(spark, batch: DataFrame,
     pairs among batch rows come from the batch's own self-join, which
     is :func:`embedding_near_dup_pairs_lsh` on the batch alone).
     """
+    validate_srp_index_config(spark, table, bands, rows)
     bsigs = srp_signatures(batch, bands, rows)
     isigs = spark.table(table)
     cands = (

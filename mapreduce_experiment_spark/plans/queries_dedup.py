@@ -117,7 +117,8 @@ FROM s GROUP BY signature
 def q_streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming MinHash dedup of an at-least-once (doubled) document
     stream: a state-backed signature table (applyInPandasWithState
-    keyed by signature) emits each doc exactly once; the per-signature
+    keyed by signature, timeout-EVICTED) emits each doc exactly once,
+    draining through a checkpointed parquet sink; the per-signature
     rollup must equal the batch signature-group dedup on a single
     copy, which the batch oracle checks value-for-value (see
     ``streaming.pipeline.streaming_minhash_dedup``)."""

@@ -149,9 +149,12 @@ FROM s GROUP BY user_id, session_id
 )
 def q_stateful_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
-    per-user keyed session state across micro-batches. Under the
-    single-batch availableNow drain its emitted set equals batch
-    sessionization, so the batch oracle value-checks it."""
+    per-user keyed session state across micro-batches, drained
+    through a checkpointed parquet sink (output is one row per
+    session — linear — so the memory sink is out; see
+    ``streaming.sessions``). Under the single-batch availableNow
+    drain its emitted set equals batch sessionization, so the batch
+    oracle value-checks it."""
     from ..streaming.sessions import stateful_session_stats
     return stateful_session_stats(spark, sf_dir)
 

@@ -79,28 +79,68 @@ def gc_stale_dirs(base: str, prefix: str, keep_prefix: str | None = None,
     and deleting them mid-scan would fail ITS query — a day
     comfortably outlives any session on one box while still bounding
     disk leakage from per-app naming. Failures are swallowed: GC must
-    never break the query that triggered it.
-
-    (One known extra copy of this pattern lives inline in
-    ``plans/queries_similarity.py::q_knn_ivf_pruned``, which is
-    verdict-attested unchanged this round; fold it in when that
-    query's plan next rotates through the verification window.)
+    never break the query that triggered it — and swallowed PER
+    DIRECTORY (r7 ADVICE): a sibling racing to deletion mid-sweep
+    (its getmtime throws) must not abort the remaining iterations, or
+    stale dirs sorting after the racer would survive every sweep.
     """
     import os
     import shutil
     import time
 
     try:
-        for d in os.listdir(base):
-            if not d.startswith(prefix):
-                continue
-            if keep_prefix is not None and d.startswith(keep_prefix):
-                continue
-            full = os.path.join(base, d)
+        entries = os.listdir(base)
+    except OSError:
+        return  # base not created yet — nothing to sweep
+    for d in entries:
+        if not d.startswith(prefix):
+            continue
+        if keep_prefix is not None and d.startswith(keep_prefix):
+            continue
+        full = os.path.join(base, d)
+        try:
             if time.time() - os.path.getmtime(full) > horizon_s:
                 shutil.rmtree(full, ignore_errors=True)
-    except OSError:
-        pass
+        except OSError:
+            continue
+
+
+def repo_warehouse(*subdirs: str) -> str:
+    """Absolute path under the repo's gitignored ``spark-warehouse``
+    (created on demand) — the ONE shared home for per-session
+    persisted artifacts (index tables, streaming sink runs), so every
+    session's GC sweep sees every session's dirs regardless of what
+    ``spark.sql.warehouse.dir`` each session carries."""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    base = os.path.join(repo, "spark-warehouse", *subdirs)
+    os.makedirs(base, exist_ok=True)
+    return base
+
+
+def app_artifact_dir(spark: SparkSession, prefix: str, tag: str,
+                     subdir: str | None = None) -> str:
+    """The per-(Spark application, tag) artifact-directory contract in
+    ONE place (r7 ADVICE — three inline copies invited drift in the
+    keep_prefix/horizon contract): returns
+    ``<repo_warehouse>[/subdir]/<prefix><appId>_<tag>`` after sweeping
+    day-old ``prefix`` siblings from PAST applications.
+
+    The app-id naming is what makes concurrent sessions safe (a
+    driver-verify run and a local pytest run must never overwrite
+    index files the other's already-planned scan is lazily reading);
+    the sweep is what stops that naming leaking disk; ``keep_prefix``
+    exempts the CURRENT application's dirs so a long session never
+    GCs its own artifacts. The dir itself is not pre-created — table
+    and stream writers create their own target."""
+    import os
+
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    base = repo_warehouse(*((subdir,) if subdir else ()))
+    gc_stale_dirs(base, prefix, keep_prefix=f"{prefix}{app}_")
+    return os.path.join(base, f"{prefix}{app}_{tag}")
 
 
 def write_delta(df: DataFrame, path: str, **options) -> None:

@@ -138,3 +138,59 @@ def test_gc_stale_dirs_sweeps_only_stale_prefix_matches(tmp_path):
     assert keep.exists()             # own session -> kept even stale
     assert other.exists()            # different prefix -> untouched
     EIO.gc_stale_dirs(str(tmp_path / "missing"), "pfx_")  # no raise
+
+
+def test_gc_stale_dirs_survives_racing_sibling(tmp_path, monkeypatch):
+    """r7 ADVICE: a sibling deleted by a concurrent session mid-sweep
+    (its getmtime raises) must not abort the remaining iterations —
+    the OSError guard is per-directory, so every other stale dir is
+    still swept."""
+    import os
+    import time
+
+    racer = tmp_path / "pfx_racer"
+    victim = tmp_path / "pfx_victim"
+    for d in (racer, victim):
+        d.mkdir()
+    past = time.time() - 90000
+    for d in (racer, victim):
+        os.utime(d, (past, past))
+
+    real_getmtime = os.path.getmtime
+
+    def racing_getmtime(p):
+        if "pfx_racer" in str(p):
+            raise OSError("concurrently deleted")
+        return real_getmtime(p)
+
+    monkeypatch.setattr("os.path.getmtime", racing_getmtime)
+    EIO.gc_stale_dirs(str(tmp_path), "pfx_")
+    assert not victim.exists(), "racing sibling aborted the sweep"
+
+
+def test_app_artifact_dir_contract(spark):
+    """The shared per-app artifact-dir helper (r7 ADVICE folded the
+    three inline copies): returns <warehouse>/<prefix><appId>_<tag>,
+    sweeps day-old prefix siblings from other applications, keeps the
+    current app's own stale dirs."""
+    import os
+    import shutil
+    import time
+
+    base = EIO.repo_warehouse()
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    stale_other = os.path.join(base, "testgc_oldapp_x")
+    stale_mine = os.path.join(base, f"testgc_{app}_old")
+    try:
+        for d in (stale_other, stale_mine):
+            os.makedirs(d, exist_ok=True)
+            past = time.time() - 90000
+            os.utime(d, (past, past))
+        path = EIO.app_artifact_dir(spark, "testgc_", "t1")
+        assert path == os.path.join(base, f"testgc_{app}_t1")
+        assert not os.path.exists(path)  # reserved, not created
+        assert not os.path.exists(stale_other)   # past app, stale -> swept
+        assert os.path.exists(stale_mine)        # own app -> kept
+    finally:
+        for d in (stale_other, stale_mine):
+            shutil.rmtree(d, ignore_errors=True)

