@@ -686,6 +686,33 @@ def write_srp_index(embeddings: DataFrame, table: str, path: str | None = None,
         f"ALTER TABLE {table} SET TBLPROPERTIES ({kv})")
 
 
+def append_srp_index(batch: DataFrame, table: str,
+                     bands: int = SRP_BANDS, rows: int = SRP_ROWS,
+                     n_buckets: int = SRP_INDEX_BUCKETS) -> None:
+    """Append a new batch's signatures into an existing SRP index —
+    the write half of the daily-ingest cycle (probe the batch with
+    :func:`embedding_near_dups_probe_index`, THEN append it so
+    tomorrow's batch sees it as corpus). The banding config is
+    validated against the table properties first, exactly like the
+    probe: appending signatures computed with different geometry would
+    poison the index silently.
+
+    The append keeps the bucket layout intact — same bucketBy spec,
+    same pre-write repartition, so each bucket gains one sorted file
+    per append and the candidate self-join STAYS Exchange-free
+    (pinned by ``test_srp_index_append_cycle``). At 100 TB an ingest
+    pipeline compacts buckets on a schedule; correctness never
+    depends on file count."""
+    validate_srp_index_config(batch.sparkSession, table, bands, rows)
+    sigs = srp_signatures(batch, bands, rows)
+    (sigs.repartition(n_buckets, F.col("band_id"), F.col("band_val"))
+     .write.mode("append")
+     .bucketBy(n_buckets, "band_id", "band_val")
+     .sortBy("band_id", "band_val")
+     .format("parquet")
+     .saveAsTable(table))
+
+
 def embedding_near_dups_from_index(spark, embeddings: DataFrame, table: str,
                                    threshold: float = 0.45) -> DataFrame:
     """:func:`embedding_near_dup_pairs_lsh` served from the PERSISTED

@@ -404,6 +404,57 @@ def test_srp_index_incremental_probe(spark, sf_smoke, tmp_path):
     assert got  # sf0.001 plants (23, 319): the equality is not vacuous
 
 
+def test_srp_index_append_cycle(spark, sf_smoke, tmp_path):
+    """The full daily-ingest cycle: index the corpus, probe the new
+    batch, APPEND the batch's signatures, and verify (a) the appended
+    index serves the complete pair set — identical to a full rebuild
+    over corpus+batch — and (b) the candidate self-join over the
+    appended (multi-file-per-bucket) table still plans with zero
+    Exchange. Also pins that an append with mismatched banding is
+    rejected before it can poison the index."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_experiment_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    corpus = emb.where(F.col("vec_id") >= 50)
+    batch = emb.where(F.col("vec_id") < 50)
+    table = "srp_index_append_test"
+    S.write_srp_index(corpus, table, path=str(tmp_path / table))
+    try:
+        with pytest.raises(ValueError, match="banding config mismatch"):
+            S.append_srp_index(batch, table, rows=4)
+        S.append_srp_index(batch, table)
+        got = {(r.id_a, r.id_b, r.cos)
+               for r in S.embedding_near_dups_from_index(
+                   spark, emb, table, threshold=0.45).collect()}
+        full = {(r.id_a, r.id_b, r.cos)
+                for r in S.embedding_near_dup_pairs_lsh(
+                    emb, threshold=0.45).collect()}
+        assert got == full and got
+
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            sigs = spark.table(table)
+            joined = (
+                sigs.select(F.col("vec_id").alias("id_a"),
+                            "band_id", "band_val")
+                .join(sigs.select(F.col("vec_id").alias("id_b"),
+                                  "band_id", "band_val"),
+                      ["band_id", "band_val"])
+                .where(F.col("id_a") < F.col("id_b")))
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert plan.count("Bucketed: true") == 2, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_srp_probe_rejects_mismatched_banding(spark, sf_smoke, tmp_path):
     """r7 ADVICE, closed: the bands/rows contract between index writer
     and prober is machine-checked via the table properties

@@ -128,9 +128,11 @@ _ROUND_BASE = "b53ff96"  # driver's round-7 commit; bump each round
 # and the index-memo/shared-helper rework of the in-window
 # knn_ivf_pruned + embedding_near_dups_indexed — the kmeans/trained
 # registrations' text is untouched), operators/similarity.py
-# (banding-config table properties on write_srp_index and their
+# (banding-config table properties on write_srp_index, their
 # validation in embedding_near_dups_probe_index — both reached only
-# from the in-window indexed/probe queries), streaming/pipeline.py
+# from the in-window indexed/probe queries — and the APPENDED
+# append_srp_index, reached from no registered query at all),
+# streaming/pipeline.py
 # (the streaming_minhash_dedup memory-sink → parquet-sink conversion
 # + its state-eviction timeout, confined to
 # minhash_dedup_over_stream / streaming_minhash_dedup, and the
