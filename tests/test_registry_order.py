@@ -137,7 +137,13 @@ _ROUND_BASE = "b53ff96"  # driver's round-7 commit; bump each round
 # + its state-eviction timeout, confined to
 # minhash_dedup_over_stream / streaming_minhash_dedup, and the
 # _stream_sink_dir move onto the shared io helper — reached only
-# from the in-window streaming sink queries), streaming/sessions.py
+# from the in-window streaming sink queries), operators/dedup.py
+# (minhash_signatures_from gains an optional passthrough-columns
+# parameter for the streaming event-time column; with the default
+# None the select list, pandas loop, and output schema are
+# byte-equivalent to before — batch callers unchanged, pinned by
+# test_minhash_numpy_path_bit_equal_to_jvm_agg and the in-window
+# minhash_dedup_pairs driver verdict), streaming/sessions.py
 # (the stateful_streaming_sessions sink conversion; that query is
 # in-window), sources/io.py (the per-directory OSError guard in
 # gc_stale_dirs per r7 ADVICE + the APPENDED shared artifact-dir
