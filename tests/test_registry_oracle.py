@@ -41,8 +41,11 @@ def test_queries_run_under_bare_driver_session():
     confs. registry.ensure_session_confs must make every query
     self-sufficient (the r2 incident: events reads threw
     PARQUET_TYPE_ILLEGAL without nanosAsLong; UTC matters for
-    timestamp value-hashes). Run a timestamp-sensitive query and an
-    events query in a FRESH bare-session subprocess."""
+    timestamp value-hashes). Run a timestamp-sensitive query, an
+    events query, and — since r8 — one checkpointed-parquet-sink
+    streaming query and one persisted-index query (saveAsTable +
+    table properties + memo under a foreign warehouse config) in a
+    FRESH bare-session subprocess."""
     import subprocess
     import sys
 
@@ -56,7 +59,8 @@ spark = (SparkSession.builder.master("local[2]")
          .config("spark.ui.enabled", "false").getOrCreate())
 import __spark_entry__ as e
 q = e.queries()
-for name in ("sessionize_events", "pricing_summary"):
+for name in ("sessionize_events", "pricing_summary",
+             "streaming_minhash_dedup", "embedding_near_dups_probe"):
     n = q[name](spark, {SF_SMOKE!r}).count()
     assert n > 0, name
     print(name, n)
@@ -74,4 +78,6 @@ print("confs-applied")
                        cwd=__file__.rsplit("/tests/", 1)[0])
     assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr[-2000:]}"
     assert "sessionize_events" in r.stdout and "pricing_summary" in r.stdout
+    assert "streaming_minhash_dedup" in r.stdout
+    assert "embedding_near_dups_probe" in r.stdout
     assert "confs-applied" in r.stdout
