@@ -460,6 +460,29 @@ def knn_ivf_trained(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
     )
 
 
+def _assign_to_centroids(corpus: DataFrame,
+                         centroids: DataFrame) -> DataFrame:
+    """(vec_id, centroid_id) nearest-centroid assignment of prepped
+    ``corpus`` vectors against prepped ``centroids`` (centroid_id,
+    cv, cn) — the scoring + argmax core shared by
+    :func:`ivf_assignments` (seed-centroid bucketing) and
+    :func:`append_ivf_index` (daily-ingest batch assignment), so the
+    two paths can never diverge on tie-breaking."""
+    scored = (
+        corpus.crossJoin(F.broadcast(centroids))
+        .select("vec_id", "centroid_id",
+                _cos(F.col("vec"), F.col("cv"), F.col("norm"), F.col("cn"))
+                .alias("cos"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "centroid_id")
+    )
+
+
 def ivf_assignments(embeddings: DataFrame,
                     n_centroids: int = N_CENTROIDS) -> DataFrame:
     """Assign every corpus vector to its nearest centroid.
@@ -473,21 +496,8 @@ def ivf_assignments(embeddings: DataFrame,
     centroids = v.where(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("centroid_id"), F.col("vec").alias("cv"),
         F.col("norm").alias("cn"))
-    corpus = v.where(F.col("vec_id") >= n_centroids)
-    scored = (
-        corpus.crossJoin(F.broadcast(centroids))
-        .select("vec_id",
-                "centroid_id",
-                _cos(F.col("vec"), F.col("cv"), F.col("norm"), F.col("cn"))
-                .alias("cos"))
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cos").desc(), F.col("centroid_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "centroid_id")
-    )
+    return _assign_to_centroids(v.where(F.col("vec_id") >= n_centroids),
+                                centroids)
 
 
 def _ivf_queries(v: DataFrame, n_queries: int) -> DataFrame:
@@ -593,6 +603,31 @@ def write_ivf_index(embeddings: DataFrame, path: str,
     (buckets.join(v, "vec_id")
      .select("vec_id", "vec", "norm", "centroid_id")
      .write.mode("overwrite").partitionBy("centroid_id").parquet(path))
+
+
+def append_ivf_index(batch: DataFrame, centroids_src: DataFrame, path: str,
+                     n_centroids: int = N_CENTROIDS) -> None:
+    """Append a new vector batch into the persisted IVF index — the
+    write half of the daily-ingest cycle for the centroid-partitioned
+    index (the SRP analogue is :func:`append_srp_index`). The batch
+    is assigned against the SAME seed centroids the index was built
+    with (``centroids_src`` is the original corpus table; ids <
+    ``n_centroids`` are the seeds), sharing the exact scoring +
+    tie-break core with :func:`ivf_assignments`, then appended
+    ``partitionBy(centroid_id)`` — each append only adds files under
+    the partitions it touches, and probes keep pruning by directory
+    exactly as before. Value parity of the appended index with a full
+    rebuild over corpus+batch is pinned by
+    ``test_ivf_index_append_cycle``."""
+    cv = _prep(centroids_src)
+    centroids = cv.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"), F.col("vec").alias("cv"),
+        F.col("norm").alias("cn"))
+    bv = _prep(batch)
+    assign = _assign_to_centroids(bv, centroids)
+    (assign.join(bv, "vec_id")
+     .select("vec_id", "vec", "norm", "centroid_id")
+     .write.mode("append").partitionBy("centroid_id").parquet(path))
 
 
 SRP_INDEX_BUCKETS = 16

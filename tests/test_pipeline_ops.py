@@ -404,6 +404,37 @@ def test_srp_index_incremental_probe(spark, sf_smoke, tmp_path):
     assert got  # sf0.001 plants (23, 319): the equality is not vacuous
 
 
+def test_ivf_index_append_cycle(spark, sf_smoke, tmp_path):
+    """The IVF daily-ingest cycle, mirroring the SRP one: build the
+    partitioned index over the original corpus, assign + append a new
+    batch against the SAME seed centroids, and the pruned-probe kNN
+    over the appended index must equal knn_ivf over the full
+    corpus+batch — partition pruning and values both intact."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_experiment_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    original = emb.where(F.col("vec_id") < 300)
+    batch = emb.where(F.col("vec_id") >= 300)
+    path = str(tmp_path / "ivf_append")
+    S.write_ivf_index(original, path, n_queries=10)
+    S.append_ivf_index(batch, original, path)
+    got = {(r.query_id, r.neighbor_id, r.rank, r.cos)
+           for r in S.knn_ivf_pruned(spark, emb, path,
+                                     n_queries=10, k=5).collect()}
+    full = {(r.query_id, r.neighbor_id, r.rank, r.cos)
+            for r in S.knn_ivf(emb, n_queries=10, k=5).collect()}
+    assert got == full and len(got) == 50
+    # the appended rows actually landed outside the original build
+    import os
+
+    parts = [d for d in os.listdir(path) if d.startswith("centroid_id=")]
+    assert parts, "partitioned layout lost by the append"
+    appended = spark.read.parquet(path).where(F.col("vec_id") >= 300)
+    assert appended.count() == batch.count()
+
+
 def test_srp_index_append_cycle(spark, sf_smoke, tmp_path):
     """The full daily-ingest cycle: index the corpus, probe the new
     batch, APPEND the batch's signatures, and verify (a) the appended
