@@ -423,12 +423,19 @@ def test_embedding_near_dups_indexed_registered_plan(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "srp_index_" in plan  # candidate scan reads the persisted table
-    # NO Arrow stage anywhere in the probe plan: the signature matmul
-    # (a MapInPandas over the embeddings scan) runs only at index-WRITE
-    # time, and the verify-side vector prep is pure JVM expressions —
-    # any MapInPandas here means signature recompute sneaked back into
-    # the read path.
     assert plan.count("MapInPandas") == 0
+
+
+def test_embedding_near_dups_probe_registered_plan(spark):
+    """The registered incremental-probe query: EXACTLY ONE Arrow stage
+    (the new batch's signatures) — a second MapInPandas would mean the
+    corpus is being re-projected, defeating the index; the corpus side
+    must be a scan of the persisted srp_probe_index table."""
+    plan = _plan(spark, "embedding_near_dups_probe")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "srp_probe_index_" in plan
+    assert plan.count("MapInPandas") == 1, plan.count("MapInPandas")
 
 
 def test_streaming_event_dedup_file_sink(spark):
