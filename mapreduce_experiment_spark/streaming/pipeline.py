@@ -323,7 +323,11 @@ def minhash_dedup_over_stream(docs: DataFrame,
                     seen.add(did)
                     fresh.append(did)
         state.update((sorted(seen),))
-        state.setTimeoutTimestamp(max_ts_ms + delay_ms)
+        if max_ts_ms:
+            # guard: an (anomalous) all-empty invocation must keep the
+            # previous deadline, not arm one at epoch+delay — which
+            # would sit below the watermark and throw
+            state.setTimeoutTimestamp(max_ts_ms + delay_ms)
         fresh.sort()
         yield pd.DataFrame({"signature": [sig] * len(fresh),
                             "doc_id": fresh})
@@ -346,9 +350,11 @@ def streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``applyInPandasWithState`` keyed BY SIGNATURE maintains the
     state-backed signature table: state holds the doc_ids already
     emitted for that signature, so re-deliveries and cross-batch
-    duplicates are dropped exactly once, deterministically (emission
-    does not depend on micro-batch boundaries: a doc is emitted iff
-    its id is new to its signature group).
+    duplicates are dropped exactly once within the event-time replay
+    window, deterministically (a doc is emitted iff its id is new to
+    its signature group's live state; under this query's drain the
+    watermark never passes a group's deadline, so emission is
+    independent of micro-batch boundaries outright).
 
     The emitted (signature, doc_id) stream drains through a real
     checkpointed PARQUET sink (the r7 verdict's last memory-sink
