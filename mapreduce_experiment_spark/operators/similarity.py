@@ -748,6 +748,49 @@ def append_srp_index(batch: DataFrame, table: str,
      .saveAsTable(table))
 
 
+def compact_srp_index(spark, table: str, new_table: str,
+                      path: str | None = None,
+                      n_buckets: int = SRP_INDEX_BUCKETS) -> None:
+    """Compact an appended-to SRP index (one file per bucket per
+    append — :func:`append_srp_index`) back to one file per bucket,
+    into ``new_table``. A NEW table plus a caller-side cutover is the
+    only safe shape: rewriting in place would yank files out from
+    under a concurrent reader's already-planned scan — the same
+    reasoning as the per-app artifact naming. The banding-config
+    table properties are carried over, so probes against the
+    compacted table pass the same machine validation.
+
+    Bucketed READING is disabled for the maintenance scan: a bucketed
+    read hands the writer one partition per (bucket, source file) and
+    the matching repartition is elided as already-satisfied, so the
+    "compaction" would pass every source file through 1:1 (observed:
+    a 2-files-per-bucket source compacted to... 2 files per bucket).
+    Reading plain forces one real murmur3 shuffle into exactly
+    ``n_buckets`` tasks — one file per bucket out. That one shuffle
+    IS the cost of compaction; at 100 TB it is an off-peak
+    maintenance job, not a query-path cost."""
+    prev = spark.conf.get("spark.sql.sources.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "false")
+    try:
+        sigs = spark.table(table)
+        w = (sigs.repartition(n_buckets, F.col("band_id"), F.col("band_val"))
+             .write.mode("overwrite")
+             .bucketBy(n_buckets, "band_id", "band_val")
+             .sortBy("band_id", "band_val")
+             .format("parquet"))
+        if path is not None:
+            w = w.option("path", path)
+        w.saveAsTable(new_table)
+    finally:
+        spark.conf.set("spark.sql.sources.bucketing.enabled", prev)
+    got = {r["key"]: r["value"]
+           for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()}
+    props = {k: v for k, v in got.items() if k.startswith("srp.")}
+    if props:
+        kv = ", ".join(f"'{k}'='{v}'" for k, v in props.items())
+        spark.sql(f"ALTER TABLE {new_table} SET TBLPROPERTIES ({kv})")
+
+
 def embedding_near_dups_from_index(spark, embeddings: DataFrame, table: str,
                                    threshold: float = 0.45) -> DataFrame:
     """:func:`embedding_near_dup_pairs_lsh` served from the PERSISTED

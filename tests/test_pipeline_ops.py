@@ -486,6 +486,62 @@ def test_srp_index_append_cycle(spark, sf_smoke, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_srp_index_compaction(spark, sf_smoke, tmp_path):
+    """Compaction closes the append story's operational loop: after
+    daily appends fatten each bucket to many files, compact_srp_index
+    rewrites into a NEW one-file-per-bucket table — pair-set parity,
+    banding properties carried (probes still pass validation), and
+    the self-join over the compacted table is still Exchange-free."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_experiment_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    corpus = emb.where(F.col("vec_id") >= 50)
+    batch = emb.where(F.col("vec_id") < 50)
+    table, ctable = "srp_compact_src_test", "srp_compact_dst_test"
+    S.write_srp_index(corpus, table, path=str(tmp_path / table))
+    S.append_srp_index(batch, table)
+    try:
+        src_files = [f for f in os.listdir(tmp_path / table)
+                     if f.endswith(".parquet")]
+        assert len(src_files) > S.SRP_INDEX_BUCKETS  # appends fattened it
+        S.compact_srp_index(spark, table, ctable,
+                            path=str(tmp_path / ctable))
+        dst_files = [f for f in os.listdir(tmp_path / ctable)
+                     if f.endswith(".parquet")]
+        assert len(dst_files) <= S.SRP_INDEX_BUCKETS
+        want = {(r.id_a, r.id_b, r.cos)
+                for r in S.embedding_near_dups_from_index(
+                    spark, emb, table, threshold=0.45).collect()}
+        got = {(r.id_a, r.id_b, r.cos)
+               for r in S.embedding_near_dups_from_index(
+                   spark, emb, ctable, threshold=0.45).collect()}
+        assert got == want and got
+        # banding props carried: probe validation passes on the compacted
+        S.validate_srp_index_config(spark, ctable, S.SRP_BANDS, S.SRP_ROWS)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            sigs = spark.table(ctable)
+            joined = (
+                sigs.select(F.col("vec_id").alias("id_a"),
+                            "band_id", "band_val")
+                .join(sigs.select(F.col("vec_id").alias("id_b"),
+                                  "band_id", "band_val"),
+                      ["band_id", "band_val"])
+                .where(F.col("id_a") < F.col("id_b")))
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {ctable}")
+
+
 def test_srp_probe_rejects_mismatched_banding(spark, sf_smoke, tmp_path):
     """r7 ADVICE, closed: the bands/rows contract between index writer
     and prober is machine-checked via the table properties

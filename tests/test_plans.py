@@ -270,6 +270,7 @@ def test_no_driver_collect_outside_bounded_state_sites():
         # SHOW TBLPROPERTIES output: a handful of catalog metadata
         # key/value rows — O(config keys), never data
         ("operators/similarity.py", "validate_srp_index_config"),
+        ("operators/similarity.py", "compact_srp_index"),
     }
     pkg = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
