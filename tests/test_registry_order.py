@@ -130,9 +130,11 @@ _ROUND_BASE = "b53ff96"  # driver's round-7 commit; bump each round
 # registrations' text is untouched), operators/similarity.py
 # (banding-config table properties on write_srp_index, their
 # validation in embedding_near_dups_probe_index — both reached only
-# from the in-window indexed/probe queries — and the APPENDED
-# append_srp_index, reached from no registered query at all),
-# streaming/pipeline.py
+# from the in-window indexed/probe queries — the APPENDED
+# append_srp_index / append_ivf_index / compact_srp_index, reached
+# from no registered query at all, and the _assign_to_centroids
+# extraction out of ivf_assignments, whose registered query is
+# in-window), streaming/pipeline.py
 # (the streaming_minhash_dedup memory-sink → parquet-sink conversion
 # + its state-eviction timeout, confined to
 # minhash_dedup_over_stream / streaming_minhash_dedup, and the
