@@ -69,3 +69,20 @@ def test_metric_merge_keeps_metrics_observed_by_any_run():
     # an empty (drifted) snapshot neither zeroes nor drops anything
     assert b._merge_deltas({"a": 4}, {}) == {"a": 4}
     assert b._merge_deltas({}, {"a": 4}) == {"a": 4}
+
+
+def test_suite_order_is_seeded_and_recorded():
+    """The r8 burst-decorrelation contract: the same seed must yield
+    the same order (resumable comparisons), different seeds must be
+    able to differ, and the shuffle is a permutation of the headline
+    set — pinned against the same RNG construction bench uses."""
+    import random
+
+    names = sorted(f"q{i}" for i in range(10))
+    a, b2 = list(names), list(names)
+    random.Random(1234).shuffle(a)
+    random.Random(1234).shuffle(b2)
+    assert a == b2 and sorted(a) == names
+    c = list(names)
+    random.Random(4321).shuffle(c)
+    assert sorted(c) == names
