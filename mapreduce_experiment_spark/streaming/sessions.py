@@ -23,8 +23,10 @@ held in the executor state store. Idle-user eviction by timeout is
 deliberately NOT enabled here: session_id mirrors the batch oracle's
 per-user ordinal, which requires retaining the per-user counter — a
 deployment that wants eviction keys sessions by start timestamp
-(globally unique without a counter) and arms a ProcessingTimeTimeout,
-the pattern demonstrated in
+(globally unique without a counter) and arms an EVENT-time timeout:
+:func:`sessionize_stream_evicting` below IS that deployment
+mode, demonstrated and eviction-tested
+(``test_stateful_sessions_state_eviction``), the same pattern as
 ``pipeline.minhash_dedup_over_stream``.
 """
 
@@ -127,3 +129,133 @@ def stateful_session_stats(spark: SparkSession, sf_dir: str,
     )
     q.awaitTermination()
     return spark.read.schema(result.schema).parquet(out_dir)
+
+
+# ---------------------------------------------------------------------------
+# Deployment mode: state bounded by the session gap + watermark delay
+# ---------------------------------------------------------------------------
+
+# Evicting state drops the per-user counter: (start_us, last_us, n, cents).
+# session_id IS start_us — globally unique per user without any counter,
+# which is what makes the state safe to throw away.
+_EVICT_STATE_SCHEMA = "start_us long, last_us long, n long, cents long"
+
+
+def _sessionize_group_evicting(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    gap_us: int,
+) -> Iterator[pd.DataFrame]:
+    user_id = key[0]
+    if state.hasTimedOut:
+        # The watermark passed (last event + gap): no admissible
+        # on-time event can extend the open session, so its final
+        # amendment row — already emitted when last touched — stands.
+        # Drop the state; the user costs nothing until they return.
+        state.remove()
+        return
+    if state.exists:
+        start_us, last_us, n, cents = state.get
+    else:
+        start_us, last_us, n, cents = None, None, 0, 0
+
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    if len(batch) == 0:
+        yield pd.DataFrame(columns=[
+            "user_id", "session_id", "n_events",
+            "session_start", "session_end", "total_value"])
+        return
+    batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+    ts_us = batch["ts"].astype("int64") // 1000  # ns -> us, exact
+    val_cents = (batch["value"] * 100).round().astype("int64")
+
+    out: list[tuple] = []
+    for us, cent in zip(ts_us.to_numpy(), val_cents.to_numpy()):
+        if last_us is None or us - last_us > gap_us:
+            if last_us is not None:
+                out.append((user_id, start_us, n, start_us, last_us, cents))
+            start_us, n, cents = int(us), 0, 0
+        last_us = int(us)
+        n += 1
+        cents += int(cent)
+    out.append((user_id, start_us, n, start_us, last_us, cents))  # trailing
+
+    state.update((start_us, last_us, n, cents))
+    # Event-time deadline: an event extending this session must carry
+    # ts <= last + gap, so once the watermark passes that point the
+    # session is closed for every admissible event and the state can
+    # go. Rows BELOW the watermark never even reach this function —
+    # Spark's stateful-operator late-record filter drops them (pinned
+    # by the eviction test) — so every row here has ts >= watermark
+    # and last+gap sits above it; the clamp is pure defense against
+    # that filter ever being relaxed (Spark rejects a deadline below
+    # the watermark with an error).
+    deadline_ms = max(last_us // 1000 + gap_us // 1000,
+                      state.getCurrentWatermarkMs() + 1)
+    state.setTimeoutTimestamp(deadline_ms)
+    df = pd.DataFrame(out, columns=[
+        "user_id", "session_id", "n_events", "start_us", "last_us", "cents"])
+    yield pd.DataFrame({
+        "user_id": df["user_id"],
+        "session_id": df["session_id"],
+        "n_events": df["n_events"],
+        "session_start": pd.to_datetime(df["start_us"], unit="us"),
+        "session_end": pd.to_datetime(df["last_us"], unit="us"),
+        "total_value": df["cents"] / 100.0,
+    })
+
+
+def sessionize_stream_evicting(events: DataFrame,
+                               gap_minutes: int = SESSION_GAP_MIN,
+                               delay: str = "1 hour") -> DataFrame:
+    """Deployment-mode sessionizer, stream in → stream out: identical
+    per-session accumulators to :func:`stateful_session_stats`, but
+    with state EVICTED instead of retained forever.
+
+    Two changes buy the bound (the trade-off the module docstring
+    promises, demonstrated here):
+
+    - ``session_id`` is the session's START microtimestamp, not a
+      per-user ordinal — globally unique with no counter to retain,
+      so a user's state can be dropped and later rebuilt from zero
+      without colliding ids.
+    - Each update arms an EVENT-time timeout at (last event + gap):
+      once the watermark — ``max(ts) - delay`` across the stream —
+      passes it, no on-time event can extend the open session, the
+      group function fires with ``hasTimedOut`` and removes the
+      state. Event-time, not ProcessingTimeTimeout, for the same
+      reason as ``minhash_dedup_over_stream``: wall-clock deadlines
+      keep an availableNow drain spinning empty micro-batches until
+      the last one fires.
+
+    State is therefore bounded by users ACTIVE in the trailing
+    (gap + delay) window — independent of total user cardinality on
+    a continuous stream, the property the retained-counter variant
+    gives up for oracle-exact ordinals. Events LATER than the
+    watermark delay never reach the operator at all: Spark's
+    stateful late-record filter drops them (so an evicted session is
+    final, not resurrectable — the delay is the lateness budget a
+    deployment tunes). Emission contract is unchanged: every session
+    touched in a batch is emitted, trailing open sessions by
+    amendment (downstream keeps the latest row per
+    (user_id, session_id)); eviction itself emits nothing because the
+    closed session's final row went out when it was last touched.
+    Eviction proven by ``test_stateful_sessions_state_eviction``;
+    value parity with the batch sessionizer (modulo the id scheme) by
+    ``test_stateful_sessions_evicting_matches_batch``.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdfs, state):
+        return _sessionize_group_evicting(key, pdfs, state, gap_us)
+
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .withWatermark("ts", delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, _OUT_SCHEMA, _EVICT_STATE_SCHEMA, "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -1520,3 +1520,133 @@ def test_span_dedup_matches_python_reference_property(spark):
             assert got[d].clean_text == want_clean[d], f"doc {d}"
 
     prop()
+
+
+def test_stateful_sessions_state_eviction(spark, tmp_path):
+    """The deployment-mode sessionizer's bounded-state claim, proven
+    on the state store's own books: with session_id keyed by start
+    timestamp (no per-user counter), a user's state is DROPPED once
+    the watermark passes (last event + gap). Five single-file
+    batches, gap 30 min, delay 1 h:
+
+    - b1: user 1 @ T0                 -> session A (id = T0) emitted, n=1
+    - b2: user 1 @ T0+10m             -> session A AMENDED (same id, n=2)
+                                         — cross-batch continuity inside
+                                         the window
+    - b3: user 2 @ T0+6h              -> watermark after b3 = T0+5h
+    - b4: user 3 @ T0+6h              -> user 1: no data, deadline
+                                         (T0+40m) < watermark -> state
+                                         REMOVED (numRowsRemoved=1; the
+                                         store ends holding users 2+3
+                                         only)
+    - b5: user 1 @ T0+20m (LATE)      -> below the watermark: Spark's
+                                         stateful late-record filter
+                                         drops it BEFORE the operator —
+                                         no output row, no state row, no
+                                         session-A amendment. An evicted
+                                         session is final; the delay is
+                                         the lateness budget.
+    """
+    import os
+    import time
+
+    import pandas as pd
+
+    from mapreduce_experiment_spark.streaming.sessions import (
+        sessionize_stream_evicting,
+    )
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+
+    def ts(minutes=0, hours=0):
+        return t0 + pd.Timedelta(minutes=minutes, hours=hours)
+
+    d = tmp_path / "events_evict"
+    d.mkdir()
+    now = time.time()
+    batches = [
+        ([1], [100], [ts()], [1.50]),
+        ([1], [101], [ts(minutes=10)], [2.25]),
+        ([2], [200], [ts(hours=6)], [5.00]),
+        ([3], [300], [ts(hours=6)], [7.00]),
+        ([1], [102], [ts(minutes=20)], [0.75]),   # late re-touch
+    ]
+    for i, (users, eids, tss, vals) in enumerate(batches, start=1):
+        f = d / f"batch{i}.parquet"
+        pd.DataFrame({"user_id": users, "event_id": eids,
+                      "ts": tss, "value": vals}) \
+            .to_parquet(f, coerce_timestamps="us")
+        os.utime(f, (now + i, now + i))
+
+    stream = (spark.readStream
+              .schema("user_id long, event_id long, ts timestamp, "
+                      "value double")
+              .option("maxFilesPerTrigger", 1).parquet(str(d)))
+    q = (sessionize_stream_evicting(stream)
+         .writeStream.format("memory").queryName("sess_evict_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(fed) == 5, "expected five single-file batches"
+
+    rows = spark.table("sess_evict_test").collect()
+    u1 = sorted(((r.session_id, r.n_events, float(r.total_value))
+                 for r in rows if r.user_id == 1))
+    t0_us = int(t0.value) // 1000
+    # session A emitted (n=1) then amended (n=2); the late b5 event —
+    # which would have amended A to n=3 were its state alive and the
+    # row admitted — produced NOTHING
+    assert u1 == [(t0_us, 1, 1.50), (t0_us, 2, 3.75)]
+    # users 2 and 3: one session each, keyed by their start micros
+    t6h_us = t0_us + 6 * 3600 * 1_000_000
+    for uid, val in [(2, 5.00), (3, 7.00)]:
+        got = [(r.session_id, r.n_events, float(r.total_value))
+               for r in rows if r.user_id == uid]
+        assert got == [(t6h_us, 1, val)]
+    # the state store's own accounting: user 1's row was REMOVED by
+    # the event-time timeout, and the store ends with exactly the two
+    # still-open sessions (users 2 and 3)
+    removed = sum(op["numRowsRemoved"]
+                  for p in q.recentProgress
+                  for op in p["stateOperators"])
+    final_total = [op["numRowsTotal"]
+                   for p in q.recentProgress[-1:]
+                   for op in p["stateOperators"]]
+    assert removed == 1
+    assert final_total == [2]
+
+
+def test_stateful_sessions_evicting_matches_batch(spark, sf_smoke):
+    """Value parity: the evicting sessionizer over the real event
+    stream (single availableNow batch — the watermark cannot fire
+    mid-drain) produces exactly the batch sessionizer's per-session
+    rows, modulo the id scheme (start-micros vs per-user ordinal) —
+    compared on (user_id, session_start, session_end, n_events,
+    total_value). The retained-counter and evicting variants differ
+    ONLY in what they keep, never in what they emit."""
+    from mapreduce_experiment_spark.operators import events as EVops
+    from mapreduce_experiment_spark.sources.tables import load_table
+    from mapreduce_experiment_spark.streaming.pipeline import (
+        read_event_stream,
+    )
+    from mapreduce_experiment_spark.streaming.sessions import (
+        sessionize_stream_evicting,
+    )
+
+    q = (sessionize_stream_evicting(read_event_stream(spark, sf_smoke))
+         .writeStream.format("memory").queryName("sess_parity_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    key = ["user_id", "session_start", "session_end",
+           "n_events", "total_value"]
+    got = {tuple(r) for r in
+           spark.table("sess_parity_test").select(*key).collect()}
+    want = {tuple(r) for r in
+            EVops.session_stats(load_table(spark, sf_smoke, "events"))
+            .select(*key).collect()}
+    assert got == want and len(got) > 0
+    # the id scheme really is start-micros: ids must be unique per user
+    sids = spark.table("sess_parity_test") \
+        .select("user_id", "session_id").collect()
+    assert len(sids) == len({(r.user_id, r.session_id) for r in sids})
