@@ -19,6 +19,8 @@ quantized cosine (6dp) with id tie-breaks for cross-engine stability.
 
 from __future__ import annotations
 
+import functools as _functools
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -37,19 +39,30 @@ SRP_ROWS = 6
 EMBED_DIM = 64  # testdata embeddings.parquet vector width
 
 
+@_functools.lru_cache(maxsize=8)
+def _srp_planes_cached(n_planes: int, dim: int) -> tuple[tuple[float, ...], ...]:
+    import hashlib
+
+    return tuple(
+        tuple(1.0 if hashlib.md5(
+            f"srp-{p}-{i}".encode()).digest()[0] % 2 == 0
+            else -1.0 for i in range(dim))
+        for p in range(n_planes)
+    )
+
+
 def srp_planes(n_planes: int = SRP_BANDS * SRP_ROWS,
                dim: int = EMBED_DIM) -> list[list[float]]:
     """Deterministic Rademacher (±1) hyperplanes for sign-random-
     projection hashing. Components come from md5 of the (plane, index)
     pair — no RNG state, so the SAME planes are embeddable as literals
-    in both the Spark plan and the DuckDB oracle SQL."""
-    import hashlib
+    in both the Spark plan and the DuckDB oracle SQL.
 
-    return [
-        [1.0 if hashlib.md5(f"srp-{p}-{i}".encode()).digest()[0] % 2 == 0
-         else -1.0 for i in range(dim)]
-        for p in range(n_planes)
-    ]
+    The md5 work (thousands of digests) is memoized per (n_planes,
+    dim) — this is called on every index write, probe-time config
+    validation, and oracle build. The cache holds immutable tuples;
+    the fresh outer lists returned here keep callers free to mutate."""
+    return [list(p) for p in _srp_planes_cached(n_planes, dim)]
 
 
 def srp_signatures(embeddings: DataFrame, bands: int = SRP_BANDS,
@@ -640,13 +653,19 @@ def srp_config_props(bands: int, rows: int,
     plane matrix (the planes are md5-derived from indices, so the
     fingerprint also pins the generation scheme itself — a future
     change to :func:`srp_planes` invalidates old indexes loudly
-    instead of silently probing with different geometry)."""
+    instead of silently probing with different geometry). The plane
+    matrix, its repr, and the fingerprint are memoized — this runs on
+    every index write AND every probe-time validation."""
+    return {"srp.bands": str(bands), "srp.rows": str(rows),
+            "srp.dim": str(dim),
+            "srp.planes_md5": _srp_planes_md5(bands * rows, dim)}
+
+
+@_functools.lru_cache(maxsize=8)
+def _srp_planes_md5(n_planes: int, dim: int) -> str:
     import hashlib
 
-    planes = srp_planes(bands * rows, dim)
-    fp = hashlib.md5(repr(planes).encode()).hexdigest()
-    return {"srp.bands": str(bands), "srp.rows": str(rows),
-            "srp.dim": str(dim), "srp.planes_md5": fp}
+    return hashlib.md5(repr(srp_planes(n_planes, dim)).encode()).hexdigest()
 
 
 def validate_srp_index_config(spark, table: str, bands: int, rows: int,

@@ -309,20 +309,27 @@ def minhash_dedup_over_stream(docs: DataFrame,
             # already emitted when first seen.
             state.remove()
             return
-        seen = set(state.get[0]) if state.exists else set()
+        if state.exists:
+            seen, max_ts_ms = set(state.get[0]), int(state.get[1])
+        else:
+            seen, max_ts_ms = set(), 0
         fresh: list[int] = []
-        max_ts_ms = 0
         for pdf in pdfs:
             ts_ms = (pd.to_datetime(pdf["ingest_ts"])
                      .astype("datetime64[ns]").astype("int64") // 1_000_000)
             if len(ts_ms):
+                # max-merged with the PERSISTED group max, not just this
+                # invocation's: a batch carrying only older-but-admissible
+                # re-deliveries must never move the deadline backwards —
+                # the contract is (group's newest ingest_ts + delay)
+                # across its whole lifetime
                 max_ts_ms = max(max_ts_ms, int(ts_ms.max()))
             for did in pdf["doc_id"]:
                 did = int(did)
                 if did not in seen:
                     seen.add(did)
                     fresh.append(did)
-        state.update((sorted(seen),))
+        state.update((sorted(seen), max_ts_ms))
         if max_ts_ms:
             # guard: an (anomalous) all-empty invocation must keep the
             # previous deadline, not arm one at epoch+delay — which
@@ -334,7 +341,8 @@ def minhash_dedup_over_stream(docs: DataFrame,
 
     return keyed.groupBy("signature").applyInPandasWithState(
         dedup_group, "signature string, doc_id long",
-        "seen array<long>", "append", GroupStateTimeout.EventTimeTimeout,
+        "seen array<long>, max_ts_ms long", "append",
+        GroupStateTimeout.EventTimeTimeout,
     )
 
 

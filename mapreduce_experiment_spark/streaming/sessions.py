@@ -135,10 +135,15 @@ def stateful_session_stats(spark: SparkSession, sf_dir: str,
 # Deployment mode: state bounded by the session gap + watermark delay
 # ---------------------------------------------------------------------------
 
-# Evicting state drops the per-user counter: (start_us, last_us, n, cents).
-# session_id IS start_us — globally unique per user without any counter,
-# which is what makes the state safe to throw away.
-_EVICT_STATE_SCHEMA = "start_us long, last_us long, n long, cents long"
+# Evicting state drops the per-user counter:
+# (sid_us, start_us, last_us, n, cents). session_id is sid_us — the ts
+# of the session's FIRST-OBSERVED event, globally unique per user
+# without any counter, which is what makes the state safe to throw
+# away. It is pinned at session creation and never changes, so
+# amendment rows always carry the same id; start_us is the true lower
+# bound, which an absorbed out-of-order event may widen BELOW sid_us.
+_EVICT_STATE_SCHEMA = ("sid_us long, start_us long, last_us long, "
+                       "n long, cents long")
 
 
 def _sessionize_group_evicting(
@@ -156,9 +161,9 @@ def _sessionize_group_evicting(
         state.remove()
         return
     if state.exists:
-        start_us, last_us, n, cents = state.get
+        sid_us, start_us, last_us, n, cents = state.get
     else:
-        start_us, last_us, n, cents = None, None, 0, 0
+        sid_us, start_us, last_us, n, cents = None, None, None, 0, 0
 
     batch = pd.concat(list(pdfs), ignore_index=True)
     if len(batch) == 0:
@@ -170,18 +175,46 @@ def _sessionize_group_evicting(
     ts_us = batch["ts"].astype("int64") // 1000  # ns -> us, exact
     val_cents = (batch["value"] * 100).round().astype("int64")
 
+    # The batch is sorted, so out-of-order rows relative to the OPEN
+    # SESSION surface only at the state boundary: an admissible row
+    # (>= watermark) whose ts is behind the state's last_us. Three
+    # cases, none of which may REGRESS the session's bounds or its
+    # eviction deadline (a shrinking last_us would re-arm the timeout
+    # earlier and emit amendment rows whose session_end moves
+    # backwards):
+    #   us >  last + gap          -> close the session, start a new one
+    #   us >= start - gap         -> absorb; bounds only WIDEN
+    #                                (start=min, last=max)
+    #   us <  start - gap         -> a straggler from before the open
+    #                                session's reach: emit it as its own
+    #                                closed singleton session (keyed by
+    #                                its own start micros) rather than
+    #                                corrupt the open one or drop data.
+    #                                Stragglers are not merged with each
+    #                                other — a deployment that needs deep
+    #                                out-of-order merging shrinks the
+    #                                watermark delay so such rows are
+    #                                filtered, or reprocesses in batch.
     out: list[tuple] = []
+    touched = False
     for us, cent in zip(ts_us.to_numpy(), val_cents.to_numpy()):
+        us, cent = int(us), int(cent)
+        if last_us is not None and us < start_us - gap_us:
+            out.append((user_id, us, 1, us, us, cent))
+            continue
         if last_us is None or us - last_us > gap_us:
             if last_us is not None:
-                out.append((user_id, start_us, n, start_us, last_us, cents))
-            start_us, n, cents = int(us), 0, 0
-        last_us = int(us)
+                out.append((user_id, sid_us, n, start_us, last_us, cents))
+            sid_us, start_us, last_us, n, cents = us, us, us, 0, 0
+        start_us = min(start_us, us)
+        last_us = max(last_us, us)
         n += 1
-        cents += int(cent)
-    out.append((user_id, start_us, n, start_us, last_us, cents))  # trailing
+        cents += cent
+        touched = True
+    if touched:  # trailing amendment — only if this batch changed it
+        out.append((user_id, sid_us, n, start_us, last_us, cents))
 
-    state.update((start_us, last_us, n, cents))
+    state.update((sid_us, start_us, last_us, n, cents))
     # Event-time deadline: an event extending this session must carry
     # ts <= last + gap, so once the watermark passes that point the
     # session is closed for every admissible event and the state can
@@ -216,10 +249,14 @@ def sessionize_stream_evicting(events: DataFrame,
     Two changes buy the bound (the trade-off the module docstring
     promises, demonstrated here):
 
-    - ``session_id`` is the session's START microtimestamp, not a
-      per-user ordinal — globally unique with no counter to retain,
-      so a user's state can be dropped and later rebuilt from zero
-      without colliding ids.
+    - ``session_id`` is the microtimestamp of the session's
+      FIRST-OBSERVED event, not a per-user ordinal — globally unique
+      with no counter to retain, so a user's state can be dropped and
+      later rebuilt from zero without colliding ids. The id is pinned
+      at session creation so every amendment row carries the same
+      key; an absorbed out-of-order event may widen ``session_start``
+      below it (bounds are min/max-monotone, never regressed — see
+      the out-of-order case analysis in the group function).
     - Each update arms an EVENT-time timeout at (last event + gap):
       once the watermark — ``max(ts) - delay`` across the stream —
       passes it, no on-time event can extend the open session, the

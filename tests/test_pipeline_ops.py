@@ -179,9 +179,11 @@ def test_decode_image_is_stubbed():
 
 
 def test_srp_lsh_recall_vs_allpairs(spark, sf_smoke):
-    """The registered embedding_near_dups oracle mirrors the SRP
-    bucketing, so it cannot see pairs LSH misses on both sides — this
-    test is the recall gate the oracle structurally can't provide.
+    """The registered embedding_near_dups_indexed oracle (the same
+    SQL the retired embedding_near_dups registration carried) mirrors
+    the SRP bucketing, so it cannot see pairs LSH misses on both
+    sides — this test is the recall gate the oracle structurally
+    can't provide.
 
     Two statements, matching what 12-band × 6-bit SRP actually
     promises (collision p ≈ 1-(1-(1-θ/π)^6)^12):
@@ -1650,3 +1652,165 @@ def test_stateful_sessions_evicting_matches_batch(spark, sf_smoke):
     sids = spark.table("sess_parity_test") \
         .select("user_id", "session_id").collect()
     assert len(sids) == len({(r.user_id, r.session_id) for r in sids})
+
+
+def test_stateful_sessions_out_of_order_never_regresses(spark, tmp_path):
+    """Out-of-order-but-ADMISSIBLE events (older than the open
+    session's last event yet above the watermark — inside the
+    advertised lateness budget) must never regress the session's
+    bounds, its id, or its eviction deadline. Gap 30 min, delay 1 h:
+
+    - b1: u1 @ T0+60m; u2 @ T0+70m   -> open sessions; watermark
+                                        still T0-ish (max ts 70m - 1h)
+    - b2: u1 @ T0+50m (out-of-order) -> ABSORBED: same session id
+                                        (60m), start widens to 50m,
+                                        end STAYS 60m, deadline stays
+                                        (60m+gap) — a regressed
+                                        deadline would evict early
+    - b3: u1 @ T0+85m                -> 85-60=25m <= gap: SAME session
+                                        (n=3). Had the end regressed
+                                        to 50m, 35m > gap would have
+                                        wrongly split the session.
+         u2 @ T0+20m (straggler)     -> below u2's session reach
+                                        (start 70m - gap = 40m) but
+                                        admissible: emitted as its own
+                                        closed singleton, open session
+                                        untouched (no amendment row)
+    """
+    import os
+    import time
+
+    import pandas as pd
+
+    from mapreduce_experiment_spark.streaming.sessions import (
+        sessionize_stream_evicting,
+    )
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+
+    def ts(minutes):
+        return t0 + pd.Timedelta(minutes=minutes)
+
+    d = tmp_path / "events_ooo"
+    d.mkdir()
+    now = time.time()
+    batches = [
+        ([1, 2], [100, 200], [ts(60), ts(70)], [1.00, 9.00]),
+        ([1], [101], [ts(50)], [2.00]),
+        ([1, 2], [102, 201], [ts(85), ts(20)], [4.00, 8.00]),
+    ]
+    for i, (users, eids, tss, vals) in enumerate(batches, start=1):
+        f = d / f"batch{i}.parquet"
+        pd.DataFrame({"user_id": users, "event_id": eids,
+                      "ts": tss, "value": vals}) \
+            .to_parquet(f, coerce_timestamps="us")
+        os.utime(f, (now + i, now + i))
+
+    stream = (spark.readStream
+              .schema("user_id long, event_id long, ts timestamp, "
+                      "value double")
+              .option("maxFilesPerTrigger", 1).parquet(str(d)))
+    q = (sessionize_stream_evicting(stream)
+         .writeStream.format("memory").queryName("sess_ooo_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(fed) == 3, "expected three single-file batches"
+
+    us_of = {m: int(ts(m).value) // 1000 for m in (20, 50, 60, 70, 85)}
+    rows = spark.table("sess_ooo_test").collect()
+
+    u1 = [(r.session_id, r.n_events,
+           int(r.session_start.timestamp() * 1_000_000),
+           int(r.session_end.timestamp() * 1_000_000),
+           float(r.total_value))
+          for r in rows if r.user_id == 1]
+    # one session id throughout — never forked by the regression bug
+    assert {sid for sid, *_ in u1} == {us_of[60]}
+    assert sorted(u1) == [
+        (us_of[60], 1, us_of[60], us_of[60], 1.00),
+        (us_of[60], 2, us_of[50], us_of[60], 3.00),   # start widened,
+                                                      # end NOT regressed
+        (us_of[60], 3, us_of[50], us_of[85], 7.00),
+    ]
+
+    u2 = sorted((r.session_id, r.n_events, float(r.total_value))
+                for r in rows if r.user_id == 2)
+    # open session emitted once in b1 and NOT re-amended by the
+    # straggler batch; the straggler is its own closed singleton
+    assert u2 == [(us_of[20], 1, 8.00), (us_of[70], 1, 9.00)]
+
+
+def test_streaming_minhash_deadline_never_regresses(spark, tmp_path):
+    """An older-but-admissible re-delivery must not move a signature
+    group's eviction deadline BACKWARDS — the contract is (group's
+    newest ingest_ts + delay) over its whole lifetime, so the max is
+    merged against persisted state, not recomputed per batch. Delay
+    1 h:
+
+    - b1: doc 1 @ T0+50m        -> emitted; deadline T0+110m
+    - b2: doc 1 again @ T0+10m  -> suppressed; deadline MUST stay
+                                   T0+110m (per-batch recompute would
+                                   regress it to T0+70m)
+    - b3: doc 2 @ T0+150m       -> watermark still below T0 (max ts
+                                   through b2 = 50m)
+    - b4: doc 3 @ T0+150m       -> watermark now T0+90m: under the
+                                   regressed deadline doc 1's state
+                                   would be evicted HERE
+    - b5: doc 1 again @ T0+95m  -> admissible (>= watermark T0+90m)
+                                   and inside the true window
+                                   (deadline T0+110m): must STAY
+                                   suppressed — exactly-once holds
+    """
+    import os
+    import time
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from mapreduce_experiment_spark.streaming.pipeline import (
+        minhash_dedup_over_stream,
+        _DOCS_RAW,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    other = "pack my box with five dozen liquor jugs " * 3
+    third = "sphinx of black quartz judge my vow " * 2
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+
+    def ts(minutes):
+        return t0 + pd.Timedelta(minutes=minutes)
+
+    d = tmp_path / "docs_deadline"
+    d.mkdir()
+    now = time.time()
+    for i, (ids, texts, when) in enumerate([
+        ([1], [base], ts(50)),
+        ([1], [base], ts(10)),
+        ([2], [other], ts(150)),
+        ([3], [third], ts(150)),
+        ([1], [base], ts(95)),
+    ], start=1):
+        f = d / f"batch{i}.parquet"
+        pd.DataFrame({"doc_id": ids, "text": texts,
+                      "ingest_ts": [when] * len(ids)}) \
+            .to_parquet(f, coerce_timestamps="us")
+        os.utime(f, (now + i, now + i))
+
+    sch = T.StructType(
+        list(_DOCS_RAW) + [T.StructField("ingest_ts", T.TimestampType())])
+    stream = (spark.readStream.schema(sch)
+              .option("maxFilesPerTrigger", 1).parquet(str(d)))
+    q = (minhash_dedup_over_stream(stream)
+         .writeStream.format("memory").queryName("smd_deadline_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(fed) == 5, "expected five single-file batches"
+
+    emitted = sorted(r.doc_id for r in
+                     spark.table("smd_deadline_test").collect())
+    # doc 1 exactly ONCE — both re-deliveries inside the true
+    # event-time window suppressed; docs 2, 3 once each
+    assert emitted == [1, 2, 3]
