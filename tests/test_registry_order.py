@@ -151,8 +151,16 @@ _ROUND_BASE = "b53ff96"  # driver's round-7 commit; bump each round
 # gc_stale_dirs per r7 ADVICE + the APPENDED shared artifact-dir
 # helper), and plans/queries_dedup.py / plans/queries_events.py
 # (docstring-only touches on the two converted streaming
-# registrations, both in-window). Every name below is r7-green with
-# plan + oracle text untouched by those hunks.
+# registrations, both in-window). Late r8 hunks, same containment:
+# operators/similarity.py memoizes srp_planes / the config
+# fingerprint (value-identical output, pinned by the recall and
+# config-validation tests; the kmeans/trained paths never call
+# srp_planes), streaming/pipeline.py max-merges the minhash group's
+# persisted ingest-ts into its eviction deadline (confined to
+# minhash_dedup_over_stream, in-window), and streaming/sessions.py
+# gains the APPENDED sessionize_stream_evicting deployment variant,
+# reached from no registered query. Every name below is r7-green
+# with plan + oracle text untouched by those hunks.
 _ATTESTED_UNCHANGED = {
     # registered in queries_similarity.py / reach
     # operators/similarity.py: the r8 hunks live in the retired
