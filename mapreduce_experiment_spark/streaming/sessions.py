@@ -187,20 +187,27 @@ def _sessionize_group_evicting(
     #                                (start=min, last=max)
     #   us <  start - gap         -> a straggler from before the open
     #                                session's reach: emit it as its own
-    #                                closed singleton session (keyed by
-    #                                its own start micros) rather than
-    #                                corrupt the open one or drop data.
-    #                                Stragglers are not merged with each
-    #                                other — a deployment that needs deep
-    #                                out-of-order merging shrinks the
-    #                                watermark delay so such rows are
-    #                                filtered, or reprocesses in batch.
+    #                                closed singleton "orphan" session
+    #                                rather than corrupt the open one or
+    #                                drop data. Orphan ids are
+    #                                -(ts_us + 1): strictly negative, so
+    #                                they can never collide with a real
+    #                                session id and clobber a closed
+    #                                session's final amendment row
+    #                                downstream (a straggler CAN share
+    #                                its ts with an old session's first
+    #                                event). Stragglers are not merged
+    #                                with each other — a deployment that
+    #                                needs deep out-of-order merging
+    #                                shrinks the watermark delay so such
+    #                                rows are filtered, or reprocesses
+    #                                in batch.
     out: list[tuple] = []
     touched = False
     for us, cent in zip(ts_us.to_numpy(), val_cents.to_numpy()):
         us, cent = int(us), int(cent)
         if last_us is not None and us < start_us - gap_us:
-            out.append((user_id, us, 1, us, us, cent))
+            out.append((user_id, -(us + 1), 1, us, us, cent))
             continue
         if last_us is None or us - last_us > gap_us:
             if last_us is not None:
