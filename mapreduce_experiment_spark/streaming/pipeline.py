@@ -302,48 +302,60 @@ def minhash_dedup_over_stream(docs: DataFrame,
     )
 
     def dedup_group(key, pdfs, state):
-        (sig,) = key
-        if state.hasTimedOut:
-            # Watermark passed the group's deadline: drop the
-            # seen-set. Nothing is emitted — every doc in it was
-            # already emitted when first seen.
-            state.remove()
-            return
-        if state.exists:
-            seen, max_ts_ms = set(state.get[0]), int(state.get[1])
-        else:
-            seen, max_ts_ms = set(), 0
-        fresh: list[int] = []
-        for pdf in pdfs:
-            ts_ms = (pd.to_datetime(pdf["ingest_ts"])
-                     .astype("datetime64[ns]").astype("int64") // 1_000_000)
-            if len(ts_ms):
-                # max-merged with the PERSISTED group max, not just this
-                # invocation's: a batch carrying only older-but-admissible
-                # re-deliveries must never move the deadline backwards —
-                # the contract is (group's newest ingest_ts + delay)
-                # across its whole lifetime
-                max_ts_ms = max(max_ts_ms, int(ts_ms.max()))
-            for did in pdf["doc_id"]:
-                did = int(did)
-                if did not in seen:
-                    seen.add(did)
-                    fresh.append(did)
-        state.update((sorted(seen), max_ts_ms))
-        if max_ts_ms:
-            # guard: an (anomalous) all-empty invocation must keep the
-            # previous deadline, not arm one at epoch+delay — which
-            # would sit below the watermark and throw
-            state.setTimeoutTimestamp(max_ts_ms + delay_ms)
-        fresh.sort()
-        yield pd.DataFrame({"signature": [sig] * len(fresh),
-                            "doc_id": fresh})
+        return _minhash_dedup_group(key, pdfs, state, delay_ms)
 
     return keyed.groupBy("signature").applyInPandasWithState(
         dedup_group, "signature string, doc_id long",
         "seen array<long>, max_ts_ms long", "append",
         GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def _minhash_dedup_group(key, pdfs, state, delay_ms: int):
+    """Per-signature group function of
+    :func:`minhash_dedup_over_stream` (module-level so the property
+    test can drive its state algebra directly through a mock
+    GroupState): emit each doc_id the first time it is seen while the
+    group's state is alive; evict the seen-set once the watermark
+    passes (group's newest ingest_ts + delay)."""
+    import pandas as pd
+
+    (sig,) = key
+    if state.hasTimedOut:
+        # Watermark passed the group's deadline: drop the
+        # seen-set. Nothing is emitted — every doc in it was
+        # already emitted when first seen.
+        state.remove()
+        return
+    if state.exists:
+        seen, max_ts_ms = set(state.get[0]), int(state.get[1])
+    else:
+        seen, max_ts_ms = set(), 0
+    fresh: list[int] = []
+    for pdf in pdfs:
+        ts_ms = (pd.to_datetime(pdf["ingest_ts"])
+                 .astype("datetime64[ns]").astype("int64") // 1_000_000)
+        if len(ts_ms):
+            # max-merged with the PERSISTED group max, not just this
+            # invocation's: a batch carrying only older-but-admissible
+            # re-deliveries must never move the deadline backwards —
+            # the contract is (group's newest ingest_ts + delay)
+            # across its whole lifetime
+            max_ts_ms = max(max_ts_ms, int(ts_ms.max()))
+        for did in pdf["doc_id"]:
+            did = int(did)
+            if did not in seen:
+                seen.add(did)
+                fresh.append(did)
+    state.update((sorted(seen), max_ts_ms))
+    if max_ts_ms:
+        # guard: an (anomalous) all-empty invocation must keep the
+        # previous deadline, not arm one at epoch+delay — which
+        # would sit below the watermark and throw
+        state.setTimeoutTimestamp(max_ts_ms + delay_ms)
+    fresh.sort()
+    yield pd.DataFrame({"signature": [sig] * len(fresh),
+                        "doc_id": fresh})
 
 
 def streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

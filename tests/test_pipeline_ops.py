@@ -1975,3 +1975,128 @@ def test_evicting_sessionizer_property(spark):
     assert latest[0]["n_events"] == 2            # closed session intact
     assert latest[-1]["n_events"] == 1           # orphan id -(0+1)
     assert sum(r["n_events"] for r in latest.values()) == len(admitted) == 4
+
+
+def test_minhash_dedup_group_property(spark):
+    """Property-test the streaming minhash dedup's state algebra
+    directly (mock GroupState, same harness idea as the sessionizer
+    property test): over random multi-batch delivery schedules of
+    (doc_id, ingest-minute) pairs for one signature group — with
+    re-deliveries, out-of-order batches, watermark advance, the
+    late-record filter, and event-time timeouts simulated the way
+    Spark applies them —
+
+    1. EXACTLY-ONCE PER EPOCH — between two evictions, a doc_id is
+       emitted at most once, and exactly once if delivered;
+    2. NO LOSS — every admitted delivery of a doc not currently in
+       state produces an emission;
+    3. DEADLINE MONOTONE — the armed timeout never decreases within a
+       state epoch (the max-merge fix), so an in-window re-delivery
+       can never slip through an early eviction.
+
+    ``spark`` is unused at runtime; the fixture keeps this grouped
+    with the other streaming tests.
+    """
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    from mapreduce_experiment_spark.streaming.pipeline import (
+        _minhash_dedup_group,
+    )
+
+    DELAY_MS = 60 * 60 * 1000
+
+    class FakeState:
+        def __init__(self):
+            self._val, self._deadline_ms, self._wm_ms = None, None, 0
+            self.hasTimedOut = False
+            self.armed = []          # full deadline history, per epoch
+
+        @property
+        def exists(self):
+            return self._val is not None
+
+        @property
+        def get(self):
+            return self._val
+
+        def update(self, v):
+            self._val = tuple(v)
+
+        def remove(self):
+            self._val, self._deadline_ms = None, None
+            self.armed.append(None)  # epoch boundary marker
+
+        def setTimeoutTimestamp(self, ms):
+            assert ms > self._wm_ms, "deadline must sit above watermark"
+            self._deadline_ms = ms
+            self.armed.append(ms)
+
+        def getCurrentWatermarkMs(self):
+            return self._wm_ms
+
+    def drive(batches):
+        """batches: list of lists of (doc_id, minute)."""
+        state = FakeState()
+        emitted, epochs, cur_epoch = [], [], []
+        max_seen_ms = None
+        for batch in batches:
+            wm = state._wm_ms
+            rows = [(d, m * 60_000) for d, m in batch
+                    if m * 60_000 >= wm]                 # late filter
+            if rows:
+                pdf = pd.DataFrame({
+                    "doc_id": [d for d, _ in rows],
+                    "ingest_ts": pd.to_datetime(
+                        [ms for _, ms in rows], unit="ms"),
+                })
+                state.hasTimedOut = False
+                for out in _minhash_dedup_group(
+                        ("sig",), iter([pdf]), state, DELAY_MS):
+                    emitted.extend(out.to_dict("records"))
+                    cur_epoch.extend(int(r) for r in out["doc_id"])
+                # a delivered doc is emitted iff new to the live state
+                # epoch — and every admitted delivery is accounted for
+                for d, _ in rows:
+                    assert d in cur_epoch or d in state.get[0]
+            elif (state.exists and state._deadline_ms is not None
+                    and state._deadline_ms < state._wm_ms):
+                state.hasTimedOut = True
+                list(_minhash_dedup_group(
+                    ("sig",), iter([]), state, DELAY_MS))
+                assert not state.exists
+                epochs.append(cur_epoch)
+                cur_epoch = []
+            if batch:
+                mx = max(m for _, m in batch) * 60_000
+                max_seen_ms = mx if max_seen_ms is None \
+                    else max(max_seen_ms, mx)
+            if max_seen_ms is not None:
+                state._wm_ms = max(state._wm_ms, max_seen_ms - DELAY_MS)
+        epochs.append(cur_epoch)
+        return emitted, epochs, state
+
+    doc = st.integers(min_value=1, max_value=5)
+    minute = st.integers(min_value=0, max_value=600)
+    batches = st.lists(
+        st.lists(st.tuples(doc, minute), min_size=0, max_size=4),
+        min_size=1, max_size=7)
+
+    @settings(max_examples=60, deadline=None)
+    @given(batches)
+    def prop(bs):
+        emitted, epochs, state = drive(bs)
+        # exactly-once per epoch
+        for ep in epochs:
+            assert len(ep) == len(set(ep)), (bs, epochs)
+        assert len(emitted) == sum(len(ep) for ep in epochs)
+        # deadline monotone within each epoch
+        run = []
+        for ms in state.armed:
+            if ms is None:
+                run = []
+                continue
+            assert not run or ms >= run[-1], (bs, state.armed)
+            run.append(ms)
+
+    prop()
