@@ -277,7 +277,6 @@ def minhash_dedup_over_stream(docs: DataFrame,
     after its signature was evicted is re-emitted, exactly like a
     re-delivery outside any at-least-once replay window (eviction
     proven by ``test_streaming_minhash_state_eviction``)."""
-    import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from ..functions.textfns import shingle_hashes

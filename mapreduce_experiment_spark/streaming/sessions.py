@@ -186,28 +186,42 @@ def _sessionize_group_evicting(
     #   us >= start - gap         -> absorb; bounds only WIDEN
     #                                (start=min, last=max)
     #   us <  start - gap         -> a straggler from before the open
-    #                                session's reach: emit it as its own
-    #                                closed singleton "orphan" session
-    #                                rather than corrupt the open one or
-    #                                drop data. Orphan ids are
-    #                                -(ts_us + 1): strictly negative, so
-    #                                they can never collide with a real
-    #                                session id and clobber a closed
-    #                                session's final amendment row
-    #                                downstream (a straggler CAN share
-    #                                its ts with an old session's first
-    #                                event). Stragglers are not merged
-    #                                with each other — a deployment that
-    #                                needs deep out-of-order merging
-    #                                shrinks the watermark delay so such
-    #                                rows are filtered, or reprocesses
-    #                                in batch.
+    #                                session's reach: emit it as a
+    #                                closed "orphan" session rather than
+    #                                corrupt the open one or drop data.
+    #                                Orphan ids are -(ts_us + 1):
+    #                                strictly negative, so they can
+    #                                never collide with a real session
+    #                                id and clobber a closed session's
+    #                                final amendment row downstream (a
+    #                                straggler CAN share its ts with an
+    #                                old session's first event).
+    #                                Same-ts stragglers within a batch
+    #                                MERGE into one orphan aggregate —
+    #                                batch sessionization would put
+    #                                identical-timestamp events in one
+    #                                session too. Across batches an
+    #                                orphan at the same microsecond
+    #                                replaces the earlier one: correct
+    #                                at-least-once handling of a
+    #                                re-delivered event, approximate
+    #                                only for genuinely distinct events
+    #                                on the identical microsecond.
+    #                                Stragglers at different ts are not
+    #                                merged with each other — a
+    #                                deployment that needs deep
+    #                                out-of-order merging shrinks the
+    #                                watermark delay so such rows are
+    #                                filtered, or reprocesses in batch.
     out: list[tuple] = []
+    orphans: dict[int, list[int]] = {}
     touched = False
     for us, cent in zip(ts_us.to_numpy(), val_cents.to_numpy()):
         us, cent = int(us), int(cent)
         if last_us is not None and us < start_us - gap_us:
-            out.append((user_id, -(us + 1), 1, us, us, cent))
+            agg = orphans.setdefault(us, [0, 0])
+            agg[0] += 1
+            agg[1] += cent
             continue
         if last_us is None or us - last_us > gap_us:
             if last_us is not None:
@@ -220,6 +234,8 @@ def _sessionize_group_evicting(
         touched = True
     if touched:  # trailing amendment — only if this batch changed it
         out.append((user_id, sid_us, n, start_us, last_us, cents))
+    for o_us, (o_n, o_cents) in orphans.items():
+        out.append((user_id, -(o_us + 1), o_n, o_us, o_us, o_cents))
 
     state.update((sid_us, start_us, last_us, n, cents))
     # Event-time deadline: an event extending this session must carry

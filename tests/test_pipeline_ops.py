@@ -1976,6 +1976,16 @@ def test_evicting_sessionizer_property(spark):
     assert latest[-1]["n_events"] == 1           # orphan id -(0+1)
     assert sum(r["n_events"] for r in latest.values()) == len(admitted) == 4
 
+    # Same-ts stragglers within one batch MERGE into a single orphan
+    # aggregate (batch sessionization would put identical-timestamp
+    # events in one session too) — two distinct events at minute 0
+    # become one orphan row with n=2, conserving both.
+    emitted, admitted = drive([[10], [50], [0, 0]])
+    latest = {r["session_id"]: r for r in emitted}
+    assert latest[-1]["n_events"] == 2
+    assert latest[-1]["total_value"] == 2.0
+    assert sum(r["n_events"] for r in latest.values()) == len(admitted) == 4
+
 
 def test_minhash_dedup_group_property(spark):
     """Property-test the streaming minhash dedup's state algebra
