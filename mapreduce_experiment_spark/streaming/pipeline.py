@@ -327,9 +327,11 @@ def _minhash_dedup_group(key, pdfs, state, delay_ms: int):
         state.remove()
         return
     if state.exists:
-        seen, max_ts_ms = set(state.get[0]), int(state.get[1])
+        seen = set(state.get[0])
+        prev_ts = state.get[1]
+        max_ts_ms = None if prev_ts is None else int(prev_ts)
     else:
-        seen, max_ts_ms = set(), 0
+        seen, max_ts_ms = set(), None
     fresh: list[int] = []
     for pdf in pdfs:
         ts_ms = (pd.to_datetime(pdf["ingest_ts"])
@@ -340,17 +342,22 @@ def _minhash_dedup_group(key, pdfs, state, delay_ms: int):
             # re-deliveries must never move the deadline backwards —
             # the contract is (group's newest ingest_ts + delay)
             # across its whole lifetime
-            max_ts_ms = max(max_ts_ms, int(ts_ms.max()))
+            batch_max = int(ts_ms.max())
+            max_ts_ms = batch_max if max_ts_ms is None \
+                else max(max_ts_ms, batch_max)
         for did in pdf["doc_id"]:
             did = int(did)
             if did not in seen:
                 seen.add(did)
                 fresh.append(did)
     state.update((sorted(seen), max_ts_ms))
-    if max_ts_ms:
-        # guard: an (anomalous) all-empty invocation must keep the
-        # previous deadline, not arm one at epoch+delay — which
-        # would sit below the watermark and throw
+    if max_ts_ms is not None:
+        # None-sentinel, NOT truthiness: ingest_ts exactly at epoch 0
+        # (a misconfigured upstream's default timestamp) is a real
+        # observation and must still arm the eviction deadline — only
+        # an (anomalous) invocation that has never seen a row keeps
+        # the previous deadline rather than arming one at
+        # epoch+delay, which could sit below the watermark and throw
         state.setTimeoutTimestamp(max_ts_ms + delay_ms)
     fresh.sort()
     yield pd.DataFrame({"signature": [sig] * len(fresh),

@@ -50,6 +50,42 @@ _OUT_SCHEMA = (
 # Trailing open session: (session_id, start_us, last_us, n, cents)
 _STATE_SCHEMA = "session_id long, start_us long, last_us long, n long, cents long"
 
+_OUT_COLS = ["user_id", "session_id", "n_events",
+             "session_start", "session_end", "total_value"]
+
+
+def _empty_out() -> pd.DataFrame:
+    return pd.DataFrame(columns=_OUT_COLS)
+
+
+def _batch_ts_cents(pdfs: Iterator[pd.DataFrame]):
+    """Micro-batch prep shared by both group functions: concat, sort
+    by (ts, event_id), convert to exact integer microseconds / cents.
+    Returns ``None`` for an empty batch."""
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    if len(batch) == 0:
+        return None
+    batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+    ts_us = batch["ts"].astype("int64") // 1000  # ns -> us, exact
+    val_cents = (batch["value"] * 100).round().astype("int64")
+    return ts_us, val_cents
+
+
+def _emit(out_rows: list[tuple]) -> pd.DataFrame:
+    """Session accumulator rows -> the typed output frame (shared by
+    both group functions so the value-rounding and timestamp-unit
+    rules can never drift between the two variants)."""
+    df = pd.DataFrame(out_rows, columns=[
+        "user_id", "session_id", "n_events", "start_us", "last_us", "cents"])
+    return pd.DataFrame({
+        "user_id": df["user_id"],
+        "session_id": df["session_id"],
+        "n_events": df["n_events"],
+        "session_start": pd.to_datetime(df["start_us"], unit="us"),
+        "session_end": pd.to_datetime(df["last_us"], unit="us"),
+        "total_value": df["cents"] / 100.0,
+    })
+
 
 def _sessionize_group(
     key: tuple[Any, ...],
@@ -63,41 +99,26 @@ def _sessionize_group(
     else:
         sid, start_us, last_us, n, cents = 0, None, None, 0, 0
 
-    batch = pd.concat(list(pdfs), ignore_index=True)
-    if len(batch) == 0:
-        yield pd.DataFrame(columns=[
-            "user_id", "session_id", "n_events",
-            "session_start", "session_end", "total_value"])
+    prep = _batch_ts_cents(pdfs)
+    if prep is None:
+        yield _empty_out()
         return
-    batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
-    ts_us = batch["ts"].astype("int64") // 1000  # ns -> us, exact
-    val_cents = (batch["value"] * 100).round().astype("int64")
+    ts_us, val_cents = prep
 
     out: list[tuple] = []
-    touched: set[int] = set()
     for us, cent in zip(ts_us.to_numpy(), val_cents.to_numpy()):
         if last_us is None or us - last_us > gap_us:
             if last_us is not None:
                 out.append((user_id, sid, n, start_us, last_us, cents))
             sid += 1
             start_us, n, cents = int(us), 0, 0
-            touched.add(sid)
         last_us = int(us)
         n += 1
         cents += int(cent)
     out.append((user_id, sid, n, start_us, last_us, cents))  # trailing
 
     state.update((sid, start_us, last_us, n, cents))
-    df = pd.DataFrame(out, columns=[
-        "user_id", "session_id", "n_events", "start_us", "last_us", "cents"])
-    yield pd.DataFrame({
-        "user_id": df["user_id"],
-        "session_id": df["session_id"],
-        "n_events": df["n_events"],
-        "session_start": pd.to_datetime(df["start_us"], unit="us"),
-        "session_end": pd.to_datetime(df["last_us"], unit="us"),
-        "total_value": df["cents"] / 100.0,
-    })
+    yield _emit(out)
 
 
 def stateful_session_stats(spark: SparkSession, sf_dir: str,
@@ -165,77 +186,104 @@ def _sessionize_group_evicting(
     else:
         sid_us, start_us, last_us, n, cents = None, None, None, 0, 0
 
-    batch = pd.concat(list(pdfs), ignore_index=True)
-    if len(batch) == 0:
-        yield pd.DataFrame(columns=[
-            "user_id", "session_id", "n_events",
-            "session_start", "session_end", "total_value"])
+    prep = _batch_ts_cents(pdfs)
+    if prep is None:
+        yield _empty_out()
         return
-    batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
-    ts_us = batch["ts"].astype("int64") // 1000  # ns -> us, exact
-    val_cents = (batch["value"] * 100).round().astype("int64")
+    ts_us, val_cents = prep
+    if int(ts_us.iloc[0]) < 0:
+        # The negative-id orphan scheme below relies on every REAL
+        # session id (a first-observed event microtimestamp) being
+        # non-negative; a pre-epoch event (corrupt producer clock)
+        # would make a real id collide with an orphan id and clobber
+        # its final amendment row downstream. Refuse loudly rather
+        # than corrupt silently — a deployment with genuinely
+        # pre-1970 data has a broken clock upstream, not a session.
+        raise ValueError(
+            "sessionize_stream_evicting: pre-epoch event timestamp "
+            f"({int(ts_us.iloc[0])} us) — the ts-keyed session-id "
+            "scheme requires non-negative event times")
 
-    # The batch is sorted, so out-of-order rows relative to the OPEN
-    # SESSION surface only at the state boundary: an admissible row
-    # (>= watermark) whose ts is behind the state's last_us. Three
-    # cases, none of which may REGRESS the session's bounds or its
-    # eviction deadline (a shrinking last_us would re-arm the timeout
-    # earlier and emit amendment rows whose session_end moves
-    # backwards):
-    #   us >  last + gap          -> close the session, start a new one
-    #   us >= start - gap         -> absorb; bounds only WIDEN
-    #                                (start=min, last=max)
-    #   us <  start - gap         -> a straggler from before the open
-    #                                session's reach: emit it as a
-    #                                closed "orphan" session rather than
-    #                                corrupt the open one or drop data.
-    #                                Orphan ids are -(ts_us + 1):
-    #                                strictly negative, so they can
-    #                                never collide with a real session
-    #                                id and clobber a closed session's
-    #                                final amendment row downstream (a
-    #                                straggler CAN share its ts with an
-    #                                old session's first event).
-    #                                Same-ts stragglers within a batch
-    #                                MERGE into one orphan aggregate —
-    #                                batch sessionization would put
-    #                                identical-timestamp events in one
-    #                                session too. Across batches an
-    #                                orphan at the same microsecond
+    # 1. Segment the sorted batch into maximal GAP-CHAINS: runs of
+    # events whose consecutive gaps are all <= gap. Batch
+    # sessionization would never split a chain, so the chain — not
+    # the single event — is the unit classified against the open
+    # session. (Classifying event-by-event mis-orphans an admissible
+    # straggler when a LATER event in the same batch chains it into
+    # the session's reach: state [60m, 60m], gap 30m, batch {25m,
+    # 31m} — 25m alone sits below start-gap, but 31m bridges it.)
+    chains: list[list[int]] = []  # [min_us, max_us, n, cents]
+    for us, cent in zip(ts_us.to_numpy(), val_cents.to_numpy()):
+        us, cent = int(us), int(cent)
+        if chains and us - chains[-1][1] <= gap_us:
+            c = chains[-1]
+            c[1] = us
+            c[2] += 1
+            c[3] += cent
+        else:
+            chains.append([us, us, 1, cent])
+
+    # 2. Classify each chain against the OPEN session, in ascending
+    # order. Three cases, none of which may REGRESS the session's
+    # bounds or its eviction deadline (a shrinking last_us would
+    # re-arm the timeout earlier and emit amendment rows whose
+    # session_end moves backwards):
+    #   c_min >  last + gap       -> close the session, start a new
+    #                                one from the chain
+    #   c_max >= start - gap      -> absorb the WHOLE chain; bounds
+    #                                only WIDEN (start=min, last=max)
+    #   c_max <  start - gap      -> a straggler chain from before
+    #                                the open session's reach: emit it
+    #                                as a closed "orphan" session
+    #                                rather than corrupt the open one
+    #                                or drop data. Orphan ids are
+    #                                -(min_us + 1): strictly negative
+    #                                (pre-epoch guarded above), so
+    #                                they can never collide with a
+    #                                real session id and clobber a
+    #                                closed session's final amendment
+    #                                row downstream (a straggler CAN
+    #                                share its ts with an old
+    #                                session's first event). Chain
+    #                                segmentation already merged
+    #                                same-batch stragglers within gap
+    #                                reach of each other — batch
+    #                                sessionization would put them in
+    #                                one session too. Across batches
+    #                                an orphan with the same min_us
     #                                replaces the earlier one: correct
     #                                at-least-once handling of a
     #                                re-delivered event, approximate
-    #                                only for genuinely distinct events
-    #                                on the identical microsecond.
-    #                                Stragglers at different ts are not
-    #                                merged with each other — a
-    #                                deployment that needs deep
-    #                                out-of-order merging shrinks the
-    #                                watermark delay so such rows are
-    #                                filtered, or reprocesses in batch.
+    #                                only for genuinely distinct
+    #                                events on the identical
+    #                                microsecond. Orphan chains from
+    #                                DIFFERENT batches are not merged
+    #                                with each other — a deployment
+    #                                that needs deep out-of-order
+    #                                merging shrinks the watermark
+    #                                delay so such rows are filtered,
+    #                                or reprocesses in batch.
+    # Orphan classification is stable under later widening: a chain
+    # absorbed after an orphan was emitted has min_us > orphan_max +
+    # gap (chains are maximal), so the widened start can never reach
+    # back over an already-orphaned chain.
     out: list[tuple] = []
-    orphans: dict[int, list[int]] = {}
     touched = False
-    for us, cent in zip(ts_us.to_numpy(), val_cents.to_numpy()):
-        us, cent = int(us), int(cent)
-        if last_us is not None and us < start_us - gap_us:
-            agg = orphans.setdefault(us, [0, 0])
-            agg[0] += 1
-            agg[1] += cent
+    for c_min, c_max, c_n, c_cents in chains:
+        if last_us is not None and c_max < start_us - gap_us:
+            out.append((user_id, -(c_min + 1), c_n, c_min, c_max, c_cents))
             continue
-        if last_us is None or us - last_us > gap_us:
+        if last_us is None or c_min - last_us > gap_us:
             if last_us is not None:
                 out.append((user_id, sid_us, n, start_us, last_us, cents))
-            sid_us, start_us, last_us, n, cents = us, us, us, 0, 0
-        start_us = min(start_us, us)
-        last_us = max(last_us, us)
-        n += 1
-        cents += cent
+            sid_us, start_us, last_us, n, cents = c_min, c_min, c_max, 0, 0
+        start_us = min(start_us, c_min)
+        last_us = max(last_us, c_max)
+        n += c_n
+        cents += c_cents
         touched = True
     if touched:  # trailing amendment — only if this batch changed it
         out.append((user_id, sid_us, n, start_us, last_us, cents))
-    for o_us, (o_n, o_cents) in orphans.items():
-        out.append((user_id, -(o_us + 1), o_n, o_us, o_us, o_cents))
 
     state.update((sid_us, start_us, last_us, n, cents))
     # Event-time deadline: an event extending this session must carry
@@ -250,16 +298,7 @@ def _sessionize_group_evicting(
     deadline_ms = max(last_us // 1000 + gap_us // 1000,
                       state.getCurrentWatermarkMs() + 1)
     state.setTimeoutTimestamp(deadline_ms)
-    df = pd.DataFrame(out, columns=[
-        "user_id", "session_id", "n_events", "start_us", "last_us", "cents"])
-    yield pd.DataFrame({
-        "user_id": df["user_id"],
-        "session_id": df["session_id"],
-        "n_events": df["n_events"],
-        "session_start": pd.to_datetime(df["start_us"], unit="us"),
-        "session_end": pd.to_datetime(df["last_us"], unit="us"),
-        "total_value": df["cents"] / 100.0,
-    })
+    yield _emit(out)
 
 
 def sessionize_stream_evicting(events: DataFrame,
@@ -279,7 +318,13 @@ def sessionize_stream_evicting(events: DataFrame,
       at session creation so every amendment row carries the same
       key; an absorbed out-of-order event may widen ``session_start``
       below it (bounds are min/max-monotone, never regressed — see
-      the out-of-order case analysis in the group function).
+      the gap-chain case analysis in the group function, which
+      classifies whole within-batch chains, not single events, so an
+      admissible straggler bridged into the session's reach by a
+      later same-batch event is absorbed, exactly as batch
+      sessionization would). Pre-epoch event timestamps are rejected
+      loudly — the id scheme needs non-negative times to keep orphan
+      ids (negative) disjoint from real ids.
     - Each update arms an EVENT-time timeout at (last event + gap):
       once the watermark — ``max(ts) - delay`` across the stream —
       passes it, no on-time event can extend the open session, the

@@ -1822,6 +1822,55 @@ def test_streaming_minhash_deadline_never_regresses(spark, tmp_path):
     assert emitted == [1, 2, 3]
 
 
+class _FakeGroupState:
+    """Mock GroupState shared by the stateful-operator property tests
+    below: simulates the engine's state cell, event-time timeout
+    registration (a deadline must sit above the watermark — Spark
+    rejects it with an error otherwise), timeout firing, and
+    max-monotone watermark advancement. ONE implementation so a fix
+    to the simulated Spark semantics applies to every property
+    harness instead of drifting between per-test copies."""
+
+    def __init__(self):
+        self._val, self._deadline_ms, self._wm_ms = None, None, 0
+        self.hasTimedOut = False
+        self.armed = []          # full deadline history, per epoch
+
+    @property
+    def exists(self):
+        return self._val is not None
+
+    @property
+    def get(self):
+        return self._val
+
+    def update(self, v):
+        self._val = tuple(v)
+
+    def remove(self):
+        self._val, self._deadline_ms = None, None
+        self.armed.append(None)  # epoch boundary marker
+
+    def setTimeoutTimestamp(self, ms):
+        assert ms > self._wm_ms, "deadline must sit above watermark"
+        self._deadline_ms = ms
+        self.armed.append(ms)
+
+    def getCurrentWatermarkMs(self):
+        return self._wm_ms
+
+    def advance_watermark_ms(self, wm_ms):
+        """Engine watermark bookkeeping: max event time minus delay,
+        never regressing."""
+        self._wm_ms = max(self._wm_ms, wm_ms)
+
+    def should_fire_timeout(self):
+        """Whether the engine would invoke the group function with
+        ``hasTimedOut`` on a batch carrying no data for this group."""
+        return (self.exists and self._deadline_ms is not None
+                and self._deadline_ms < self._wm_ms)
+
+
 def test_evicting_sessionizer_property(spark):
     """Property-test the evicting group function's algebra directly
     (mock GroupState, no streaming engine — engine-level behavior is
@@ -1851,43 +1900,16 @@ def test_evicting_sessionizer_property(spark):
     GAP_US = 30 * 60 * 1_000_000
     DELAY_US = 60 * 60 * 1_000_000
 
-    class FakeState:
-        def __init__(self):
-            self._val, self._deadline_ms, self._wm_ms = None, None, 0
-            self.hasTimedOut = False
-
-        @property
-        def exists(self):
-            return self._val is not None
-
-        @property
-        def get(self):
-            return self._val
-
-        def update(self, v):
-            self._val = tuple(v)
-
-        def remove(self):
-            self._val, self._deadline_ms = None, None
-
-        def setTimeoutTimestamp(self, ms):
-            assert ms > self._wm_ms, "deadline must sit above watermark"
-            self._deadline_ms = ms
-
-        def getCurrentWatermarkMs(self):
-            return self._wm_ms
-
     def drive(batches_min):
         """Run the group fn over micro-batches for ONE user the way
         the engine would: sort within batch, late-filter against the
         watermark, fire the event-time timeout on batches where the
         group has no data, advance the watermark afterwards."""
-        state = FakeState()
+        state = _FakeGroupState()
         emitted, admitted = [], []
-        max_seen_us = None
         for batch in batches_min:
             rows = [(m * 60_000_000, 1.0) for m in sorted(batch)]
-            wm_us = state._wm_ms * 1000
+            wm_us = state.getCurrentWatermarkMs() * 1000
             rows = [r for r in rows if r[0] >= wm_us]       # late filter
             if rows:
                 admitted.extend(rows)
@@ -1901,19 +1923,14 @@ def test_evicting_sessionizer_property(spark):
                     _sessionize_group_evicting(
                         (7,), iter([pdf]), state, GAP_US)),
                     ignore_index=True).to_dict("records"))
-            elif (state.exists and state._deadline_ms is not None
-                    and state._deadline_ms < state._wm_ms):
+            elif state.should_fire_timeout():
                 state.hasTimedOut = True
                 list(_sessionize_group_evicting(
                     (7,), iter([]), state, GAP_US))
                 assert not state.exists  # timeout must drop the state
             if batch:
                 mx = max(batch) * 60_000_000
-                max_seen_us = mx if max_seen_us is None \
-                    else max(max_seen_us, mx)
-            if max_seen_us is not None:
-                state._wm_ms = max(state._wm_ms,
-                                   (max_seen_us - DELAY_US) // 1000)
+                state.advance_watermark_ms((mx - DELAY_US) // 1000)
         return emitted, admitted
 
     minutes = st.integers(min_value=0, max_value=600)
@@ -1986,6 +2003,46 @@ def test_evicting_sessionizer_property(spark):
     assert latest[-1]["total_value"] == 2.0
     assert sum(r["n_events"] for r in latest.values()) == len(admitted) == 4
 
+    # Within-batch chain bridging: an admissible straggler that a
+    # LATER event in the same batch chains into the open session's
+    # reach must be ABSORBED, not orphaned — state [60, 60], gap 30:
+    # the batch {25, 31} is one gap-chain (6 min apart) and 31 sits
+    # within gap of start, so the whole chain merges into one session
+    # [25, 60] n=3, exactly what batch sessionization of {25, 31, 60}
+    # yields. Event-by-event classification would have mis-orphaned
+    # 25 against the pre-widening start.
+    emitted, admitted = drive([[60], [25, 31]])
+    latest = {r["session_id"]: r for r in emitted}
+    assert len(latest) == 1 and len(admitted) == 3
+    (row,) = latest.values()
+    assert row["n_events"] == 3
+    assert row["session_start"].value // 60_000_000_000 == 25
+    assert row["session_end"].value // 60_000_000_000 == 60
+
+
+def test_evicting_sessionizer_rejects_pre_epoch_ts(spark):
+    """The ts-keyed session-id scheme keeps orphan ids (negative)
+    disjoint from real ids only when event times are non-negative: a
+    pre-epoch event (corrupt producer clock) must be rejected loudly,
+    not silently minted as a negative REAL session id that an orphan
+    could clobber downstream. ``spark`` unused; fixture scoping."""
+    import pandas as pd
+    import pytest
+
+    from mapreduce_experiment_spark.streaming.sessions import (
+        _sessionize_group_evicting,
+    )
+
+    state = _FakeGroupState()
+    pdf = pd.DataFrame({
+        "ts": pd.to_datetime([-5_000_000], unit="us"),  # 1969-12-31
+        "event_id": [0],
+        "value": [1.0],
+    })
+    with pytest.raises(ValueError, match="pre-epoch"):
+        list(_sessionize_group_evicting(
+            (7,), iter([pdf]), state, 30 * 60 * 1_000_000))
+
 
 def test_minhash_dedup_group_property(spark):
     """Property-test the streaming minhash dedup's state algebra
@@ -2016,42 +2073,12 @@ def test_minhash_dedup_group_property(spark):
 
     DELAY_MS = 60 * 60 * 1000
 
-    class FakeState:
-        def __init__(self):
-            self._val, self._deadline_ms, self._wm_ms = None, None, 0
-            self.hasTimedOut = False
-            self.armed = []          # full deadline history, per epoch
-
-        @property
-        def exists(self):
-            return self._val is not None
-
-        @property
-        def get(self):
-            return self._val
-
-        def update(self, v):
-            self._val = tuple(v)
-
-        def remove(self):
-            self._val, self._deadline_ms = None, None
-            self.armed.append(None)  # epoch boundary marker
-
-        def setTimeoutTimestamp(self, ms):
-            assert ms > self._wm_ms, "deadline must sit above watermark"
-            self._deadline_ms = ms
-            self.armed.append(ms)
-
-        def getCurrentWatermarkMs(self):
-            return self._wm_ms
-
     def drive(batches):
         """batches: list of lists of (doc_id, minute)."""
-        state = FakeState()
+        state = _FakeGroupState()
         emitted, epochs, cur_epoch = [], [], []
-        max_seen_ms = None
         for batch in batches:
-            wm = state._wm_ms
+            wm = state.getCurrentWatermarkMs()
             rows = [(d, m * 60_000) for d, m in batch
                     if m * 60_000 >= wm]                 # late filter
             if rows:
@@ -2060,17 +2087,26 @@ def test_minhash_dedup_group_property(spark):
                     "ingest_ts": pd.to_datetime(
                         [ms for _, ms in rows], unit="ms"),
                 })
+                pre_seen = set(state.get[0]) if state.exists else set()
                 state.hasTimedOut = False
+                batch_emitted = []
                 for out in _minhash_dedup_group(
                         ("sig",), iter([pdf]), state, DELAY_MS):
                     emitted.extend(out.to_dict("records"))
-                    cur_epoch.extend(int(r) for r in out["doc_id"])
-                # a delivered doc is emitted iff new to the live state
-                # epoch — and every admitted delivery is accounted for
+                    batch_emitted.extend(int(r) for r in out["doc_id"])
+                cur_epoch.extend(batch_emitted)
+                # NO LOSS / exactly-once, against the PRE-batch state:
+                # a delivered doc not already in the live seen-set
+                # must be emitted THIS batch; one already in it must
+                # not be re-emitted. (Checking against the post-batch
+                # state would be vacuous — the group function always
+                # folds every delivered doc into `seen`.)
                 for d, _ in rows:
-                    assert d in cur_epoch or d in state.get[0]
-            elif (state.exists and state._deadline_ms is not None
-                    and state._deadline_ms < state._wm_ms):
+                    if d in pre_seen:
+                        assert d not in batch_emitted, (batch, d)
+                    else:
+                        assert d in batch_emitted, (batch, d)
+            elif state.should_fire_timeout():
                 state.hasTimedOut = True
                 list(_minhash_dedup_group(
                     ("sig",), iter([]), state, DELAY_MS))
@@ -2079,10 +2115,7 @@ def test_minhash_dedup_group_property(spark):
                 cur_epoch = []
             if batch:
                 mx = max(m for _, m in batch) * 60_000
-                max_seen_ms = mx if max_seen_ms is None \
-                    else max(max_seen_ms, mx)
-            if max_seen_ms is not None:
-                state._wm_ms = max(state._wm_ms, max_seen_ms - DELAY_MS)
+                state.advance_watermark_ms(mx - DELAY_MS)
         epochs.append(cur_epoch)
         return emitted, epochs, state
 
@@ -2110,3 +2143,18 @@ def test_minhash_dedup_group_property(spark):
             run.append(ms)
 
     prop()
+
+    # Epoch-0 arming regression: a group whose only admitted rows
+    # carry ingest_ts exactly at the Unix epoch (a misconfigured
+    # upstream's default timestamp) has max_ts_ms == 0, which a
+    # truthiness guard would treat as "never saw a row" — skipping
+    # setTimeoutTimestamp forever and leaking the group's state. The
+    # None-sentinel guard must still arm the deadline at 0 + delay.
+    state = _FakeGroupState()
+    pdf = pd.DataFrame({
+        "doc_id": [1],
+        "ingest_ts": pd.to_datetime([0], unit="ms"),
+    })
+    list(_minhash_dedup_group(("sig",), iter([pdf]), state, DELAY_MS))
+    assert state.armed == [DELAY_MS], \
+        "epoch-0 ingest_ts must still arm the eviction deadline"

@@ -159,8 +159,16 @@ _ROUND_BASE = "b53ff96"  # driver's round-7 commit; bump each round
 # persisted ingest-ts into its eviction deadline (confined to
 # minhash_dedup_over_stream, in-window), and streaming/sessions.py
 # gains the APPENDED sessionize_stream_evicting deployment variant,
-# reached from no registered query. Every name below is r7-green
-# with plan + oracle text untouched by those hunks.
+# reached from no registered query. Review follow-ups, same
+# containment: streaming/sessions.py factors the shared batch-prep /
+# emit helpers (value-identical output; the retained-counter group
+# function they serve backs the in-window stateful_streaming_sessions,
+# engine-pinned by its sink + restart tests) and rewrites the evicting
+# variant's straggler handling onto gap-chains (still reached from no
+# registered query); streaming/pipeline.py swaps the minhash group's
+# deadline guard to a None-sentinel (confined to the in-window
+# streaming_minhash_dedup). Every name below is r7-green with plan +
+# oracle text untouched by those hunks.
 _ATTESTED_UNCHANGED = {
     # registered in queries_similarity.py / reach
     # operators/similarity.py: the r8 hunks live in the retired
