@@ -50,12 +50,20 @@ _OUT_SCHEMA = (
 # Trailing open session: (session_id, start_us, last_us, n, cents)
 _STATE_SCHEMA = "session_id long, start_us long, last_us long, n long, cents long"
 
-_OUT_COLS = ["user_id", "session_id", "n_events",
-             "session_start", "session_end", "total_value"]
+_OUT_DTYPES = {"user_id": "int64", "session_id": "int64",
+               "n_events": "int64", "session_start": "datetime64[ns]",
+               "session_end": "datetime64[ns]", "total_value": "float64"}
 
 
 def _empty_out() -> pd.DataFrame:
-    return pd.DataFrame(columns=_OUT_COLS)
+    # Typed, not bare columns: the Arrow serializer concats yielded
+    # frames per batch, and an object-dtyped empty frame would ride
+    # pandas' deprecated all-NA dtype-exclusion path (a silent dtype
+    # change in a future pandas). The FutureWarning the serializer
+    # still prints comes from ITS OWN all-NA padding frames
+    # (serializers.py _create_batch), not from these yields.
+    return pd.DataFrame({c: pd.Series(dtype=d)
+                         for c, d in _OUT_DTYPES.items()})
 
 
 def _batch_ts_cents(pdfs: Iterator[pd.DataFrame]):
