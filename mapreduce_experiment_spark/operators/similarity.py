@@ -619,6 +619,7 @@ def write_ivf_index(embeddings: DataFrame, path: str,
 
 
 def append_ivf_index(batch: DataFrame, centroids_src: DataFrame, path: str,
+                     n_queries: int = 10,
                      n_centroids: int = N_CENTROIDS) -> None:
     """Append a new vector batch into the persisted IVF index — the
     write half of the daily-ingest cycle for the centroid-partitioned
@@ -629,14 +630,21 @@ def append_ivf_index(batch: DataFrame, centroids_src: DataFrame, path: str,
     tie-break core with :func:`ivf_assignments`, then appended
     ``partitionBy(centroid_id)`` — each append only adds files under
     the partitions it touches, and probes keep pruning by directory
-    exactly as before. Value parity of the appended index with a full
-    rebuild over corpus+batch is pinned by
-    ``test_ivf_index_append_cycle``."""
+    exactly as before. The index MEMBERSHIP contract is enforced
+    here too, not just in :func:`write_ivf_index`: rows with ids
+    below ``n_queries`` / ``n_centroids`` are query vectors /
+    centroid seeds, never corpus (``_ivf_buckets``), so a
+    re-delivered or corrected low-id vector in the batch is filtered
+    out — otherwise the next probe would return a query as its own
+    rank-1 neighbor, silently diverging from a full rebuild. Value
+    parity of the appended index with a full rebuild over
+    corpus+batch is pinned by ``test_ivf_index_append_cycle``."""
     cv = _prep(centroids_src)
     centroids = cv.where(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("centroid_id"), F.col("vec").alias("cv"),
         F.col("norm").alias("cn"))
-    bv = _prep(batch)
+    bv = _prep(batch).where(
+        (F.col("vec_id") >= n_queries) & (F.col("vec_id") >= n_centroids))
     assign = _assign_to_centroids(bv, centroids)
     (assign.join(bv, "vec_id")
      .select("vec_id", "vec", "norm", "centroid_id")

@@ -19,25 +19,39 @@ from ..sources.io import app_artifact_dir
 from ..sources.tables import load_table
 from .registry import register
 
-# (prefix, applicationId, sf-tag) -> persisted index path, memoized so
-# repeated calls within one application measure PROBE cost, not
+# (prefix, applicationId, data dir) -> persisted index path, memoized
+# so repeated calls within one application measure PROBE cost, not
 # index-build cost (r6/r7 verdict item: the registered index queries
 # rewrote their index every run, so the bench number conflated build
 # with probe). Keyed by applicationId because the artifact dirs are
 # app-named: a NEW session must rebuild — its predecessor's dirs are
-# subject to the 24 h GC sweep. Same (app, sf) ⇒ same input parquet ⇒
-# a byte-identical index, so the memo can never serve stale data.
+# subject to the 24 h GC sweep. Keyed by the FULL normalized data
+# path, not its basename: two directories sharing a leaf name (two
+# tmp copies of sf0.001, bench's SF_DIR vs SF_DIR_2) hold different
+# vectors, and a basename key would silently serve the first one's
+# index for the second's probes. Same (app, full path) ⇒ same input
+# parquet ⇒ a byte-identical index, so the memo can never serve
+# stale data.
 _INDEX_MEMO: dict[tuple[str, str, str], str] = {}
 
 
 def _memoized_index(spark: SparkSession, prefix: str, sf_dir: str,
                     build, check=None) -> str:
-    """Return the persisted-index path for (app, sf), building it via
-    ``build(path)`` only on first use per application. ``check``
-    (default: the dir exists) re-validates a memo hit so an externally
-    removed artifact triggers a rebuild instead of a read failure."""
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    key = (prefix, spark.sparkContext.applicationId, tag)
+    """Return the persisted-index path for (app, data dir), building
+    it via ``build(path)`` only on first use per application.
+    ``check`` (default: the dir exists) re-validates a memo hit so an
+    externally removed artifact triggers a rebuild instead of a read
+    failure."""
+    import hashlib
+
+    norm = os.path.abspath(os.path.normpath(sf_dir))
+    # Artifact-dir tag: human-readable leaf + a short full-path hash,
+    # so same-named data dirs land in DISTINCT on-disk index dirs too
+    # (the memo key alone would still rebuild into — and clobber —
+    # one shared path otherwise).
+    tag = (os.path.basename(norm).replace(".", "_") + "_"
+           + hashlib.sha256(norm.encode()).hexdigest()[:8])
+    key = (prefix, spark.sparkContext.applicationId, norm)
     path = _INDEX_MEMO.get(key)
     if path is not None and (check or os.path.isdir)(path):
         return path

@@ -81,12 +81,13 @@ def register(name: str, oracle: str | None = None, headline: bool = False):
 # round per the r7 verdict (its oracle and output contract are
 # byte-identical to the r7-green ``embedding_near_dups_indexed``; the
 # operator and the recompute-vs-index value-parity test remain — see
-# the tombstone in queries_similarity.py). Three of those 48 carry r8
+# the tombstone in queries_similarity.py). Four of those 48 carry r8
 # plan changes and so lead the window (streaming_minhash_dedup /
-# stateful_streaming_sessions: memory sink -> checkpointed parquet
-# sink + bounded group state, the r7 verdict's only remaining
-# ``weak``; knn_ivf_pruned: per-app index-write memo so the query
-# measures probe cost). The retirement funds two r7-greens whose
+# stateful_streaming_sessions / streaming_view_attribution: memory
+# sink -> checkpointed parquet sink, plus bounded group state for the
+# first two — the r7 verdict's only remaining ``weak``;
+# knn_ivf_pruned: per-app index-write memo so the query measures
+# probe cost). The retirement funds two r7-greens whose
 # plans also change in r8 (embedding_near_dups_indexed: index memo +
 # banding-config table properties; streaming_event_dedup: shared
 # artifact-dir helper on its sink path) plus ONE new registration,
@@ -97,13 +98,14 @@ _ORDER: list[str] = [
     # -- round 8: changed plans (lead the window) --
     "streaming_minhash_dedup",       # memory sink -> parquet sink,
     "stateful_streaming_sessions",   #   + state-eviction timeout
+    "streaming_view_attribution",    # memory sink -> parquet sink
     "knn_ivf_pruned",                # per-app index-write memo
     "embedding_near_dups_indexed",   # index memo + config properties
     "streaming_event_dedup",         # shared artifact-dir helper
     # -- round 8: new query --
     "embedding_near_dups_probe",     # incremental probe of SRP index
-    # -- the 44 remaining queries whose last driver verdict is r6
-    #    (the 48 rotated out of the r7 window, minus the 3 changed
+    # -- the 43 remaining queries whose last driver verdict is r6
+    #    (the 48 rotated out of the r7 window, minus the 4 changed
     #    ones above, minus the retired embedding_near_dups) --
     "approx_order_percentiles", "asia_market_share", "clean_corpus",
     "connected_components", "decontaminated_corpus",
@@ -120,7 +122,7 @@ _ORDER: list[str] = [
     "session_window_stats", "signup_to_purchase_funnel",
     "source_mixture_sample", "srp_bucket_stats",
     "stratified_event_sample", "streaming_hourly_counts",
-    "streaming_triangle_count", "streaming_view_attribution",
+    "streaming_triangle_count",
     "top_parts_per_nation", "triangle_count", "triangles",
     "trigram_counts", "value_band_range_join",
     "value_distribution_stats", "volume_shipping",

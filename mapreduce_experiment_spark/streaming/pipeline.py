@@ -360,8 +360,14 @@ def _minhash_dedup_group(key, pdfs, state, delay_ms: int):
         # epoch+delay, which could sit below the watermark and throw
         state.setTimeoutTimestamp(max_ts_ms + delay_ms)
     fresh.sort()
-    yield pd.DataFrame({"signature": [sig] * len(fresh),
-                        "doc_id": fresh})
+    # typed even when fresh is empty (a batch of pure re-deliveries):
+    # an object-dtyped empty frame would ride pandas' deprecated
+    # all-NA dtype-exclusion path in the serializer's per-batch
+    # concat — same rationale as sessions._empty_out
+    yield pd.DataFrame({
+        "signature": pd.Series([sig] * len(fresh), dtype="object"),
+        "doc_id": pd.Series(fresh, dtype="int64"),
+    })
 
 
 def streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -435,6 +435,17 @@ def test_ivf_index_append_cycle(spark, sf_smoke, tmp_path):
     assert parts, "partitioned layout lost by the append"
     appended = spark.read.parquet(path).where(F.col("vec_id") >= 300)
     assert appended.count() == batch.count()
+    # membership contract on the APPEND path too: a re-delivered
+    # query-id / seed-id vector in a batch must be filtered out, not
+    # inserted — an inserted query would come back as its own rank-1
+    # neighbor (cos 1.0) on the next probe, silently diverging from a
+    # full rebuild (which excludes low ids via _ivf_buckets).
+    S.append_ivf_index(emb.where(F.col("vec_id") < 5), original, path)
+    still = {(r.query_id, r.neighbor_id, r.rank, r.cos)
+             for r in S.knn_ivf_pruned(spark, emb, path,
+                                       n_queries=10, k=5).collect()}
+    assert still == full, "poisoned append changed probe results"
+    assert spark.read.parquet(path).where(F.col("vec_id") < 10).count() == 0
 
 
 def test_srp_index_append_cycle(spark, sf_smoke, tmp_path):
@@ -587,14 +598,52 @@ def test_registered_index_queries_memoize_index_build(spark, sf_smoke):
                          ("embedding_near_dups_probe", "srp_probe_index_")):
         spec = SPECS()[name]
         first = {tuple(r) for r in spec.fn(spark, sf_smoke).collect()}
-        tag = os.path.basename(os.path.normpath(sf_smoke)).replace(".", "_")
-        key = (prefix, spark.sparkContext.applicationId, tag)
+        norm = os.path.abspath(os.path.normpath(sf_smoke))
+        key = (prefix, spark.sparkContext.applicationId, norm)
         path = QS._INDEX_MEMO[key]
         mtime = os.path.getmtime(path)
         second = {tuple(r) for r in spec.fn(spark, sf_smoke).collect()}
         assert second == first
         assert os.path.getmtime(path) == mtime, (
             f"{name} rewrote its index on a repeat call")
+
+
+def test_index_memo_distinguishes_same_named_dirs(spark, sf_smoke,
+                                                  tmp_path):
+    """Two data directories sharing a LEAF name hold different vectors;
+    the index memo must key on the full path so the second directory
+    gets its own index instead of silently probing the first one's
+    (the bench SF_DIR vs SF_DIR_2 shape, or two tmp copies of
+    sf0.001). Same-leaf copy with vec_ids shifted: if the memo served
+    the first index, the probe results would be the first corpus's."""
+    import os
+    import shutil
+
+    from mapreduce_experiment_spark.plans.registry import SPECS
+    from mapreduce_experiment_spark.plans import queries_similarity as QS
+
+    leaf = os.path.basename(os.path.normpath(sf_smoke))
+    copy_dir = tmp_path / "elsewhere" / leaf
+    copy_dir.parent.mkdir(parents=True)
+    copy_dir.mkdir()
+    # a genuinely different corpus under the SAME leaf name: drop the
+    # top half of the vectors so neighbor sets must differ
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    n = emb.count()
+    emb.where(F.col("vec_id") < n // 2).coalesce(1).write.parquet(
+        str(copy_dir / "embeddings.parquet"))
+
+    spec = SPECS()["knn_ivf_pruned"]
+    base = {tuple(r) for r in spec.fn(spark, sf_smoke).collect()}
+    other = {tuple(r) for r in spec.fn(spark, str(copy_dir)).collect()}
+    assert other != base, (
+        "same-leaf data dir was served the other directory's index")
+    # and the two memo entries point at distinct on-disk indexes
+    app = spark.sparkContext.applicationId
+    paths = {p for (pref, a, d), p in QS._INDEX_MEMO.items()
+             if pref == "ivf_index_" and a == app}
+    assert len(paths) >= 2
+    shutil.rmtree(copy_dir, ignore_errors=True)
 
 
 def test_knn_bruteforce_blas_matches_jvm_path(spark, sf_smoke):

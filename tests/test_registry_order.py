@@ -12,22 +12,24 @@ import os
 
 from mapreduce_experiment_spark.plans.registry import _ORDER, SPECS
 
-# Round 8 contract: the three r6-green queries whose plans change
-# this round (streaming_minhash_dedup / stateful_streaming_sessions:
-# memory sink → checkpointed parquet sink + bounded state;
-# knn_ivf_pruned: per-app index-write memo), the two r7-greens whose
-# plans also change (embedding_near_dups_indexed: index memo +
-# banding-config table properties; streaming_event_dedup: shared
-# artifact-dir helper on its sink path), the NEW
-# embedding_near_dups_probe, and ALL 44 remaining queries whose last
-# driver verdict was r6 (the 48 rotated out of the r7 window minus
-# the 3 changed ones above, minus the round-8 retirement
-# embedding_near_dups — keeps every verdict <= 1 round old).
+# Round 8 contract: the four r6-green queries whose plans change
+# this round (streaming_minhash_dedup / stateful_streaming_sessions /
+# streaming_view_attribution: memory sink → checkpointed parquet
+# sink, bounded state for the first two; knn_ivf_pruned: per-app
+# index-write memo), the two r7-greens whose plans also change
+# (embedding_near_dups_indexed: index memo + banding-config table
+# properties; streaming_event_dedup: shared artifact-dir helper on
+# its sink path), the NEW embedding_near_dups_probe, and ALL 43
+# remaining queries whose last driver verdict was r6 (the 48 rotated
+# out of the r7 window minus the 4 changed ones above, minus the
+# round-8 retirement embedding_near_dups — keeps every verdict <= 1
+# round old).
 _MUST_BE_IN_WINDOW = {
     # changed or new in round 8
     "streaming_minhash_dedup", "stateful_streaming_sessions",
-    "knn_ivf_pruned", "embedding_near_dups_indexed",
-    "streaming_event_dedup", "embedding_near_dups_probe",
+    "streaming_view_attribution", "knn_ivf_pruned",
+    "embedding_near_dups_indexed", "streaming_event_dedup",
+    "embedding_near_dups_probe",
     # last driver verdict r6
     "approx_order_percentiles", "asia_market_share", "clean_corpus",
     "connected_components", "decontaminated_corpus",
@@ -44,7 +46,7 @@ _MUST_BE_IN_WINDOW = {
     "session_window_stats", "signup_to_purchase_funnel",
     "source_mixture_sample", "srp_bucket_stats",
     "stratified_event_sample", "streaming_hourly_counts",
-    "streaming_triangle_count", "streaming_view_attribution",
+    "streaming_triangle_count",
     "top_parts_per_nation", "triangle_count", "triangles",
     "trigram_counts", "value_band_range_join",
     "value_distribution_stats", "volume_shipping",
@@ -58,7 +60,7 @@ WINDOW = 50
 # picks them up first, and they carry local oracle gating
 # (test_registry_oracle, sf0.001 + sf0.01) in the meantime.
 # Round 8 has no deferral: the rotation arithmetic closed exactly
-# (44 r6-greens + 5 changed + 1 new = 50), funded by the
+# (43 r6-greens + 6 changed + 1 new = 50), funded by the
 # embedding_near_dups registration retirement.
 _DEFERRED_TO_NEXT_WINDOW: list[str] = []
 
