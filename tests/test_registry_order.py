@@ -169,8 +169,15 @@ _ROUND_BASE = "b53ff96"  # driver's round-7 commit; bump each round
 # variant's straggler handling onto gap-chains (still reached from no
 # registered query); streaming/pipeline.py swaps the minhash group's
 # deadline guard to a None-sentinel (confined to the in-window
-# streaming_minhash_dedup). Every name below is r7-green with plan +
-# oracle text untouched by those hunks.
+# streaming_minhash_dedup). Second review pass, same containment:
+# plans/queries_similarity.py rekeys the index memo onto the full
+# data path (reached only from the three in-window index queries —
+# the kmeans/trained registrations never call _memoized_index),
+# operators/similarity.py adds the membership filter to
+# append_ivf_index (reached from no registered query), and
+# streaming/pipeline.py types the minhash group's empty yield
+# (in-window streaming_minhash_dedup). Every name below is r7-green
+# with plan + oracle text untouched by those hunks.
 _ATTESTED_UNCHANGED = {
     # registered in queries_similarity.py / reach
     # operators/similarity.py: the r8 hunks live in the retired
