@@ -619,7 +619,7 @@ def write_ivf_index(embeddings: DataFrame, path: str,
 
 
 def append_ivf_index(batch: DataFrame, centroids_src: DataFrame, path: str,
-                     n_queries: int = 10,
+                     *, n_queries: int = 10,
                      n_centroids: int = N_CENTROIDS) -> None:
     """Append a new vector batch into the persisted IVF index — the
     write half of the daily-ingest cycle for the centroid-partitioned
@@ -644,7 +644,7 @@ def append_ivf_index(batch: DataFrame, centroids_src: DataFrame, path: str,
         F.col("vec_id").alias("centroid_id"), F.col("vec").alias("cv"),
         F.col("norm").alias("cn"))
     bv = _prep(batch).where(
-        (F.col("vec_id") >= n_queries) & (F.col("vec_id") >= n_centroids))
+        F.col("vec_id") >= max(n_queries, n_centroids))
     assign = _assign_to_centroids(bv, centroids)
     (assign.join(bv, "vec_id")
      .select("vec_id", "vec", "norm", "centroid_id")

@@ -154,7 +154,8 @@ def q_embedding_near_dups_indexed(spark: SparkSession, sf_dir: str) -> DataFrame
     ``test_srp_index_value_parity``.
 
     Like ``knn_ivf_pruned``, the index is written ONCE per (Spark
-    application, sf) — memoized via :func:`_memoized_index`, so
+    application, data dir) — memoized via
+    :func:`_memoized_index`, so
     repeated calls (a bench's timed runs) measure the probe join, not
     the index build — under the shared repo warehouse at an external
     app-tagged path, with stale siblings from past applications GC'd
@@ -206,7 +207,8 @@ def q_embedding_near_dups_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     24-byte-row scan. Threshold 0.30 (vs the self-join queries' 0.45)
     so the cross-split pair set stays non-trivial at small sf; the
     verify join is exact cosine either way. The index write is
-    memoized per (application, sf) like the other persisted-index
+    memoized per (application, data dir) like the other
+    persisted-index
     queries — exactly the deployment shape, where the daily probe
     never pays the index build."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -434,7 +436,8 @@ def q_knn_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     proof). Output contract and oracle are identical to ``knn_ivf``:
     the pruned-index path must produce value-identical neighbors.
 
-    The index is written ONCE per (Spark application, sf) — memoized
+    The index is written ONCE per (Spark application, data dir)
+    — memoized
     via :func:`_memoized_index` (r6/r7 verdict item), so repeated
     calls measure the partition-pruned PROBE, not the index build —
     at an app-tagged path under the shared repo warehouse; the
