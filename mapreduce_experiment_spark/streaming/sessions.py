@@ -215,21 +215,20 @@ def _sessionize_group_evicting(
     # 1. Segment the sorted batch into maximal GAP-CHAINS: runs of
     # events whose consecutive gaps are all <= gap. Batch
     # sessionization would never split a chain, so the chain — not
-    # the single event — is the unit classified against the open
+    # the single event — is the unit CLASSIFIED against the open
     # session. (Classifying event-by-event mis-orphans an admissible
     # straggler when a LATER event in the same batch chains it into
     # the session's reach: state [60m, 60m], gap 30m, batch {25m,
     # 31m} — 25m alone sits below start-gap, but 31m bridges it.)
-    chains: list[list[int]] = []  # [min_us, max_us, n, cents]
+    # Chains keep their per-event rows because orphan EMISSION is
+    # per-microsecond (see below).
+    chains: list[list[tuple[int, int]]] = []  # [(us, cents), ...]
     for us, cent in zip(ts_us.to_numpy(), val_cents.to_numpy()):
         us, cent = int(us), int(cent)
-        if chains and us - chains[-1][1] <= gap_us:
-            c = chains[-1]
-            c[1] = us
-            c[2] += 1
-            c[3] += cent
+        if chains and us - chains[-1][-1][0] <= gap_us:
+            chains[-1].append((us, cent))
         else:
-            chains.append([us, us, 1, cent])
+            chains.append([(us, cent)])
 
     # 2. Classify each chain against the OPEN session, in ascending
     # order. Three cases, none of which may REGRESS the session's
@@ -242,44 +241,58 @@ def _sessionize_group_evicting(
     #                                only WIDEN (start=min, last=max)
     #   c_max <  start - gap      -> a straggler chain from before
     #                                the open session's reach: emit it
-    #                                as a closed "orphan" session
-    #                                rather than corrupt the open one
-    #                                or drop data. Orphan ids are
-    #                                -(min_us + 1): strictly negative
-    #                                (pre-epoch guarded above), so
-    #                                they can never collide with a
-    #                                real session id and clobber a
-    #                                closed session's final amendment
-    #                                row downstream (a straggler CAN
-    #                                share its ts with an old
-    #                                session's first event). Chain
-    #                                segmentation already merged
-    #                                same-batch stragglers within gap
-    #                                reach of each other — batch
-    #                                sessionization would put them in
-    #                                one session too. Across batches
-    #                                an orphan with the same min_us
-    #                                replaces the earlier one: correct
-    #                                at-least-once handling of a
-    #                                re-delivered event, approximate
-    #                                only for genuinely distinct
-    #                                events on the identical
-    #                                microsecond. Orphan chains from
-    #                                DIFFERENT batches are not merged
-    #                                with each other — a deployment
-    #                                that needs deep out-of-order
-    #                                merging shrinks the watermark
-    #                                delay so such rows are filtered,
-    #                                or reprocesses in batch.
+    #                                as closed "orphan" rows rather
+    #                                than corrupt the open session or
+    #                                drop data. Orphan EMISSION is
+    #                                per-microsecond — one row per
+    #                                distinct straggler ts, id
+    #                                -(ts_us + 1) — even though
+    #                                CLASSIFICATION is per chain: an
+    #                                orphan row keyed by a chain's min
+    #                                would let a later batch that
+    #                                re-delivers ONLY the min event
+    #                                (partial at-least-once replay)
+    #                                replace the whole chain's row and
+    #                                permanently lose its sibling
+    #                                events, whereas per-ts keys make
+    #                                replacement idempotent — each
+    #                                straggler ts owns its amendment
+    #                                key, and a re-delivery replaces
+    #                                exactly itself. Ids are strictly
+    #                                negative (pre-epoch guarded
+    #                                above), so they can never collide
+    #                                with a real session id and
+    #                                clobber a closed session's final
+    #                                amendment row downstream (a
+    #                                straggler CAN share its ts with
+    #                                an old session's first event).
+    #                                Same-ts events within a batch
+    #                                merge into one row — batch
+    #                                sessionization would merge them
+    #                                too; distinct same-microsecond
+    #                                events across batches remain
+    #                                approximate (replacement). A
+    #                                deployment that needs real
+    #                                straggler sessions shrinks the
+    #                                watermark delay so such rows are
+    #                                filtered, or reprocesses in
+    #                                batch.
     # Orphan classification is stable under later widening: a chain
-    # absorbed after an orphan was emitted has min_us > orphan_max +
-    # gap (chains are maximal), so the widened start can never reach
-    # back over an already-orphaned chain.
+    # absorbed after an orphan was emitted starts > gap above the
+    # orphan chain's max (chains are maximal), so the widened start
+    # can never reach back over an already-orphaned chain.
     out: list[tuple] = []
     touched = False
-    for c_min, c_max, c_n, c_cents in chains:
+    for ch in chains:
+        c_min, c_max = ch[0][0], ch[-1][0]
         if last_us is not None and c_max < start_us - gap_us:
-            out.append((user_id, -(c_min + 1), c_n, c_min, c_max, c_cents))
+            orphans: dict[int, list[int]] = {}
+            for o_us, o_cent in ch:
+                agg = orphans.setdefault(o_us, [0, 0])
+                agg[0] += 1
+                agg[1] += o_cent
+            for o_us, (o_n, o_cents) in orphans.items():
+                out.append((user_id, -(o_us + 1), o_n, o_us, o_us, o_cents))
             continue
         if last_us is None or c_min - last_us > gap_us:
             if last_us is not None:
@@ -287,8 +300,8 @@ def _sessionize_group_evicting(
             sid_us, start_us, last_us, n, cents = c_min, c_min, c_max, 0, 0
         start_us = min(start_us, c_min)
         last_us = max(last_us, c_max)
-        n += c_n
-        cents += c_cents
+        n += len(ch)
+        cents += sum(c for _, c in ch)
         touched = True
     if touched:  # trailing amendment — only if this batch changed it
         out.append((user_id, sid_us, n, start_us, last_us, cents))
@@ -330,9 +343,11 @@ def sessionize_stream_evicting(events: DataFrame,
       classifies whole within-batch chains, not single events, so an
       admissible straggler bridged into the session's reach by a
       later same-batch event is absorbed, exactly as batch
-      sessionization would). Pre-epoch event timestamps are rejected
-      loudly — the id scheme needs non-negative times to keep orphan
-      ids (negative) disjoint from real ids.
+      sessionization would; orphaned stragglers are emitted
+      per-microsecond so a partial replay replaces only its own
+      row). Pre-epoch event timestamps are rejected loudly — the id
+      scheme needs non-negative times to keep orphan ids (negative)
+      disjoint from real ids.
     - Each update arms an EVENT-time timeout at (last event + gap):
       once the watermark — ``max(ts) - delay`` across the stream —
       passes it, no on-time event can extend the open session, the

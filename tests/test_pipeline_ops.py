@@ -2068,6 +2068,19 @@ def test_evicting_sessionizer_property(spark):
     assert row["session_start"].value // 60_000_000_000 == 25
     assert row["session_end"].value // 60_000_000_000 == 60
 
+    # Partial-replay safety: orphan EMISSION is keyed per ts (even
+    # though classification is per chain), so a later batch
+    # re-delivering only PART of an orphan chain replaces exactly its
+    # own row — the sibling event's row must survive. A
+    # chain-min-keyed orphan row would have been clobbered to n=1
+    # here, permanently losing the event at minute 6.
+    emitted, admitted = drive([[60], [5, 6], [5]])
+    latest = {r["session_id"]: r for r in emitted}
+    o5 = -(5 * 60_000_000 + 1)
+    o6 = -(6 * 60_000_000 + 1)
+    assert latest[o5]["n_events"] == 1
+    assert latest[o6]["n_events"] == 1   # sibling survived the replay
+
 
 def test_evicting_sessionizer_rejects_pre_epoch_ts(spark):
     """The ts-keyed session-id scheme keeps orphan ids (negative)
