@@ -225,6 +225,70 @@ def q_embedding_near_dups_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumnRenamed("cos", "cos_sim")
 
 
+@register(
+    "embedding_near_dups_maintained",
+    # Oracle = FULL RECOMPUTE over corpus+batch: the self-join pair
+    # set at threshold 0.30 (the probe query's threshold, so the
+    # cross-split pairs stay non-trivial at small sf; distinct from
+    # the indexed query's 0.45 contract). The Spark side serves the
+    # same pairs from an index that was built over the corpus only,
+    # APPENDED with the batch, then COMPACTED into a fresh bucketed
+    # table — so a hash match proves the whole maintenance cycle
+    # (write → append → compact) reproduces a from-scratch rebuild's
+    # signature set exactly.
+    oracle=_V_CTE + _srp_sigs_cte() + f"""
+, cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sigs a JOIN sigs b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+   AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b, {_q6cos('a.vec', 'b.vec')} AS cos_sim
+FROM cand c JOIN v a ON a.vec_id = c.id_a JOIN v b ON b.vec_id = c.id_b
+WHERE {_q6cos('a.vec', 'b.vec')} >= 0.30
+""",
+)
+def q_embedding_near_dups_maintained(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """The SRP index-MAINTENANCE cycle, driver-verified end-to-end
+    (r8 verdict, What's missing #2 — the write half of daily ingest
+    was pinned only by ``test_srp_index_append_cycle`` /
+    ``test_srp_index_compaction``): the corpus (vec_id % 7 != 0) is
+    indexed once, the arriving batch (% 7 == 0) is APPENDED via
+    :func:`operators.similarity.append_srp_index` (banding config
+    machine-validated, bucket layout preserved), and the appended
+    index is COMPACTED into a fresh one-file-per-bucket table via
+    :func:`operators.similarity.compact_srp_index` — the off-peak
+    maintenance job. The returned near-dup set is served from the
+    compacted table through the same zero-Exchange bucket self-join
+    as ``embedding_near_dups_indexed``, and the full-recompute oracle
+    checks it value-exactly: any row the append dropped or the
+    compaction duplicated would flip the hash. The whole cycle is
+    memoized per (application, data dir) like the other
+    persisted-index queries, so repeated calls measure the probe —
+    the daily-ingest sequencing itself (probe the batch BEFORE
+    appending it) is the sibling ``embedding_near_dups_probe``'s
+    contract."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    batch = emb.where(F.col("vec_id") % 7 == 0)
+    corpus = emb.where(F.col("vec_id") % 7 != 0)
+
+    def build(p: str) -> None:
+        raw_tbl = os.path.basename(p) + "_raw"
+        S.write_srp_index(corpus, raw_tbl, path=os.path.join(p, "raw"))
+        S.append_srp_index(batch, raw_tbl)
+        S.compact_srp_index(spark, raw_tbl, os.path.basename(p),
+                            path=os.path.join(p, "final"))
+
+    path = _memoized_index(
+        spark, "srp_maint_index_", sf_dir, build=build,
+        check=lambda p: os.path.isdir(p)
+        and spark.catalog.tableExists(os.path.basename(p)))
+    df = S.embedding_near_dups_from_index(
+        spark, emb, os.path.basename(path), threshold=0.30)
+    return df.withColumnRenamed("cos", "cos_sim")
+
+
 _KNN_BF_SQL = _V_CTE + f"""
 , q AS (SELECT vec_id AS query_id, vec AS qv FROM v WHERE vec_id < 10),
 c AS (SELECT vec_id AS neighbor_id, vec AS nv FROM v WHERE vec_id >= 10),

@@ -76,62 +76,49 @@ def register(name: str, oracle: str | None = None, headline: bool = False):
 # SATURATION: with a 50-query window on alternate-round rotation, 100
 # registered queries is the EXACT ceiling at which every entry can
 # hold a driver verdict <= 1 round old (50 verified this round, 50
-# last round). Round 8's window re-verifies the 48 r6-greens the r7
-# window rotated out — minus ``embedding_near_dups``, RETIRED this
-# round per the r7 verdict (its oracle and output contract are
-# byte-identical to the r7-green ``embedding_near_dups_indexed``; the
-# operator and the recompute-vs-index value-parity test remain — see
-# the tombstone in queries_similarity.py). Four of those 48 carry r8
-# plan changes and so lead the window (streaming_minhash_dedup /
-# stateful_streaming_sessions / streaming_view_attribution: memory
-# sink -> checkpointed parquet sink, plus bounded group state for the
-# first two — the r7 verdict's only remaining ``weak``;
-# knn_ivf_pruned: per-app index-write memo so the query measures
-# probe cost). The retirement funds two r7-greens whose
-# plans also change in r8 (embedding_near_dups_indexed: index memo +
-# banding-config table properties; streaming_event_dedup: shared
-# artifact-dir helper on its sink path) plus ONE new registration,
-# embedding_near_dups_probe — the incremental daily-ingest probe of
-# the persisted SRP index, previously pinned only by unit tests.
-# Registry: 98 (one retirement, one new).
+# last round). Round 9's window re-verifies the 48 r7-greens the r8
+# window rotated out, and spends the two slack slots exactly as the
+# r8 verdict prescribed — promoting the two strongest 100 TB claims
+# from unit-test-verified to driver-verified:
+# stateful_streaming_sessions_evicting (the DEPLOYMENT-mode
+# sessionizer with event-time-evicted state, previously reached from
+# no registered query; oracle = the batch gap-and-islands SQL with
+# ts-keyed session ids) and embedding_near_dups_maintained (the SRP
+# index write→append→compact maintenance cycle, previously pinned
+# only by rebuild-parity unit tests; oracle = full recompute over
+# corpus+batch). Registry: 100 — AT the ceiling: from r10 onward
+# every rotation is exactly the 50 rotated-out queries with zero
+# slack, so any new registration must be funded by a retirement
+# (next candidate per the r8 verdict: srp_bucket_stats, whose
+# occupancy stats are implied by the indexed query's oracle-checked
+# candidate set).
 _ORDER: list[str] = [
-    # -- round 8: changed plans (lead the window) --
-    "streaming_minhash_dedup",       # memory sink -> parquet sink,
-    "stateful_streaming_sessions",   #   + state-eviction timeout
-    "streaming_view_attribution",    # memory sink -> parquet sink
-    "knn_ivf_pruned",                # per-app index-write memo
-    "embedding_near_dups_indexed",   # index memo + config properties
-    "streaming_event_dedup",         # shared artifact-dir helper
-    # -- round 8: new query --
-    "embedding_near_dups_probe",     # incremental probe of SRP index
-    # -- the 43 remaining queries whose last driver verdict is r6
-    #    (the 48 rotated out of the r7 window, minus the 4 changed
-    #    ones above, minus the retired embedding_near_dups) --
-    "approx_order_percentiles", "asia_market_share", "clean_corpus",
-    "connected_components", "decontaminated_corpus",
-    "decontamination_external", "decontamination_pairs",
-    "dedup_clusters", "dedup_survivors", "doc_chunks",
-    "event_type_counts_salted", "hourly_event_counts",
-    "ivf_assignments", "knn_bruteforce", "knn_ivf",
-    "lineitem_profile", "media_byte_histograms", "media_frame_sample",
-    "media_metadata", "monthly_retention_cohorts",
-    "nation_participants_full_outer", "order_size_distribution",
-    "packed_sequence_fragments", "packed_sequences",
-    "price_quantity_correlation", "purchase_last_click_asof",
-    "quality_filtered_corpus", "repetition_scores", "session_stats",
-    "session_window_stats", "signup_to_purchase_funnel",
-    "source_mixture_sample", "srp_bucket_stats",
-    "stratified_event_sample", "streaming_hourly_counts",
-    "streaming_triangle_count",
-    "top_parts_per_nation", "triangle_count", "triangles",
-    "trigram_counts", "value_band_range_join",
-    "value_distribution_stats", "volume_shipping",
+    # -- round 9: new queries (lead the window) --
+    "stateful_streaming_sessions_evicting",  # evicting sessionizer
+    "embedding_near_dups_maintained",        # index append+compact
+    # -- the 48 r7-greens rotated out of the r8 window --
+    "account_balance_union", "adjacency", "approx_distinct_counts",
+    "bm25_topk", "candidate_pairs", "canonical_url_groups",
+    "corpus_shuffle", "customer_running_spend", "customers_churned",
+    "customers_retained", "degrees", "edges_derive",
+    "events_json_extract", "exact_dedup_groups", "fingerprints",
+    "grouping_sets_sql", "kmeans_centroids", "kmeans_ivf_assignments",
+    "knn_ivf_trained", "lang_id", "minhash_dedup_pairs",
+    "mktsegment_pivot", "nation_order_stats", "ngram_jaccard_pairs",
+    "order_gap_days", "order_priority_rollup", "order_scalar_functions",
+    "orders_above_customer_average", "pagerank", "parts_never_ordered",
+    "pii_redaction", "pricing_summary", "quality_scores",
+    "repeated_spans", "returnflag_status_cube", "revenue_by_nation",
+    "sessionize_events", "simhash_near_dups", "span_deduped_corpus",
+    "suppliers_with_orders", "symmetrize", "tfidf_doc_pairs",
+    "token_counts", "token_frequencies", "top_customers_per_nation",
+    "top_orders_global", "triangles_faithful", "user_value_scd2",
     # ---- verification-window boundary: len(_ORDER) == 50, pinned by
     #      test_order_is_exactly_the_window ----
-    # (no deferred tail this round: _DEFERRED_TO_NEXT_WINDOW is empty —
-    # the r9 rotation is the 48 r7-greens not re-verified here, with
-    # two slots of slack for new work.)
-    # r7-green unchanged queries follow in registration order.
+    # (no deferred tail: _DEFERRED_TO_NEXT_WINDOW is empty — the r10
+    # rotation is the 50 r8-greens not re-verified here, exactly
+    # filling the window.)
+    # r8-green unchanged queries follow in registration order.
 ]
 
 

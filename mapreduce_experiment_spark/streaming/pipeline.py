@@ -276,7 +276,16 @@ def minhash_dedup_over_stream(docs: DataFrame,
     delay window, not by corpus cardinality; a duplicate arriving
     after its signature was evicted is re-emitted, exactly like a
     re-delivery outside any at-least-once replay window (eviction
-    proven by ``test_streaming_minhash_state_eviction``)."""
+    proven by ``test_streaming_minhash_state_eviction``).
+
+    State-schema compatibility (r8 ADVICE): the eviction rework
+    widened the group state from ``seen array<long>`` to
+    ``seen array<long>, max_ts_ms long``. Restarting from a
+    checkpoint written under the old schema would misread or fail on
+    the retained state — harmless for this repo's app-tagged
+    per-application checkpoints (always fresh per session), but an
+    externally retained pre-r8 checkpoint requires a FRESH checkpoint
+    directory (one full replay) to upgrade."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from ..functions.textfns import shingle_hashes

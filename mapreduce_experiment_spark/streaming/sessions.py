@@ -277,10 +277,17 @@ def _sessionize_group_evicting(
     #                                watermark delay so such rows are
     #                                filtered, or reprocesses in
     #                                batch.
-    # Orphan classification is stable under later widening: a chain
-    # absorbed after an orphan was emitted starts > gap above the
-    # orphan chain's max (chains are maximal), so the widened start
-    # can never reach back over an already-orphaned chain.
+    # Orphan classification is stable under SAME-BATCH widening: a
+    # chain absorbed later in this batch starts > gap above the
+    # orphan chain's max (chains are maximal within the batch), so
+    # the widened start can never reach back over a chain this batch
+    # already orphaned. Across batches the claim does NOT hold
+    # (r8 ADVICE): a later batch can absorb an event that widens
+    # start to within gap of a previously-orphaned ts — batch
+    # sessionization would have merged that orphan in. Events stay
+    # conserved (the orphan row stands on its own key); the
+    # divergence is part of the documented out-of-order
+    # approximation, bounded by the watermark delay.
     out: list[tuple] = []
     touched = False
     for ch in chains:
@@ -310,16 +317,61 @@ def _sessionize_group_evicting(
     # Event-time deadline: an event extending this session must carry
     # ts <= last + gap, so once the watermark passes that point the
     # session is closed for every admissible event and the state can
-    # go. Rows BELOW the watermark never even reach this function —
-    # Spark's stateful-operator late-record filter drops them (pinned
-    # by the eviction test) — so every row here has ts >= watermark
-    # and last+gap sits above it; the clamp is pure defense against
-    # that filter ever being relaxed (Spark rejects a deadline below
-    # the watermark with an error).
-    deadline_ms = max(last_us // 1000 + gap_us // 1000,
+    # go. CEILING division to milliseconds (r8 ADVICE): flooring
+    # last_us and gap_us separately could park the armed deadline up
+    # to 999 us BELOW the true microsecond contract, so an admissible
+    # event in that sub-ms window arriving after the watermark passed
+    # the truncated deadline would find its state already evicted and
+    # open a spurious new session. Rows BELOW the watermark never
+    # even reach this function — Spark's stateful-operator
+    # late-record filter drops them (pinned by the eviction test) —
+    # so every row here has ts >= watermark and last+gap sits above
+    # it; the clamp is pure defense against that filter ever being
+    # relaxed (Spark rejects a deadline below the watermark with an
+    # error).
+    deadline_ms = max(-(-(last_us + gap_us) // 1000),
                       state.getCurrentWatermarkMs() + 1)
     state.setTimeoutTimestamp(deadline_ms)
     yield _emit(out)
+
+
+def stateful_session_stats_evicting(
+        spark: SparkSession, sf_dir: str,
+        gap_minutes: int = SESSION_GAP_MIN,
+        delay: str = "1 hour") -> DataFrame:
+    """Drain :func:`sessionize_stream_evicting` over the event stream
+    (availableNow) into a static DataFrame — the registered-query
+    entry point for the DEPLOYMENT-mode sessionizer, mirroring
+    :func:`stateful_session_stats` for the retained-counter variant.
+
+    Under the single-parquet-file availableNow drain the whole stream
+    is one micro-batch: every session is emitted exactly once, chains
+    are whole sessions, no straggler is ever orphaned, and the
+    watermark only advances AFTER that batch (a trailing empty batch
+    fires the event-time timeouts, which emit nothing — eviction is
+    silent by contract). The emitted set therefore equals batch
+    sessionization with ``session_id = first event's microtimestamp``
+    — which is how the driver value-checks this operator against the
+    same gap-and-islands SQL oracle as the batch path, with
+    ``min(epoch_us(ts))`` as the id (the ts-keyed id scheme is
+    exactly what makes the state evictable; see
+    :func:`sessionize_stream_evicting`)."""
+    import os
+
+    events = read_event_stream(spark, sf_dir)
+    result = sessionize_stream_evicting(events, gap_minutes, delay=delay)
+    run = _stream_sink_dir(spark, "sessions_ev_")
+    out_dir = os.path.join(run, "out")
+    q = (
+        result.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(run, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(result.schema).parquet(out_dir)
 
 
 def sessionize_stream_evicting(events: DataFrame,

@@ -12,44 +12,35 @@ import os
 
 from mapreduce_experiment_spark.plans.registry import _ORDER, SPECS
 
-# Round 8 contract: the four r6-green queries whose plans change
-# this round (streaming_minhash_dedup / stateful_streaming_sessions /
-# streaming_view_attribution: memory sink → checkpointed parquet
-# sink, bounded state for the first two; knn_ivf_pruned: per-app
-# index-write memo), the two r7-greens whose plans also change
-# (embedding_near_dups_indexed: index memo + banding-config table
-# properties; streaming_event_dedup: shared artifact-dir helper on
-# its sink path), the NEW embedding_near_dups_probe, and ALL 43
-# remaining queries whose last driver verdict was r6 (the 48 rotated
-# out of the r7 window minus the 4 changed ones above, minus the
-# round-8 retirement embedding_near_dups — keeps every verdict <= 1
+# Round 9 contract: the two NEW registrations (the r8 verdict's two
+# slack-slot promotions — stateful_streaming_sessions_evicting, the
+# deployment-mode sessionizer previously reached from no registered
+# query, and embedding_near_dups_maintained, the SRP index
+# write→append→compact cycle previously pinned only by rebuild-parity
+# unit tests) plus ALL 48 queries whose last driver verdict was r7
+# (the 48 rotated out of the r8 window — keeps every verdict <= 1
 # round old).
 _MUST_BE_IN_WINDOW = {
-    # changed or new in round 8
-    "streaming_minhash_dedup", "stateful_streaming_sessions",
-    "streaming_view_attribution", "knn_ivf_pruned",
-    "embedding_near_dups_indexed", "streaming_event_dedup",
-    "embedding_near_dups_probe",
-    # last driver verdict r6
-    "approx_order_percentiles", "asia_market_share", "clean_corpus",
-    "connected_components", "decontaminated_corpus",
-    "decontamination_external", "decontamination_pairs",
-    "dedup_clusters", "dedup_survivors", "doc_chunks",
-    "event_type_counts_salted", "hourly_event_counts",
-    "ivf_assignments", "knn_bruteforce", "knn_ivf",
-    "lineitem_profile", "media_byte_histograms", "media_frame_sample",
-    "media_metadata", "monthly_retention_cohorts",
-    "nation_participants_full_outer", "order_size_distribution",
-    "packed_sequence_fragments", "packed_sequences",
-    "price_quantity_correlation", "purchase_last_click_asof",
-    "quality_filtered_corpus", "repetition_scores", "session_stats",
-    "session_window_stats", "signup_to_purchase_funnel",
-    "source_mixture_sample", "srp_bucket_stats",
-    "stratified_event_sample", "streaming_hourly_counts",
-    "streaming_triangle_count",
-    "top_parts_per_nation", "triangle_count", "triangles",
-    "trigram_counts", "value_band_range_join",
-    "value_distribution_stats", "volume_shipping",
+    # new in round 9
+    "stateful_streaming_sessions_evicting",
+    "embedding_near_dups_maintained",
+    # last driver verdict r7
+    "account_balance_union", "adjacency", "approx_distinct_counts",
+    "bm25_topk", "candidate_pairs", "canonical_url_groups",
+    "corpus_shuffle", "customer_running_spend", "customers_churned",
+    "customers_retained", "degrees", "edges_derive",
+    "events_json_extract", "exact_dedup_groups", "fingerprints",
+    "grouping_sets_sql", "kmeans_centroids", "kmeans_ivf_assignments",
+    "knn_ivf_trained", "lang_id", "minhash_dedup_pairs",
+    "mktsegment_pivot", "nation_order_stats", "ngram_jaccard_pairs",
+    "order_gap_days", "order_priority_rollup", "order_scalar_functions",
+    "orders_above_customer_average", "pagerank", "parts_never_ordered",
+    "pii_redaction", "pricing_summary", "quality_scores",
+    "repeated_spans", "returnflag_status_cube", "revenue_by_nation",
+    "sessionize_events", "simhash_near_dups", "span_deduped_corpus",
+    "suppliers_with_orders", "symmetrize", "tfidf_doc_pairs",
+    "token_counts", "token_frequencies", "top_customers_per_nation",
+    "top_orders_global", "triangles_faithful", "user_value_scd2",
 }
 
 WINDOW = 50
@@ -59,9 +50,9 @@ WINDOW = 50
 # must sit immediately after the window boundary so the next rotation
 # picks them up first, and they carry local oracle gating
 # (test_registry_oracle, sf0.001 + sf0.01) in the meantime.
-# Round 8 has no deferral: the rotation arithmetic closed exactly
-# (43 r6-greens + 6 changed + 1 new = 50), funded by the
-# embedding_near_dups registration retirement.
+# Round 9 has no deferral: the rotation arithmetic closed exactly
+# (48 r7-greens + 2 new = 50), the two new registrations spending
+# the slack slots the r8 retirement left.
 _DEFERRED_TO_NEXT_WINDOW: list[str] = []
 
 
@@ -121,80 +112,46 @@ def test_registry_has_expected_size():
 # either sit inside the window or be explicitly attested unchanged
 # below (a conscious, reviewable act in the diff).
 
-_ROUND_BASE = "b53ff96"  # driver's round-7 commit; bump each round
+_ROUND_BASE = "e17775a"  # driver's round-8 commit; bump each round
 
 # Queries living in touched modules whose own plan + oracle are
-# attested unchanged this round. Round 8's package edits are:
-# plans/queries_similarity.py (the embedding_near_dups registration
-# RETIREMENT, the APPENDED embedding_near_dups_probe registration,
-# and the index-memo/shared-helper rework of the in-window
-# knn_ivf_pruned + embedding_near_dups_indexed — the kmeans/trained
-# registrations' text is untouched), operators/similarity.py
-# (banding-config table properties on write_srp_index, their
-# validation in embedding_near_dups_probe_index — both reached only
-# from the in-window indexed/probe queries — the APPENDED
-# append_srp_index / append_ivf_index / compact_srp_index, reached
-# from no registered query at all, and the _assign_to_centroids
-# extraction out of ivf_assignments, whose registered query is
-# in-window), streaming/pipeline.py
-# (the streaming_minhash_dedup memory-sink → parquet-sink conversion
-# + its state-eviction timeout, confined to
-# minhash_dedup_over_stream / streaming_minhash_dedup, and the
-# _stream_sink_dir move onto the shared io helper — reached only
-# from the in-window streaming sink queries), operators/dedup.py
-# (minhash_signatures_from gains an optional passthrough-columns
-# parameter for the streaming event-time column; with the default
-# None the select list, pandas loop, and output schema are
-# byte-equivalent to before — batch callers unchanged, pinned by
-# test_minhash_numpy_path_bit_equal_to_jvm_agg and the in-window
-# minhash_dedup_pairs driver verdict), streaming/sessions.py
-# (the stateful_streaming_sessions sink conversion; that query is
-# in-window), sources/io.py (the per-directory OSError guard in
-# gc_stale_dirs per r7 ADVICE + the APPENDED shared artifact-dir
-# helper), and plans/queries_dedup.py / plans/queries_events.py
-# (docstring-only touches on the two converted streaming
-# registrations, both in-window). Late r8 hunks, same containment:
-# operators/similarity.py memoizes srp_planes / the config
-# fingerprint (value-identical output, pinned by the recall and
-# config-validation tests; the kmeans/trained paths never call
-# srp_planes), streaming/pipeline.py max-merges the minhash group's
-# persisted ingest-ts into its eviction deadline (confined to
-# minhash_dedup_over_stream, in-window), and streaming/sessions.py
-# gains the APPENDED sessionize_stream_evicting deployment variant,
-# reached from no registered query. Review follow-ups, same
-# containment: streaming/sessions.py factors the shared batch-prep /
-# emit helpers (value-identical output; the retained-counter group
-# function they serve backs the in-window stateful_streaming_sessions,
-# engine-pinned by its sink + restart tests) and rewrites the evicting
-# variant's straggler handling onto gap-chains (still reached from no
-# registered query); streaming/pipeline.py swaps the minhash group's
-# deadline guard to a None-sentinel (confined to the in-window
-# streaming_minhash_dedup). Second review pass, same containment:
-# plans/queries_similarity.py rekeys the index memo onto the full
-# data path (reached only from the three in-window index queries —
-# the kmeans/trained registrations never call _memoized_index),
-# operators/similarity.py adds the membership filter to
-# append_ivf_index (reached from no registered query), and
-# streaming/pipeline.py types the minhash group's empty yield
-# (in-window streaming_minhash_dedup). Every name below is r7-green
+# attested unchanged this round. Round 9's package edits are:
+# streaming/sessions.py (the APPENDED stateful_session_stats_evicting
+# drain wrapper — reached only from the NEW in-window
+# stateful_streaming_sessions_evicting registration — plus, per the
+# r8 ADVICE, the ceiling-division fix to the evicting variant's
+# eviction deadline and the softened cross-batch orphan-stability
+# comment, both confined to _sessionize_group_evicting, which no
+# query outside the new in-window registration reaches),
+# plans/queries_events.py (the APPENDED evicting-sessionizer
+# registration and a docstring pointer added to the retained
+# stateful_streaming_sessions registration — its plan and oracle
+# text are byte-untouched), plans/queries_similarity.py (the
+# APPENDED embedding_near_dups_maintained registration; every other
+# registration's text is untouched), and streaming/pipeline.py
+# (a docstring-only note on minhash_dedup_over_stream recording the
+# r8 state-schema break — fresh checkpoint required — per the r8
+# ADVICE; no executable line changes). Every name below is r8-green
 # with plan + oracle text untouched by those hunks.
 _ATTESTED_UNCHANGED = {
-    # registered in queries_similarity.py / reach
-    # operators/similarity.py: the r8 hunks live in the retired
-    # registration, the appended probe, and the indexed/pruned-index
-    # paths; the kmeans training + trained-IVF paths are untouched.
-    "kmeans_centroids", "kmeans_ivf_assignments", "knn_ivf_trained",
-    # registered in queries_dedup.py / queries_events.py or reaching
-    # streaming/pipeline.py, streaming/sessions.py, sources/io.py
-    # transitively (queries_graph/queries_events -> streaming ->
-    # operators.dedup; io's gc guard is inside gc_stale_dirs only):
-    # the streaming hunks are confined to the two converted sink
-    # queries' bodies and _stream_sink_dir.
-    "canonical_url_groups", "exact_dedup_groups", "minhash_dedup_pairs",
-    "ngram_jaccard_pairs", "repeated_spans", "simhash_near_dups",
-    "span_deduped_corpus", "adjacency", "candidate_pairs", "degrees",
-    "edges_derive", "pagerank", "symmetrize", "triangles_faithful",
-    "sessionize_events", "user_value_scd2",
+    # registered in queries_events.py (module reaches
+    # streaming/sessions.py + streaming/pipeline.py via its
+    # function-local imports): the r9 hunks are the appended
+    # registration/wrapper, the evicting-only ADVICE fixes, and
+    # docstring text.
+    "session_stats", "session_window_stats", "hourly_event_counts",
+    "stateful_streaming_sessions", "streaming_event_dedup",
+    "streaming_hourly_counts", "value_band_range_join",
+    "streaming_view_attribution", "stratified_event_sample",
+    # registered in queries_similarity.py: the r9 hunk is the
+    # appended maintenance registration only.
+    "srp_bucket_stats", "embedding_near_dups_indexed",
+    "embedding_near_dups_probe", "knn_bruteforce", "knn_ivf",
+    "ivf_assignments", "knn_ivf_pruned",
+    # reach streaming/pipeline.py transitively (queries_dedup /
+    # queries_graph -> streaming.triangles -> pipeline): the
+    # pipeline hunk is docstring-only.
+    "streaming_minhash_dedup", "streaming_triangle_count",
 }
 
 def _round_sorted(paths: list[str]) -> list[str]:
