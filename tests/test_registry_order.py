@@ -152,6 +152,8 @@ _ATTESTED_UNCHANGED = {
     # queries_graph -> streaming.triangles -> pipeline): the
     # pipeline hunk is docstring-only.
     "streaming_minhash_dedup", "streaming_triangle_count",
+    "triangles", "triangle_count", "connected_components",
+    "dedup_clusters", "dedup_survivors", "clean_corpus",
 }
 
 def _round_sorted(paths: list[str]) -> list[str]:
