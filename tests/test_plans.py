@@ -49,6 +49,7 @@ def test_no_cartesian_in_near_dup_plans(spark):
     or broadcast-nested-loop join here is the N² plan the 100 TB
     design forbids."""
     for name in ("embedding_near_dups_indexed", "embedding_near_dups_probe",
+                 "embedding_near_dups_maintained",
                  "ngram_jaccard_pairs", "srp_bucket_stats",
                  "minhash_dedup_pairs", "simhash_near_dups"):
         plan = _plan(spark, name)
