@@ -1982,11 +1982,19 @@ def test_evicting_sessionizer_property(spark):
                 state.advance_watermark_ms((mx - DELAY_US) // 1000)
         return emitted, admitted
 
-    minutes = st.integers(min_value=0, max_value=600)
+    # Wide-stress config (BENCHNOTES): after ANY edit to the group
+    # function, re-run one-off with SPARK_GRAFT_PROP_WIDE=1 — 3,000
+    # examples over a 2,000-minute event range and up to 12
+    # micro-batches. The committed default stays at 60 examples for
+    # suite wall time.
+    import os as _os
+    _wide = _os.environ.get("SPARK_GRAFT_PROP_WIDE") == "1"
+    minutes = st.integers(min_value=0, max_value=2000 if _wide else 600)
     batches = st.lists(
-        st.lists(minutes, min_size=0, max_size=5), min_size=1, max_size=6)
+        st.lists(minutes, min_size=0, max_size=5),
+        min_size=1, max_size=12 if _wide else 6)
 
-    @settings(max_examples=60, deadline=None)
+    @settings(max_examples=3000 if _wide else 60, deadline=None)
     @given(batches)
     def prop(bs):
         # distinct timestamps across the whole example: two events at
@@ -2181,13 +2189,18 @@ def test_minhash_dedup_group_property(spark):
         epochs.append(cur_epoch)
         return emitted, epochs, state
 
+    # Same wide-stress switch as the evicting-sessionizer property:
+    # SPARK_GRAFT_PROP_WIDE=1 → 3,000 examples, 2,000-minute range,
+    # up to 12 micro-batches (re-run after any group-function edit).
+    import os as _os
+    _wide = _os.environ.get("SPARK_GRAFT_PROP_WIDE") == "1"
     doc = st.integers(min_value=1, max_value=5)
-    minute = st.integers(min_value=0, max_value=600)
+    minute = st.integers(min_value=0, max_value=2000 if _wide else 600)
     batches = st.lists(
         st.lists(st.tuples(doc, minute), min_size=0, max_size=4),
-        min_size=1, max_size=7)
+        min_size=1, max_size=12 if _wide else 7)
 
-    @settings(max_examples=60, deadline=None)
+    @settings(max_examples=3000 if _wide else 60, deadline=None)
     @given(batches)
     def prop(bs):
         emitted, epochs, state = drive(bs)
