@@ -235,7 +235,7 @@ def q_embedding_near_dups_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # APPENDED with the batch, then COMPACTED into a fresh bucketed
     # table — so a hash match proves the whole maintenance cycle
     # (write → append → compact) reproduces a from-scratch rebuild's
-    # signature set exactly.
+    # near-dup PAIR SET exactly.
     oracle=_V_CTE + _srp_sigs_cte() + f"""
 , cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -262,8 +262,13 @@ def q_embedding_near_dups_maintained(spark: SparkSession,
     maintenance job. The returned near-dup set is served from the
     compacted table through the same zero-Exchange bucket self-join
     as ``embedding_near_dups_indexed``, and the full-recompute oracle
-    checks it value-exactly: any row the append dropped or the
-    compaction duplicated would flip the hash. The whole cycle is
+    checks it value-exactly: any signature the cycle LOST flips the
+    hash (a dropped row removes its bucket's collisions from the pair
+    set). Duplicated rows are invisible to this oracle — candidates
+    are ``distinct()``-ed before the verify join — so the
+    no-duplication half of compaction stays pinned where it is
+    observable, ``test_srp_index_compaction``'s one-file-per-bucket
+    and pair-parity checks. The whole cycle is
     memoized per (application, data dir) like the other
     persisted-index queries, so repeated calls measure the probe —
     the daily-ingest sequencing itself (probe the batch BEFORE

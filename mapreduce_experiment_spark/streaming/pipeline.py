@@ -100,6 +100,36 @@ def _stream_sink_dir(spark: SparkSession, prefix: str) -> str:
     return run
 
 
+def drain_to_parquet(spark: SparkSession, result: DataFrame,
+                     prefix: str) -> DataFrame:
+    """Drain a LINEAR-OUTPUT streaming DataFrame through the
+    checkpointed parquet sink (availableNow) and return a batch read
+    of the committed files — the ONE shared drain shape every
+    linear-output streaming query uses (r9 review: five verbatim
+    copies of this block had grown across pipeline.py and
+    sessions.py; a future fix to the drain contract had to land five
+    times). Executors write the files; the checkpoint's
+    ``_spark_metadata`` commit log makes the drain exactly-once, and
+    the batch read is scoped to committed files by that log. The
+    explicit schema on the read-back matters: a batch read of an
+    (edge-case) EMPTY sink dir must still return the contract schema
+    instead of failing inference."""
+    import os
+
+    run = _stream_sink_dir(spark, prefix)
+    out_dir = os.path.join(run, "out")
+    q = (
+        result.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(run, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(result.schema).parquet(out_dir)
+
+
 def streaming_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming deduplication: the event stream is ingested
     TWICE (two sources over the same file — the at-least-once delivery
@@ -123,24 +153,7 @@ def streaming_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = read_event_stream(spark, sf_dir)
     b = read_event_stream(spark, sf_dir)
     deduped = dedup_events(a.unionByName(b))
-    import os
-
-    run = _stream_sink_dir(spark, "dedup_")
-    out_dir = os.path.join(run, "out")
-    q = (
-        deduped.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", os.path.join(run, "ckpt"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    # Explicit schema: a batch read of an (edge-case) empty sink dir
-    # must still return the contract schema instead of failing
-    # inference; the _spark_metadata log scopes the read to committed
-    # files only.
-    return spark.read.schema(deduped.schema).parquet(out_dir)
+    return drain_to_parquet(spark, deduped, "dedup_")
 
 
 def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -216,20 +229,7 @@ def streaming_view_purchase_attribution(spark: SparkSession,
         F.expr("(unix_micros(purchase_ts) - unix_micros(view_ts))"
                " div 1000000").alias("lag_s"),
     )
-    import os
-
-    run = _stream_sink_dir(spark, "attr_")
-    out_dir = os.path.join(run, "out")
-    q = (
-        joined.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", os.path.join(run, "ckpt"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.read.schema(joined.schema).parquet(out_dir)
+    return drain_to_parquet(spark, joined, "attr_")
 
 
 _DOCS_RAW = T.StructType([
@@ -412,23 +412,10 @@ def streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (signature, canonical_id, n_copies) == the batch signature-group
     dedup on a single copy — the value-check contract.
     """
-    import os
-
     docs = read_document_stream(spark, sf_dir).unionByName(
         read_document_stream(spark, sf_dir))
     result = minhash_dedup_over_stream(docs)
-    run = _stream_sink_dir(spark, "minhash_")
-    out_dir = os.path.join(run, "out")
-    q = (
-        result.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", os.path.join(run, "ckpt"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    sunk = spark.read.schema(result.schema).parquet(out_dir)
+    sunk = drain_to_parquet(spark, result, "minhash_")
     return (
         sunk
         .groupBy("signature")

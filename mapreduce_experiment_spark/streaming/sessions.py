@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..operators.events import SESSION_GAP_MIN
-from .pipeline import _stream_sink_dir, read_event_stream
+from .pipeline import drain_to_parquet, read_event_stream
 
 _OUT_SCHEMA = (
     "user_id long, session_id long, n_events long, "
@@ -144,20 +144,7 @@ def stateful_session_stats(spark: SparkSession, sf_dir: str,
         fn, _OUT_SCHEMA, _STATE_SCHEMA, "append",
         GroupStateTimeout.NoTimeout,
     )
-    import os
-
-    run = _stream_sink_dir(spark, "sessions_")
-    out_dir = os.path.join(run, "out")
-    q = (
-        result.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", os.path.join(run, "ckpt"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.read.schema(result.schema).parquet(out_dir)
+    return drain_to_parquet(spark, result, "sessions_")
 
 
 # ---------------------------------------------------------------------------
@@ -356,22 +343,9 @@ def stateful_session_stats_evicting(
     ``min(epoch_us(ts))`` as the id (the ts-keyed id scheme is
     exactly what makes the state evictable; see
     :func:`sessionize_stream_evicting`)."""
-    import os
-
     events = read_event_stream(spark, sf_dir)
     result = sessionize_stream_evicting(events, gap_minutes, delay=delay)
-    run = _stream_sink_dir(spark, "sessions_ev_")
-    out_dir = os.path.join(run, "out")
-    q = (
-        result.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", os.path.join(run, "ckpt"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.read.schema(result.schema).parquet(out_dir)
+    return drain_to_parquet(spark, result, "sessions_ev_")
 
 
 def sessionize_stream_evicting(events: DataFrame,

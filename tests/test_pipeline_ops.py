@@ -3,6 +3,8 @@ text, events, multimodal) — behavior the oracle gate can't isolate."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from mapreduce_experiment_spark.operators import (
@@ -1871,6 +1873,19 @@ def test_streaming_minhash_deadline_never_regresses(spark, tmp_path):
     assert emitted == [1, 2, 3]
 
 
+def _prop_config(narrow_batches_max: int) -> tuple[int, int, int]:
+    """(max_examples, minute_max, batches_max) for a stateful property
+    test — ONE switch for both tests so the wide-stress shape can
+    never silently diverge between them (review r9): the committed
+    default stays narrow for suite wall time; SPARK_GRAFT_PROP_WIDE=1
+    is the re-run-after-any-group-function-edit config recorded in
+    BENCHNOTES (3,000 examples, 2,000-minute event range, up to 12
+    micro-batches)."""
+    if os.environ.get("SPARK_GRAFT_PROP_WIDE") == "1":
+        return 3000, 2000, 12
+    return 60, 600, narrow_batches_max
+
+
 class _FakeGroupState:
     """Mock GroupState shared by the stateful-operator property tests
     below: simulates the engine's state cell, event-time timeout
@@ -1982,19 +1997,13 @@ def test_evicting_sessionizer_property(spark):
                 state.advance_watermark_ms((mx - DELAY_US) // 1000)
         return emitted, admitted
 
-    # Wide-stress config (BENCHNOTES): after ANY edit to the group
-    # function, re-run one-off with SPARK_GRAFT_PROP_WIDE=1 — 3,000
-    # examples over a 2,000-minute event range and up to 12
-    # micro-batches. The committed default stays at 60 examples for
-    # suite wall time.
-    import os as _os
-    _wide = _os.environ.get("SPARK_GRAFT_PROP_WIDE") == "1"
-    minutes = st.integers(min_value=0, max_value=2000 if _wide else 600)
+    n_examples, minute_max, batches_max = _prop_config(6)
+    minutes = st.integers(min_value=0, max_value=minute_max)
     batches = st.lists(
         st.lists(minutes, min_size=0, max_size=5),
-        min_size=1, max_size=12 if _wide else 6)
+        min_size=1, max_size=batches_max)
 
-    @settings(max_examples=3000 if _wide else 60, deadline=None)
+    @settings(max_examples=n_examples, deadline=None)
     @given(batches)
     def prop(bs):
         # distinct timestamps across the whole example: two events at
@@ -2189,18 +2198,14 @@ def test_minhash_dedup_group_property(spark):
         epochs.append(cur_epoch)
         return emitted, epochs, state
 
-    # Same wide-stress switch as the evicting-sessionizer property:
-    # SPARK_GRAFT_PROP_WIDE=1 → 3,000 examples, 2,000-minute range,
-    # up to 12 micro-batches (re-run after any group-function edit).
-    import os as _os
-    _wide = _os.environ.get("SPARK_GRAFT_PROP_WIDE") == "1"
+    n_examples, minute_max, batches_max = _prop_config(7)
     doc = st.integers(min_value=1, max_value=5)
-    minute = st.integers(min_value=0, max_value=2000 if _wide else 600)
+    minute = st.integers(min_value=0, max_value=minute_max)
     batches = st.lists(
         st.lists(st.tuples(doc, minute), min_size=0, max_size=4),
-        min_size=1, max_size=12 if _wide else 7)
+        min_size=1, max_size=batches_max)
 
-    @settings(max_examples=3000 if _wide else 60, deadline=None)
+    @settings(max_examples=n_examples, deadline=None)
     @given(batches)
     def prop(bs):
         emitted, epochs, state = drive(bs)

@@ -131,8 +131,15 @@ _ROUND_BASE = "e17775a"  # driver's round-8 commit; bump each round
 # registration's text is untouched), and streaming/pipeline.py
 # (a docstring-only note on minhash_dedup_over_stream recording the
 # r8 state-schema break — fresh checkpoint required — per the r8
-# ADVICE; no executable line changes). Every name below is r8-green
-# with plan + oracle text untouched by those hunks.
+# ADVICE; no executable line changes). Review follow-up, same
+# containment: streaming/pipeline.py + streaming/sessions.py collapse
+# the five verbatim checkpointed-parquet drain blocks into ONE shared
+# drain_to_parquet helper (r9 review finding) — a mechanical
+# extraction with byte-identical writer options and read-back,
+# re-verified three ways: the four file-sink plan pins + the restart
+# test, and the sf0.01 DuckDB oracle mirror (the driver's own check)
+# re-run green for all five drained streaming queries. Every name
+# below is r8-green with plan + oracle text untouched by those hunks.
 _ATTESTED_UNCHANGED = {
     # registered in queries_events.py (module reaches
     # streaming/sessions.py + streaming/pipeline.py via its
