@@ -528,6 +528,13 @@ def test_srp_index_compaction(spark, sf_smoke, tmp_path):
         dst_files = [f for f in os.listdir(tmp_path / ctable)
                      if f.endswith(".parquet")]
         assert len(dst_files) <= S.SRP_INDEX_BUCKETS
+        # Exact ROW parity, not just pair parity: duplicated signature
+        # rows are invisible to the pair set (candidates are
+        # distinct-ed) and to the file count (dupes can share a file),
+        # so this is the one assertion that pins compaction writes
+        # each source row exactly once (r9 review).
+        assert (spark.table(ctable).count()
+                == spark.table(table).count())
         want = {(r.id_a, r.id_b, r.cos)
                 for r in S.embedding_near_dups_from_index(
                     spark, emb, table, threshold=0.45).collect()}
