@@ -45,7 +45,11 @@ def test_queries_run_under_bare_driver_session():
     events query, and — since r8 — one checkpointed-parquet-sink
     streaming query and one persisted-index query (saveAsTable +
     table properties + memo under a foreign warehouse config) in a
-    FRESH bare-session subprocess."""
+    FRESH bare-session subprocess — plus, since r9, the two new
+    registrations (the evicting-sessionizer drain and the
+    write→append→compact index-maintenance cycle, which exercises
+    ALTER TBLPROPERTIES and the bucketing-disabled compaction scan
+    under the foreign session too)."""
     import subprocess
     import sys
 
@@ -60,7 +64,9 @@ spark = (SparkSession.builder.master("local[2]")
 import __spark_entry__ as e
 q = e.queries()
 for name in ("sessionize_events", "pricing_summary",
-             "streaming_minhash_dedup", "embedding_near_dups_probe"):
+             "streaming_minhash_dedup", "embedding_near_dups_probe",
+             "stateful_streaming_sessions_evicting",
+             "embedding_near_dups_maintained"):
     n = q[name](spark, {SF_SMOKE!r}).count()
     assert n > 0, name
     print(name, n)
