@@ -262,13 +262,15 @@ def q_embedding_near_dups_maintained(spark: SparkSession,
     maintenance job. The returned near-dup set is served from the
     compacted table through the same zero-Exchange bucket self-join
     as ``embedding_near_dups_indexed``, and the full-recompute oracle
-    checks it value-exactly: any signature the cycle LOST flips the
-    hash (a dropped row removes its bucket's collisions from the pair
-    set). Duplicated rows are invisible to this oracle — candidates
-    are ``distinct()``-ed before the verify join — so the
-    no-duplication half of compaction stays pinned where it is
-    observable, ``test_srp_index_compaction``'s one-file-per-bucket
-    and pair-parity checks. The whole cycle is
+    checks it value-exactly at the PAIR level: a lost signature flips
+    the hash whenever its bucket collisions carry a >=threshold pair
+    not already covered by the vector's other bands (losses whose
+    collisions are all sub-threshold or band-redundant are invisible
+    here, as are duplicated rows — candidates are ``distinct()``-ed
+    before the verify join). Exactly-once at the ROW level is pinned
+    where it is observable: ``test_srp_index_compaction``'s two-way
+    multiset (exceptAll) parity between source and compacted
+    tables. The whole cycle is
     memoized per (application, data dir) like the other
     persisted-index queries, so repeated calls measure the probe —
     the daily-ingest sequencing itself (probe the batch BEFORE

@@ -431,7 +431,6 @@ def test_ivf_index_append_cycle(spark, sf_smoke, tmp_path):
             for r in S.knn_ivf(emb, n_queries=10, k=5).collect()}
     assert got == full and len(got) == 50
     # the appended rows actually landed outside the original build
-    import os
 
     parts = [d for d in os.listdir(path) if d.startswith("centroid_id=")]
     assert parts, "partitioned layout lost by the append"
@@ -507,7 +506,6 @@ def test_srp_index_compaction(spark, sf_smoke, tmp_path):
     rewrites into a NEW one-file-per-bucket table — pair-set parity,
     banding properties carried (probes still pass validation), and
     the self-join over the compacted table is still Exchange-free."""
-    import os
 
     from pyspark.sql import functions as F
 
@@ -528,13 +526,16 @@ def test_srp_index_compaction(spark, sf_smoke, tmp_path):
         dst_files = [f for f in os.listdir(tmp_path / ctable)
                      if f.endswith(".parquet")]
         assert len(dst_files) <= S.SRP_INDEX_BUCKETS
-        # Exact ROW parity, not just pair parity: duplicated signature
-        # rows are invisible to the pair set (candidates are
-        # distinct-ed) and to the file count (dupes can share a file),
-        # so this is the one assertion that pins compaction writes
-        # each source row exactly once (r9 review).
-        assert (spark.table(ctable).count()
-                == spark.table(table).count())
+        # Exact two-way MULTISET parity, not just pair parity:
+        # duplicated signature rows are invisible to the pair set
+        # (candidates are distinct-ed) and to the file count (dupes
+        # can share a file), and a plain count() could be fooled by a
+        # drop+duplicate combination — exceptAll in both directions
+        # is what pins compaction writing each source row exactly
+        # once (r9 review, twice-refined).
+        src, dst = spark.table(table), spark.table(ctable)
+        assert dst.exceptAll(src).count() == 0
+        assert src.exceptAll(dst).count() == 0
         want = {(r.id_a, r.id_b, r.cos)
                 for r in S.embedding_near_dups_from_index(
                     spark, emb, table, threshold=0.45).collect()}
@@ -596,7 +597,6 @@ def test_registered_index_queries_memoize_index_build(spark, sf_smoke):
     write their index ONCE per (application, sf) and serve repeat
     calls from it — measured here by the index dir's mtime staying
     put across a second call, with values identical."""
-    import os
 
     from mapreduce_experiment_spark.plans import queries_similarity as QS
 
@@ -625,7 +625,6 @@ def test_index_memo_distinguishes_same_named_dirs(spark, sf_smoke,
     (the bench SF_DIR vs SF_DIR_2 shape, or two tmp copies of
     sf0.001). Same-leaf copy with vec_ids shifted: if the memo served
     the first index, the probe results would be the first corpus's."""
-    import os
     import shutil
 
     from mapreduce_experiment_spark.plans.registry import SPECS
@@ -822,7 +821,6 @@ def test_streaming_minhash_state_eviction(spark, tmp_path):
     t3h = t0 + pd.Timedelta(hours=3)
     d = tmp_path / "docs_evict"
     d.mkdir()
-    import os
     import time
 
     now = time.time()
@@ -1607,7 +1605,6 @@ def test_stateful_sessions_state_eviction(spark, tmp_path):
                                          session is final; the delay is
                                          the lateness budget.
     """
-    import os
     import time
 
     import pandas as pd
@@ -1740,7 +1737,6 @@ def test_stateful_sessions_out_of_order_never_regresses(spark, tmp_path):
                                         open session untouched (no
                                         amendment row)
     """
-    import os
     import time
 
     import pandas as pd
@@ -1826,7 +1822,6 @@ def test_streaming_minhash_deadline_never_regresses(spark, tmp_path):
                                    (deadline T0+110m): must STAY
                                    suppressed — exactly-once holds
     """
-    import os
     import time
 
     import pandas as pd

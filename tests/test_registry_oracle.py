@@ -86,4 +86,6 @@ print("confs-applied")
     assert "sessionize_events" in r.stdout and "pricing_summary" in r.stdout
     assert "streaming_minhash_dedup" in r.stdout
     assert "embedding_near_dups_probe" in r.stdout
+    assert "stateful_streaming_sessions_evicting" in r.stdout
+    assert "embedding_near_dups_maintained" in r.stdout
     assert "confs-applied" in r.stdout
