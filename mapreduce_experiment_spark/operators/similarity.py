@@ -651,6 +651,35 @@ def append_ivf_index(batch: DataFrame, centroids_src: DataFrame, path: str,
      .write.mode("append").partitionBy("centroid_id").parquet(path))
 
 
+def compact_ivf_index(spark, path: str, new_path: str) -> None:
+    """Compact an appended-to IVF index into ``new_path`` — the
+    maintenance job that completes the centroid-partitioned index's
+    ingest cycle, mirroring :func:`compact_srp_index` for the SRP
+    family (r9: the SRP side had write/append/compact; the IVF side
+    stopped at append, leaving each ``centroid_id=`` directory to
+    gain one file per daily :func:`append_ivf_index` forever).
+
+    One hash repartition on ``centroid_id`` puts every centroid's
+    rows in exactly one task, so each partition directory comes out
+    holding exactly ONE data file (a task may own several centroids —
+    still one file per directory; AQE coalescing only widens a task's
+    centroid set, never splits one). That single shuffle IS the cost
+    of compaction — an off-peak maintenance job, not a query-path
+    cost, identical to the SRP analysis. A NEW directory plus a
+    caller-side cutover is again the only safe shape: rewriting in
+    place would yank files out from under a concurrent probe's
+    already-planned partition-pruned scan. Unlike the SRP table there
+    are no catalog properties to carry — the IVF contract (seed
+    centroids = ids below ``n_centroids``) is positional in the data
+    itself and survives the rewrite byte-for-byte (row multiset
+    parity and probe value parity pinned by
+    ``test_ivf_index_compaction``)."""
+    idx = spark.read.parquet(path)
+    (idx.repartition(F.col("centroid_id"))
+     .write.mode("overwrite").partitionBy("centroid_id")
+     .parquet(new_path))
+
+
 SRP_INDEX_BUCKETS = 16
 
 

@@ -449,6 +449,51 @@ def test_ivf_index_append_cycle(spark, sf_smoke, tmp_path):
     assert spark.read.parquet(path).where(F.col("vec_id") < 10).count() == 0
 
 
+def test_ivf_index_compaction(spark, sf_smoke, tmp_path):
+    """IVF compaction closes the centroid-partitioned index's
+    operational loop the way SRP compaction closes the bucketed one
+    (r9): after appends fatten partition directories to multiple
+    files, compact_ivf_index rewrites into a NEW directory with
+    exactly one data file per centroid partition — two-way multiset
+    row parity, and the pruned-probe kNN over the compacted index is
+    value-identical to the original."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_experiment_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    original = emb.where(F.col("vec_id") < 300)
+    batch = emb.where(F.col("vec_id") >= 300)
+    path = str(tmp_path / "ivf_compact_src")
+    cpath = str(tmp_path / "ivf_compact_dst")
+    S.write_ivf_index(original, path, n_queries=10)
+    S.append_ivf_index(batch, original, path)
+
+    def files_per_part(p):
+        return {d: len([f for f in os.listdir(os.path.join(p, d))
+                        if f.endswith(".parquet")])
+                for d in os.listdir(p) if d.startswith("centroid_id=")}
+
+    src_files = files_per_part(path)
+    assert any(n > 1 for n in src_files.values()), \
+        "append did not fatten any partition — the test is vacuous"
+    S.compact_ivf_index(spark, path, cpath)
+    dst_files = files_per_part(cpath)
+    assert set(dst_files) == set(src_files)  # no partition lost
+    assert all(n == 1 for n in dst_files.values()), dst_files
+    # two-way multiset parity: compaction writes each row exactly once
+    src, dst = spark.read.parquet(path), spark.read.parquet(cpath)
+    assert dst.exceptAll(src).count() == 0
+    assert src.exceptAll(dst).count() == 0
+    # probe value parity on the compacted directory
+    got = {(r.query_id, r.neighbor_id, r.rank, r.cos)
+           for r in S.knn_ivf_pruned(spark, emb, cpath,
+                                     n_queries=10, k=5).collect()}
+    full = {(r.query_id, r.neighbor_id, r.rank, r.cos)
+            for r in S.knn_ivf(emb, n_queries=10, k=5).collect()}
+    assert got == full and len(got) == 50
+
+
 def test_srp_index_append_cycle(spark, sf_smoke, tmp_path):
     """The full daily-ingest cycle: index the corpus, probe the new
     batch, APPEND the batch's signatures, and verify (a) the appended

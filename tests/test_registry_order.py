@@ -131,7 +131,11 @@ _ROUND_BASE = "e17775a"  # driver's round-8 commit; bump each round
 # registration's text is untouched), and streaming/pipeline.py
 # (a docstring-only note on minhash_dedup_over_stream recording the
 # r8 state-schema break — fresh checkpoint required — per the r8
-# ADVICE; no executable line changes). Review follow-up, same
+# ADVICE; no executable line changes), and operators/similarity.py
+# (the APPENDED compact_ivf_index maintenance job — reached from no
+# registered query, like the r8-appended append_*/compact_srp_index
+# it completes; pinned by test_ivf_index_compaction). Review
+# follow-up, same
 # containment: streaming/pipeline.py + streaming/sessions.py collapse
 # the five verbatim checkpointed-parquet drain blocks into ONE shared
 # drain_to_parquet helper (r9 review finding) — a mechanical
