@@ -92,6 +92,15 @@ def register(name: str, oracle: str | None = None, headline: bool = False):
 # (next candidate per the r8 verdict: srp_bucket_stats, whose
 # occupancy stats are implied by the indexed query's oracle-checked
 # candidate set).
+#
+# ROUND 10: the window is HELD, not rotated — the r9 driver verdict
+# never landed (no CORRECTNESS_r09.json; VERDICT.md was still round 8
+# at round-10 start), so this window's queries remain the registry's
+# stalest: its two r9 registrations have never held a driver verdict
+# and the other 48 are last verified r7. The r8-greens consequently
+# age to 2 rounds; the r11 rotation re-verifies them (49 after the
+# srp_bucket_stats retirement, + the deferred knn_ivf_maintained
+# = exactly 50).
 _ORDER: list[str] = [
     # -- round 9: new queries (lead the window) --
     "stateful_streaming_sessions_evicting",  # evicting sessionizer

@@ -12,16 +12,19 @@ import os
 
 from mapreduce_experiment_spark.plans.registry import _ORDER, SPECS
 
-# Round 9 contract: the two NEW registrations (the r8 verdict's two
-# slack-slot promotions — stateful_streaming_sessions_evicting, the
-# deployment-mode sessionizer previously reached from no registered
-# query, and embedding_near_dups_maintained, the SRP index
-# write→append→compact cycle previously pinned only by rebuild-parity
-# unit tests) plus ALL 48 queries whose last driver verdict was r7
-# (the 48 rotated out of the r8 window — keeps every verdict <= 1
-# round old).
+# Round 10 contract: the r9 window is HELD, not rotated. The r9
+# driver verdict never landed (no CORRECTNESS_r09.json, no r9 driver
+# commit — VERDICT.md is still round 8 at round-10 start), so the r9
+# window's queries remain the stalest set in the registry: the two r9
+# registrations (stateful_streaming_sessions_evicting,
+# embedding_near_dups_maintained) have NEVER held a driver verdict,
+# and the 48 others' last verdict is r7. Rotating to the 50 r8-greens
+# (the plan queued when a green r9 verdict was assumed) would leave
+# never-verified queries unverified for yet another round — strictly
+# worse. The r8-greens go 2 rounds stale as a consequence; that is
+# forced by the missing verdict, and the r11 rotation picks them up.
 _MUST_BE_IN_WINDOW = {
-    # new in round 9
+    # new in round 9, still without any driver verdict
     "stateful_streaming_sessions_evicting",
     "embedding_near_dups_maintained",
     # last driver verdict r7
@@ -50,9 +53,8 @@ WINDOW = 50
 # must sit immediately after the window boundary so the next rotation
 # picks them up first, and they carry local oracle gating
 # (test_registry_oracle, sf0.001 + sf0.01) in the meantime.
-# Round 9 has no deferral: the rotation arithmetic closed exactly
-# (48 r7-greens + 2 new = 50), the two new registrations spending
-# the slack slots the r8 retirement left.
+# Round 10: the window is held (see above), so any new registration
+# this round cannot fit and must defer to the r11 window.
 _DEFERRED_TO_NEXT_WINDOW: list[str] = []
 
 
@@ -112,60 +114,19 @@ def test_registry_has_expected_size():
 # either sit inside the window or be explicitly attested unchanged
 # below (a conscious, reviewable act in the diff).
 
-_ROUND_BASE = "e17775a"  # driver's round-8 commit; bump each round
+# No r9 driver commit exists (the r9 verdict never landed), so the
+# round boundary is round 9's final builder commit — the tree the
+# round-10 session started from.
+_ROUND_BASE = "25026a9"  # round-9 end commit; bump each round
 
 # Queries living in touched modules whose own plan + oracle are
-# attested unchanged this round. Round 9's package edits are:
-# streaming/sessions.py (the APPENDED stateful_session_stats_evicting
-# drain wrapper — reached only from the NEW in-window
-# stateful_streaming_sessions_evicting registration — plus, per the
-# r8 ADVICE, the ceiling-division fix to the evicting variant's
-# eviction deadline and the softened cross-batch orphan-stability
-# comment, both confined to _sessionize_group_evicting, which no
-# query outside the new in-window registration reaches),
-# plans/queries_events.py (the APPENDED evicting-sessionizer
-# registration and a docstring pointer added to the retained
-# stateful_streaming_sessions registration — its plan and oracle
-# text are byte-untouched), plans/queries_similarity.py (the
-# APPENDED embedding_near_dups_maintained registration; every other
-# registration's text is untouched), and streaming/pipeline.py
-# (a docstring-only note on minhash_dedup_over_stream recording the
-# r8 state-schema break — fresh checkpoint required — per the r8
-# ADVICE; no executable line changes), and operators/similarity.py
-# (the APPENDED compact_ivf_index maintenance job — reached from no
-# registered query, like the r8-appended append_*/compact_srp_index
-# it completes; pinned by test_ivf_index_compaction). Review
-# follow-up, same
-# containment: streaming/pipeline.py + streaming/sessions.py collapse
-# the five verbatim checkpointed-parquet drain blocks into ONE shared
-# drain_to_parquet helper (r9 review finding) — a mechanical
-# extraction with byte-identical writer options and read-back,
-# re-verified three ways: the four file-sink plan pins + the restart
-# test, and the sf0.01 DuckDB oracle mirror (the driver's own check)
-# re-run green for all five drained streaming queries. Every name
-# below is r8-green with plan + oracle text untouched by those hunks.
-_ATTESTED_UNCHANGED = {
-    # registered in queries_events.py (module reaches
-    # streaming/sessions.py + streaming/pipeline.py via its
-    # function-local imports): the r9 hunks are the appended
-    # registration/wrapper, the evicting-only ADVICE fixes, and
-    # docstring text.
-    "session_stats", "session_window_stats", "hourly_event_counts",
-    "stateful_streaming_sessions", "streaming_event_dedup",
-    "streaming_hourly_counts", "value_band_range_join",
-    "streaming_view_attribution", "stratified_event_sample",
-    # registered in queries_similarity.py: the r9 hunk is the
-    # appended maintenance registration only.
-    "srp_bucket_stats", "embedding_near_dups_indexed",
-    "embedding_near_dups_probe", "knn_bruteforce", "knn_ivf",
-    "ivf_assignments", "knn_ivf_pruned",
-    # reach streaming/pipeline.py transitively (queries_dedup /
-    # queries_graph -> streaming.triangles -> pipeline): the
-    # pipeline hunk is docstring-only.
-    "streaming_minhash_dedup", "streaming_triangle_count",
-    "triangles", "triangle_count", "connected_components",
-    "dedup_clusters", "dedup_survivors", "clean_corpus",
-}
+# attested unchanged this round (measured against _ROUND_BASE =
+# round 9's final commit). Note the r9 attestations stay TRUE as
+# historical claims — the r9 window was never driver-verified (no
+# CORRECTNESS_r09.json), so every name attested last round still
+# rests on its r8 verdict plus the unchanged-text attestation, which
+# this round's held window preserves verbatim.
+_ATTESTED_UNCHANGED: set[str] = set()
 
 def _round_sorted(paths: list[str]) -> list[str]:
     """Sort round-stamped artifact files by NUMERIC round: plain
