@@ -124,9 +124,11 @@ _ORDER: list[str] = [
     "top_orders_global", "triangles_faithful", "user_value_scd2",
     # ---- verification-window boundary: len(_ORDER) == 50, pinned by
     #      test_order_is_exactly_the_window ----
-    # (no deferred tail: _DEFERRED_TO_NEXT_WINDOW is empty — the r10
-    # rotation is the 50 r8-greens not re-verified here, exactly
-    # filling the window.)
+    # Deferred to the r11 window (held r10 window is full; see the
+    # ROUND 10 note above): the IVF index-maintenance registration,
+    # funded by the srp_bucket_stats retirement, locally oracle-gated
+    # at both SFs until the driver reaches it.
+    "knn_ivf_maintained",
     # r8-green unchanged queries follow in registration order.
 ]
 

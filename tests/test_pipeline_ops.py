@@ -751,6 +751,34 @@ SELECT doc_id, {_simhash_sql()} AS simhash FROM sh
                    "simhash_signatures(retired)")
 
 
+def test_retired_srp_bucket_stats_oracle_still_holds(spark, sf_smoke):
+    """The r10-retired ``srp_bucket_stats`` driver registration,
+    preserved verbatim as a LOCAL oracle check (the pattern the r7
+    signature-table retirements set): the bucket-occupancy diagnostic
+    lost its driver-window slot to the knn_ivf_maintained
+    registration, not its correctness gate — this is the exact SQL
+    the driver ran against it through r8."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_experiment_spark.operators import similarity as S
+    from mapreduce_experiment_spark.plans.queries_similarity import (
+        _srp_sigs_cte,
+        _V_CTE,
+    )
+    from tests.oracle_util import assert_matches, run_oracle
+
+    sql = _V_CTE + _srp_sigs_cte() + """
+SELECT band_id, band_val, count(*) AS n_vectors
+FROM sigs GROUP BY band_id, band_val
+"""
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    got = (S.srp_signatures(emb)
+           .groupBy("band_id", "band_val")
+           .agg(F.count(F.lit(1)).alias("n_vectors")))
+    assert_matches(got, run_oracle(sql, sf_smoke),
+                   "srp_bucket_stats(retired)")
+
+
 def test_ivf_recall_vs_bruteforce(spark, sf_smoke):
     """Recall gate for the approximate ANN paths (r3 verdict item 2):
     the registered knn_ivf / knn_ivf_trained oracles MIRROR the

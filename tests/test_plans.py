@@ -50,7 +50,7 @@ def test_no_cartesian_in_near_dup_plans(spark):
     design forbids."""
     for name in ("embedding_near_dups_indexed", "embedding_near_dups_probe",
                  "embedding_near_dups_maintained",
-                 "ngram_jaccard_pairs", "srp_bucket_stats",
+                 "ngram_jaccard_pairs",
                  "minhash_dedup_pairs", "simhash_near_dups"):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
@@ -510,3 +510,29 @@ def test_knn_ivf_pruned_registered_query_scans_pruned_index(spark):
                and "PartitionFilters: [centroid_id" in line
                and (" IN (" in line or "INSET" in line)
                for line in plan.splitlines())
+
+
+def test_knn_ivf_maintained_scans_pruned_compacted_index(spark):
+    """The registered maintenance-cycle query must serve its probe
+    from the COMPACTED index with the same static partition filter as
+    knn_ivf_pruned — compaction must not cost the pruning (reading
+    the raw appended directory, or the compacted one without a
+    centroid_id filter, would both silently pass value checks)."""
+    df = SPECS()["knn_ivf_maintained"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert any("FileScan parquet" in line
+               and "PartitionFilters: [centroid_id" in line
+               and (" IN (" in line or "INSET" in line)
+               for line in plan.splitlines())
+    # The plan string elides long paths, so check the scanned
+    # directory through the relation's file listing instead.
+    files = df.inputFiles()
+    assert any("/final/" in f for f in files), (
+        "maintained query's pruned scan reads the raw appended index, "
+        "not the compacted directory")
+    assert not any("/raw/" in f for f in files)
+    # No unbounded product: the only nested-loop join in this plan is
+    # the probe-selection cross of two BROADCAST-tiny sides (10 query
+    # vectors x 16 seed centroids, _ivf_probes) — a CartesianProduct
+    # (both sides partitioned, i.e. corpus-scale) must never appear.
+    assert "CartesianProduct" not in plan

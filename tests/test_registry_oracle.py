@@ -49,7 +49,9 @@ def test_queries_run_under_bare_driver_session():
     registrations (the evicting-sessionizer drain and the
     write→append→compact index-maintenance cycle, which exercises
     ALTER TBLPROPERTIES and the bucketing-disabled compaction scan
-    under the foreign session too)."""
+    under the foreign session too), and since r10 the IVF
+    maintenance cycle (pure-path partitioned parquet, statically
+    pruned probe over the compacted directory)."""
     import subprocess
     import sys
 
@@ -66,7 +68,7 @@ q = e.queries()
 for name in ("sessionize_events", "pricing_summary",
              "streaming_minhash_dedup", "embedding_near_dups_probe",
              "stateful_streaming_sessions_evicting",
-             "embedding_near_dups_maintained"):
+             "embedding_near_dups_maintained", "knn_ivf_maintained"):
     n = q[name](spark, {SF_SMOKE!r}).count()
     assert n > 0, name
     print(name, n)
@@ -98,4 +100,5 @@ print("confs-applied")
     assert "embedding_near_dups_probe" in r.stdout
     assert "stateful_streaming_sessions_evicting" in r.stdout
     assert "embedding_near_dups_maintained" in r.stdout
+    assert "knn_ivf_maintained" in r.stdout
     assert "confs-applied" in r.stdout
