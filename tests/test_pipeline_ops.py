@@ -494,6 +494,37 @@ def test_ivf_index_compaction(spark, sf_smoke, tmp_path):
     assert got == full and len(got) == 50
 
 
+def test_maintained_ivf_oracle_discriminates_lost_append(spark, sf_smoke,
+                                                         tmp_path):
+    """Negative control for the knn_ivf_maintained registration (the
+    pattern the recall gate set): its full-recompute oracle can only
+    catch a maintenance failure if the held-out batch's vectors
+    actually RANK in some query's probed top-7 at this sf — otherwise
+    a silently dropped append would still hash-match and the driver
+    verdict would be vacuous. Serve the registered query's exact k=7
+    probe from an index built WITHOUT the append and require the
+    neighbor set to differ from the full recompute."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_experiment_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    reserved = max(10, S.N_CENTROIDS)
+    is_batch = (F.col("vec_id") >= reserved) & (F.col("vec_id") % 7 == 0)
+    assert emb.where(is_batch).count() > 0
+    path = str(tmp_path / "ivf_no_append")
+    S.write_ivf_index(emb.where(~is_batch), path, n_queries=10)
+    dropped = {(r.query_id, r.neighbor_id, r.rank)
+               for r in S.knn_ivf_pruned(spark, emb, path,
+                                         n_queries=10, k=7).collect()}
+    full = {(r.query_id, r.neighbor_id, r.rank)
+            for r in S.knn_ivf(emb, n_queries=10, k=7).collect()}
+    assert dropped != full, (
+        "no batch vector ranks in any probed top-7 at this sf — the "
+        "maintained query's oracle could not see a lost append"
+    )
+
+
 def test_srp_index_append_cycle(spark, sf_smoke, tmp_path):
     """The full daily-ingest cycle: index the corpus, probe the new
     batch, APPEND the batch's signatures, and verify (a) the appended
