@@ -501,6 +501,21 @@ assert _KNN_IVF_SQL.count("WHERE rank <= 5") == 1
 _KNN_IVF_SQL_K7 = _KNN_IVF_SQL.replace("WHERE rank <= 5", "WHERE rank <= 7")
 
 
+def ivf_maintenance_split(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(initial, batch) corpus split of the maintained-IVF cycle —
+    the SINGLE definition shared by the registration below and its
+    lost-append negative control
+    (``test_maintained_ivf_oracle_discriminates_lost_append``), so the
+    discrimination proof can never silently drift from the split the
+    registered query actually runs. Corpus rows (ids past the
+    query-vector / centroid-seed reservation) with ``vec_id % 7 == 0``
+    form the arriving batch; everything else — including all reserved
+    low ids — stays in the initial build input."""
+    reserved = max(10, S.N_CENTROIDS)  # query ids + centroid seed ids
+    is_batch = (F.col("vec_id") >= reserved) & (F.col("vec_id") % 7 == 0)
+    return emb.where(~is_batch), emb.where(is_batch)
+
+
 @register(
     "knn_ivf_maintained",
     # Oracle = the full-recompute knn_ivf SQL at k=7: the maintained
@@ -540,10 +555,7 @@ def q_knn_ivf_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the deployment shape, where the daily batch pays one
     assignment + append, never an index rebuild."""
     emb = load_table(spark, sf_dir, "embeddings")
-    reserved = max(10, S.N_CENTROIDS)  # query ids + centroid seed ids
-    is_batch = (F.col("vec_id") >= reserved) & (F.col("vec_id") % 7 == 0)
-    batch = emb.where(is_batch)
-    initial = emb.where(~is_batch)
+    initial, batch = ivf_maintenance_split(emb)
 
     def build(p: str) -> None:
         raw = os.path.join(p, "raw")

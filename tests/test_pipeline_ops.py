@@ -504,16 +504,18 @@ def test_maintained_ivf_oracle_discriminates_lost_append(spark, sf_smoke,
     verdict would be vacuous. Serve the registered query's exact k=7
     probe from an index built WITHOUT the append and require the
     neighbor set to differ from the full recompute."""
-    from pyspark.sql import functions as F
-
     from mapreduce_experiment_spark.operators import similarity as S
+    from mapreduce_experiment_spark.plans.queries_similarity import (
+        ivf_maintenance_split,
+    )
 
     emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
-    reserved = max(10, S.N_CENTROIDS)
-    is_batch = (F.col("vec_id") >= reserved) & (F.col("vec_id") % 7 == 0)
-    assert emb.where(is_batch).count() > 0
+    # The exact split the registered query runs — shared definition,
+    # so this proof can't drift from it.
+    initial, batch = ivf_maintenance_split(emb)
+    assert batch.count() > 0
     path = str(tmp_path / "ivf_no_append")
-    S.write_ivf_index(emb.where(~is_batch), path, n_queries=10)
+    S.write_ivf_index(initial, path, n_queries=10)
     dropped = {(r.query_id, r.neighbor_id, r.rank)
                for r in S.knn_ivf_pruned(spark, emb, path,
                                          n_queries=10, k=7).collect()}

@@ -87,10 +87,13 @@ print("confs-applied")
     # disables AQE, so every micro-batch schedules 200 state-store
     # tasks over 2 cores. That is exactly the driver-parity condition
     # this test exists to exercise (the round driver's own session is
-    # equally bare), not a defect to tune away here. Remaining four
-    # queries ~16 s + ~25 s JVM/import startup ≈ 270-290 s total, so
-    # the former 300 s budget flaked under any concurrent load; 900 s
-    # is ~3x the idle-machine cost.
+    # equally bare), not a defect to tune away here. The r9-measured
+    # remainder was four batch queries ~16 s + ~25 s JVM/import
+    # startup ≈ 270-290 s; r10 adds knn_ivf_maintained (a full
+    # write→append→compact IVF build at 200 shuffle partitions,
+    # tens of seconds under this bare session), so the idle-machine
+    # cost is ~300-330 s and the 900 s budget keeps the ~3x headroom
+    # the r9 flake analysis called for.
     r = subprocess.run([sys.executable, "-c", script],
                        capture_output=True, text=True, timeout=900,
                        cwd=__file__.rsplit("/tests/", 1)[0])
