@@ -12,38 +12,39 @@ import os
 
 from mapreduce_experiment_spark.plans.registry import _ORDER, SPECS
 
-# Round 10 contract: the r9 window is HELD, not rotated. The r9
-# driver verdict never landed (no CORRECTNESS_r09.json, no r9 driver
-# commit — VERDICT.md is still round 8 at round-10 start), so the r9
-# window's queries remain the stalest set in the registry: the two r9
-# registrations (stateful_streaming_sessions_evicting,
-# embedding_near_dups_maintained) have NEVER held a driver verdict,
-# and the 48 others' last verdict is r7. Rotating to the 50 r8-greens
-# (the plan queued when a green r9 verdict was assumed) would leave
-# never-verified queries unverified for yet another round — strictly
-# worse. The r8-greens go 2 rounds stale as a consequence; that is
-# forced by the missing verdict, and the r11 rotation picks them up.
+# Round 11 contract: the queued rotation, landed. The r10 driver
+# verdict DID land (CORRECTNESS_r10.json 50/50 green, keys == the
+# held WINDOW_r10.json), so the held window rotates out and the new
+# window is the registry's stalest set: knn_ivf_maintained (the r10
+# deferral — the only registered query without any driver verdict)
+# plus the 49 r8-greens (the r8 window minus the retired
+# srp_bucket_stats), whose last verdict is 2 driver-rounds old
+# because of the r9 miss. 49 + 1 = 50, zero slack.
 _MUST_BE_IN_WINDOW = {
-    # new in round 9, still without any driver verdict
-    "stateful_streaming_sessions_evicting",
-    "embedding_near_dups_maintained",
-    # last driver verdict r7
-    "account_balance_union", "adjacency", "approx_distinct_counts",
-    "bm25_topk", "candidate_pairs", "canonical_url_groups",
-    "corpus_shuffle", "customer_running_spend", "customers_churned",
-    "customers_retained", "degrees", "edges_derive",
-    "events_json_extract", "exact_dedup_groups", "fingerprints",
-    "grouping_sets_sql", "kmeans_centroids", "kmeans_ivf_assignments",
-    "knn_ivf_trained", "lang_id", "minhash_dedup_pairs",
-    "mktsegment_pivot", "nation_order_stats", "ngram_jaccard_pairs",
-    "order_gap_days", "order_priority_rollup", "order_scalar_functions",
-    "orders_above_customer_average", "pagerank", "parts_never_ordered",
-    "pii_redaction", "pricing_summary", "quality_scores",
-    "repeated_spans", "returnflag_status_cube", "revenue_by_nation",
-    "sessionize_events", "simhash_near_dups", "span_deduped_corpus",
-    "suppliers_with_orders", "symmetrize", "tfidf_doc_pairs",
-    "token_counts", "token_frequencies", "top_customers_per_nation",
-    "top_orders_global", "triangles_faithful", "user_value_scd2",
+    # new in round 10, deferred past the held window — no verdict yet
+    "knn_ivf_maintained",
+    # last driver verdict r8
+    "streaming_minhash_dedup", "stateful_streaming_sessions",
+    "streaming_view_attribution", "knn_ivf_pruned",
+    "embedding_near_dups_indexed", "streaming_event_dedup",
+    "embedding_near_dups_probe", "approx_order_percentiles",
+    "asia_market_share", "clean_corpus", "connected_components",
+    "decontaminated_corpus", "decontamination_external",
+    "decontamination_pairs", "dedup_clusters", "dedup_survivors",
+    "doc_chunks", "event_type_counts_salted", "hourly_event_counts",
+    "ivf_assignments", "knn_bruteforce", "knn_ivf", "lineitem_profile",
+    "media_byte_histograms", "media_frame_sample", "media_metadata",
+    "monthly_retention_cohorts", "nation_participants_full_outer",
+    "order_size_distribution", "packed_sequence_fragments",
+    "packed_sequences", "price_quantity_correlation",
+    "purchase_last_click_asof", "quality_filtered_corpus",
+    "repetition_scores", "session_stats", "session_window_stats",
+    "signup_to_purchase_funnel", "source_mixture_sample",
+    "stratified_event_sample", "streaming_hourly_counts",
+    "streaming_triangle_count", "top_parts_per_nation",
+    "triangle_count", "triangles", "trigram_counts",
+    "value_band_range_join", "value_distribution_stats",
+    "volume_shipping",
 }
 
 WINDOW = 50
@@ -55,23 +56,20 @@ WINDOW = 50
 # verified names disappearing SILENTLY; listing one here is the
 # explicit, reviewable act that distinguishes a retirement from an
 # accident. Prune entries when the next correctness file lands.
-_RETIRED_AFTER_VERDICT = {
-    # r10: funded knn_ivf_maintained; oracle preserved as
-    # test_retired_srp_bucket_stats_oracle_still_holds.
-    "srp_bucket_stats",
-}
+_RETIRED_AFTER_VERDICT: set[str] = set()
+# (r11: pruned srp_bucket_stats — CORRECTNESS_r10.json landed and no
+# longer lists it; its tombstone + preserved oracle check remain at
+# plans/queries_similarity.py / test_retired_srp_bucket_stats_oracle_still_holds.)
 
 # New queries that could NOT fit this round's 50-slot window and whose
 # driver verification is therefore deferred EXACTLY one round: they
 # must sit immediately after the window boundary so the next rotation
 # picks them up first, and they carry local oracle gating
 # (test_registry_oracle, sf0.001 + sf0.01) in the meantime.
-# Round 10: the window is held (see above), so a new registration
-# cannot fit — knn_ivf_maintained (the IVF index maintenance cycle,
-# mirroring r9's SRP embedding_near_dups_maintained; funded by the
-# srp_bucket_stats retirement the r8 verdict named) defers to the
-# r11 window, locally oracle-gated at both SFs in the meantime.
-_DEFERRED_TO_NEXT_WINDOW: list[str] = ["knn_ivf_maintained"]
+# Round 11: the r10 deferral (knn_ivf_maintained) rotated INTO the
+# window as its first entry; nothing new registered this round, so
+# nothing defers.
+_DEFERRED_TO_NEXT_WINDOW: list[str] = []
 
 
 def test_order_is_exactly_the_window():
@@ -130,31 +128,14 @@ def test_registry_has_expected_size():
 # either sit inside the window or be explicitly attested unchanged
 # below (a conscious, reviewable act in the diff).
 
-# No r9 driver commit exists (the r9 verdict never landed), so the
-# round boundary is round 9's final builder commit — the tree the
-# round-10 session started from.
-_ROUND_BASE = "25026a9"  # round-9 end commit; bump each round
+_ROUND_BASE = "280f9e2"  # r10 driver commit (verdict landed); bump each round
 
 # Queries living in touched modules whose own plan + oracle are
-# attested unchanged this round (measured against _ROUND_BASE =
-# round 9's final commit). Note the r9 attestations stay TRUE as
-# historical claims — the r9 window was never driver-verified (no
-# CORRECTNESS_r09.json), so every name attested last round still
-# rests on its r8 verdict plus the unchanged-text attestation, which
-# this round's held window preserves verbatim.
-#
-# Round 10's package edits: plans/queries_similarity.py only — the
-# srp_bucket_stats retirement (tombstone), the APPENDED
-# knn_ivf_maintained registration (deferred, see above), and the
-# module-level _KNN_IVF_SQL_K7 derivation, which is a .replace over
-# the EXISTING _KNN_IVF_SQL constant guarded by a count assertion —
-# _KNN_IVF_SQL itself and every other registration's plan + oracle
-# text are byte-untouched. The names below are the module's
-# r8-greens outside the held window.
-_ATTESTED_UNCHANGED: set[str] = {
-    "embedding_near_dups_indexed", "embedding_near_dups_probe",
-    "knn_bruteforce", "knn_ivf", "ivf_assignments", "knn_ivf_pruned",
-}
+# attested unchanged this round (measured against _ROUND_BASE = the
+# r10 driver commit). Empty at rotation time; any in-round package
+# edit to a shared module must either rotate its queries in or attest
+# them here in the same commit.
+_ATTESTED_UNCHANGED: set[str] = set()
 
 def _round_sorted(paths: list[str]) -> list[str]:
     """Sort round-stamped artifact files by NUMERIC round: plain
