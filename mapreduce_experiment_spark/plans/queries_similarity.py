@@ -495,10 +495,21 @@ def q_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 # knn_ivf's oracle at k=7 for the maintained-index registration: the
 # body (probing, bucketing, candidate scoring, ranking) is BY DESIGN
 # byte-identical to _KNN_IVF_SQL — only the final rank cut differs,
-# so the two oracles can never drift apart semantically. The count
-# assertion keeps the replace honest if the SQL is ever reworded.
-assert _KNN_IVF_SQL.count("WHERE rank <= 5") == 1
+# so the two oracles can never drift apart semantically. The explicit
+# raise (not a bare assert, which `python -O` strips — ADVICE r10)
+# keeps the replace honest if the SQL is ever reworded.
+if _KNN_IVF_SQL.count("WHERE rank <= 5") != 1:
+    raise ValueError(
+        "_KNN_IVF_SQL no longer contains exactly one 'WHERE rank <= 5' "
+        "cut — the k=7 rewrite below would silently no-op; update both")
 _KNN_IVF_SQL_K7 = _KNN_IVF_SQL.replace("WHERE rank <= 5", "WHERE rank <= 7")
+
+# One shared query-id reservation for the maintained-IVF cycle: the
+# corpus split and every write/append/probe call must agree on how
+# many low vec_ids are query vectors, or batch rows could land in
+# (or be filtered from) the index inconsistently with the oracle
+# (ADVICE r10 — previously a literal 10 in two places).
+N_IVF_MAINT_QUERIES = 10
 
 
 def ivf_maintenance_split(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -511,7 +522,7 @@ def ivf_maintenance_split(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
     query-vector / centroid-seed reservation) with ``vec_id % 7 == 0``
     form the arriving batch; everything else — including all reserved
     low ids — stays in the initial build input."""
-    reserved = max(10, S.N_CENTROIDS)  # query ids + centroid seed ids
+    reserved = max(N_IVF_MAINT_QUERIES, S.N_CENTROIDS)  # queries + seeds
     is_batch = (F.col("vec_id") >= reserved) & (F.col("vec_id") % 7 == 0)
     return emb.where(~is_batch), emb.where(is_batch)
 
@@ -559,15 +570,15 @@ def q_knn_ivf_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build(p: str) -> None:
         raw = os.path.join(p, "raw")
-        S.write_ivf_index(initial, raw, n_queries=10)
-        S.append_ivf_index(batch, emb, raw, n_queries=10)
+        S.write_ivf_index(initial, raw, n_queries=N_IVF_MAINT_QUERIES)
+        S.append_ivf_index(batch, emb, raw, n_queries=N_IVF_MAINT_QUERIES)
         S.compact_ivf_index(spark, raw, os.path.join(p, "final"))
 
     path = _memoized_index(
         spark, "ivf_maint_index_", sf_dir, build=build,
         check=lambda p: os.path.isdir(os.path.join(p, "final")))
     df = S.knn_ivf_pruned(spark, emb, os.path.join(path, "final"),
-                          n_queries=10, k=7)
+                          n_queries=N_IVF_MAINT_QUERIES, k=7)
     return df.withColumnRenamed("cos", "cos_sim")
 
 

@@ -132,10 +132,23 @@ _ROUND_BASE = "280f9e2"  # r10 driver commit (verdict landed); bump each round
 
 # Queries living in touched modules whose own plan + oracle are
 # attested unchanged this round (measured against _ROUND_BASE = the
-# r10 driver commit). Empty at rotation time; any in-round package
-# edit to a shared module must either rotate its queries in or attest
-# them here in the same commit.
-_ATTESTED_UNCHANGED: set[str] = set()
+# r10 driver commit).
+#
+# Round 11's package edit to plans/queries_similarity.py is the two
+# r10 ADVICE fixes, both behavior-preserving hygiene: (1) the bare
+# module-level assert guarding the _KNN_IVF_SQL k=5→k=7 rewrite is
+# now an explicit `if ... raise ValueError` so it survives
+# `python -O`; (2) the query-id reservation literal 10 (previously
+# duplicated between ivf_maintenance_split and the registration's
+# write/append/probe calls) is hoisted to one shared
+# N_IVF_MAINT_QUERIES constant. The only registration whose wiring
+# either fix touches is knn_ivf_maintained — IN the window, verified
+# fresh this round. The names below are the module's r10-greens
+# outside the window, whose plan + oracle text are byte-untouched.
+_ATTESTED_UNCHANGED: set[str] = {
+    "embedding_near_dups_maintained", "kmeans_centroids",
+    "kmeans_ivf_assignments", "knn_ivf_trained",
+}
 
 def _round_sorted(paths: list[str]) -> list[str]:
     """Sort round-stamped artifact files by NUMERIC round: plain
