@@ -79,21 +79,24 @@ for name in ("sessionize_events", "pricing_summary",
 assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
 assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
 assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+# r11: the wrapper also pins shuffle.partitions to the session's core
+# count (2 here) — the fix for 200 state-store tasks per micro-batch
+# under bare driver sessions.
+assert (spark.conf.get("spark.sql.shuffle.partitions")
+        == str(spark.sparkContext.defaultParallelism))
 print("confs-applied")
 """
-    # Timeout sizing (measured, idle local[2], sf0.001): the two
-    # streaming drains dominate at ~112 s + ~116 s each — a bare
-    # session has shuffle.partitions=200 and stateful streaming
-    # disables AQE, so every micro-batch schedules 200 state-store
-    # tasks over 2 cores. That is exactly the driver-parity condition
-    # this test exists to exercise (the round driver's own session is
-    # equally bare), not a defect to tune away here. The r9-measured
-    # remainder was four batch queries ~16 s + ~25 s JVM/import
-    # startup ≈ 270-290 s; r10 adds knn_ivf_maintained (a full
-    # write→append→compact IVF build at 200 shuffle partitions,
-    # tens of seconds under this bare session), so the idle-machine
-    # cost is ~300-330 s and the 900 s budget keeps the ~3x headroom
-    # the r9 flake analysis called for.
+    # Timeout sizing: under r9/r10's wrapper the two streaming drains
+    # dominated at ~112 s + ~116 s each — a bare session kept Spark's
+    # shuffle.partitions=200 and stateful streaming disables AQE, so
+    # every micro-batch scheduled 200 state-store tasks over 2 cores,
+    # for an idle-machine cost of ~300-330 s. r11's
+    # ensure_session_confs pins shuffle.partitions to the core count
+    # (the conf parked since r9, landed with the r11 rotation), which
+    # collapses that to 2 state tasks per micro-batch; the asserts
+    # above pin the conf so a regression back to 200 fails loudly
+    # here rather than resurfacing as driver wall time. The 900 s
+    # budget is kept unchanged — it now carries >5x headroom.
     r = subprocess.run([sys.executable, "-c", script],
                        capture_output=True, text=True, timeout=900,
                        cwd=__file__.rsplit("/tests/", 1)[0])
