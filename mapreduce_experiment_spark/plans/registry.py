@@ -51,16 +51,24 @@ def ensure_session_confs(spark: SparkSession) -> None:
     for k, v in _REQUIRED_CONFS.items():
         spark.conf.set(k, v)
     # shuffle.partitions ≈ cores (r11, parked since r9): a bare/foreign
-    # driver session keeps Spark's default of 200, which costs the
-    # streaming drains 200 state-store tasks per micro-batch (~6x the
-    # useful work on local[32]) — AQE coalesces post-shuffle reads but
-    # NOT stateful-operator task counts. Results are partition-count-
-    # independent (every registered query is an unordered set or
+    # driver session keeps Spark's shipped default of 200, which costs
+    # the streaming drains 200 state-store tasks per micro-batch (~6x
+    # the useful work on local[32]) — AQE coalesces post-shuffle reads
+    # but NOT stateful-operator task counts. Results are partition-
+    # count-independent (every registered query is an unordered set or
     # carries a total order), and get_session/bench already pin the
-    # same value, so the only behavior change is foreign-session wall
-    # time. defaultParallelism == the master's core count on local[N].
-    spark.conf.set("spark.sql.shuffle.partitions",
-                   str(spark.sparkContext.defaultParallelism))
+    # same value. Guarded: only the UNTOUCHED default is replaced — a
+    # session whose operator sized shuffle.partitions deliberately
+    # (e.g. a 100 TB cluster running thousands of partitions as the
+    # AQE-coalesce ceiling, per SCALING.md) keeps its setting; at that
+    # scale cores-many partitions would mean multi-GB shuffle blocks.
+    # (A deliberate setting of exactly 200 is indistinguishable from
+    # the default and gets replaced — acceptable: correctness is
+    # partition-count-independent, only scheduling width changes.)
+    # defaultParallelism == the master's core count on local[N].
+    if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(spark.sparkContext.defaultParallelism))
 
 
 def register(name: str, oracle: str | None = None, headline: bool = False):

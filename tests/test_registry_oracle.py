@@ -81,9 +81,18 @@ assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
 assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
 # r11: the wrapper also pins shuffle.partitions to the session's core
 # count (2 here) — the fix for 200 state-store tasks per micro-batch
-# under bare driver sessions.
+# under bare driver sessions (a bare session starts at Spark's
+# shipped default of 200).
 assert (spark.conf.get("spark.sql.shuffle.partitions")
         == str(spark.sparkContext.defaultParallelism))
+# ... but a DELIBERATE operator setting must be respected: at 100 TB
+# cluster scale shuffle.partitions is sized to data volume (the
+# AQE-coalesce ceiling, SCALING.md), and the wrapper clobbering it to
+# cores-many would mean multi-GB shuffle blocks. Only the untouched
+# default ("200") is replaced.
+spark.conf.set("spark.sql.shuffle.partitions", "96")
+assert q["pricing_summary"](spark, {SF_SMOKE!r}).count() > 0
+assert spark.conf.get("spark.sql.shuffle.partitions") == "96"
 print("confs-applied")
 """
     # Timeout sizing: under r9/r10's wrapper the two streaming drains
