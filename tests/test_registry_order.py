@@ -134,20 +134,36 @@ _ROUND_BASE = "280f9e2"  # r10 driver commit (verdict landed); bump each round
 # attested unchanged this round (measured against _ROUND_BASE = the
 # r10 driver commit).
 #
-# Round 11's package edit to plans/queries_similarity.py is the two
-# r10 ADVICE fixes, both behavior-preserving hygiene: (1) the bare
-# module-level assert guarding the _KNN_IVF_SQL k=5→k=7 rewrite is
-# now an explicit `if ... raise ValueError` so it survives
-# `python -O`; (2) the query-id reservation literal 10 (previously
-# duplicated between ivf_maintenance_split and the registration's
-# write/append/probe calls) is hoisted to one shared
-# N_IVF_MAINT_QUERIES constant. The only registration whose wiring
-# either fix touches is knn_ivf_maintained — IN the window, verified
-# fresh this round. The names below are the module's r10-greens
-# outside the window, whose plan + oracle text are byte-untouched.
+# Round 11's package edits, all assert→raise hygiene in the r10
+# ADVICE's pattern (bare asserts vanish under `python -O`):
+#
+# 1. plans/queries_similarity.py — the two ADVICE findings verbatim:
+#    the module-level assert guarding the _KNN_IVF_SQL k=5→k=7
+#    rewrite is now an explicit `if ... raise ValueError`, and the
+#    query-id reservation literal 10 (previously duplicated between
+#    ivf_maintenance_split and the registration's write/append/probe
+#    calls) is hoisted to one shared N_IVF_MAINT_QUERIES constant.
+#    The only registration whose wiring either fix touches is
+#    knn_ivf_maintained — IN the window, verified fresh this round.
+# 2. operators/dedup.py — the same pattern found by grep and fixed
+#    proactively: simhash_near_dup_pairs' pigeonhole-bound assert
+#    (which under -O would let max_hamming ≥ CHUNKS silently MISS
+#    pairs) is now an explicit raise. One guard line; every
+#    registered caller passes max_hamming=6, so no registered
+#    query's execution changes. The module's import closure is wide
+#    (graph/text helpers), which is why the attested list below is —
+#    every name's plan + oracle text is byte-untouched this round.
 _ATTESTED_UNCHANGED: set[str] = {
+    # similarity module r10-greens outside the window (edit 1)
     "embedding_near_dups_maintained", "kmeans_centroids",
     "kmeans_ivf_assignments", "knn_ivf_trained",
+    # dedup-closure r10-greens outside the window (edit 2)
+    "adjacency", "candidate_pairs", "canonical_url_groups", "degrees",
+    "edges_derive", "exact_dedup_groups", "minhash_dedup_pairs",
+    "ngram_jaccard_pairs", "pagerank", "repeated_spans",
+    "sessionize_events", "simhash_near_dups", "span_deduped_corpus",
+    "stateful_streaming_sessions_evicting", "symmetrize",
+    "triangles_faithful", "user_value_scd2",
 }
 
 def _round_sorted(paths: list[str]) -> list[str]:
