@@ -506,25 +506,56 @@ def test_maintained_ivf_oracle_discriminates_lost_append(spark, sf_smoke,
     neighbor set to differ from the full recompute."""
     from mapreduce_experiment_spark.operators import similarity as S
     from mapreduce_experiment_spark.plans.queries_similarity import (
+        N_IVF_MAINT_QUERIES,
         ivf_maintenance_split,
     )
 
     emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
-    # The exact split the registered query runs — shared definition,
-    # so this proof can't drift from it.
+    # The exact split AND query-id reservation the registered query
+    # runs — shared definitions, so this proof can't drift from them
+    # (the reservation literal was hoisted per ADVICE r10).
     initial, batch = ivf_maintenance_split(emb)
     assert batch.count() > 0
     path = str(tmp_path / "ivf_no_append")
-    S.write_ivf_index(initial, path, n_queries=10)
+    S.write_ivf_index(initial, path, n_queries=N_IVF_MAINT_QUERIES)
     dropped = {(r.query_id, r.neighbor_id, r.rank)
                for r in S.knn_ivf_pruned(spark, emb, path,
-                                         n_queries=10, k=7).collect()}
+                                         n_queries=N_IVF_MAINT_QUERIES,
+                                         k=7).collect()}
     full = {(r.query_id, r.neighbor_id, r.rank)
-            for r in S.knn_ivf(emb, n_queries=10, k=7).collect()}
+            for r in S.knn_ivf(emb, n_queries=N_IVF_MAINT_QUERIES,
+                               k=7).collect()}
     assert dropped != full, (
         "no batch vector ranks in any probed top-7 at this sf — the "
         "maintained query's oracle could not see a lost append"
     )
+
+
+def test_ivf_maintenance_split_is_a_disjoint_reserved_safe_cover(
+        spark, sf_smoke):
+    """The ADVICE-r10 failure mode, made mechanical: if the split's
+    query-id reservation ever disagreed with the registration's
+    n_queries, batch rows could land in (or vanish from) the index
+    inconsistently with the oracle. Pin the three invariants the
+    maintained cycle rests on: (initial, batch) partition the corpus
+    exactly (disjoint cover), every reserved id — query vectors AND
+    centroid seeds — stays in the initial build input, and the batch
+    is the %7 residue of the unreserved tail."""
+    from mapreduce_experiment_spark.operators.similarity import N_CENTROIDS
+    from mapreduce_experiment_spark.plans.queries_similarity import (
+        N_IVF_MAINT_QUERIES,
+        ivf_maintenance_split,
+    )
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    initial, batch = ivf_maintenance_split(emb)
+    ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    i_ids = {r.vec_id for r in initial.select("vec_id").collect()}
+    b_ids = {r.vec_id for r in batch.select("vec_id").collect()}
+    assert i_ids | b_ids == ids and not (i_ids & b_ids)
+    reserved = max(N_IVF_MAINT_QUERIES, N_CENTROIDS)
+    assert set(range(reserved)) & ids <= i_ids
+    assert b_ids == {v for v in ids if v >= reserved and v % 7 == 0}
 
 
 def test_srp_index_append_cycle(spark, sf_smoke, tmp_path):
