@@ -12,39 +12,33 @@ import os
 
 from mapreduce_experiment_spark.plans.registry import _ORDER, SPECS
 
-# Round 11 contract: the queued rotation, landed. The r10 driver
-# verdict DID land (CORRECTNESS_r10.json 50/50 green, keys == the
-# held WINDOW_r10.json), so the held window rotates out and the new
-# window is the registry's stalest set: knn_ivf_maintained (the r10
-# deferral — the only registered query without any driver verdict)
-# plus the 49 r8-greens (the r8 window minus the retired
-# srp_bucket_stats), whose last verdict is 2 driver-rounds old
-# because of the r9 miss. 49 + 1 = 50, zero slack.
+# Round 12 contract: steady-state alternate-round cadence, second
+# full cycle. The r11 driver verdict landed (CORRECTNESS_r11.json
+# 50/50 green, keys == WINDOW_r11.json), so the r11 window rotates
+# out and the new window is the registry's stalest set: exactly the
+# 50 r10-greens (WINDOW_r10.json keys verbatim — nothing retired or
+# deferred in r11). 50 = 50, zero slack.
 _MUST_BE_IN_WINDOW = {
-    # new in round 10, deferred past the held window — no verdict yet
-    "knn_ivf_maintained",
-    # last driver verdict r8
-    "streaming_minhash_dedup", "stateful_streaming_sessions",
-    "streaming_view_attribution", "knn_ivf_pruned",
-    "embedding_near_dups_indexed", "streaming_event_dedup",
-    "embedding_near_dups_probe", "approx_order_percentiles",
-    "asia_market_share", "clean_corpus", "connected_components",
-    "decontaminated_corpus", "decontamination_external",
-    "decontamination_pairs", "dedup_clusters", "dedup_survivors",
-    "doc_chunks", "event_type_counts_salted", "hourly_event_counts",
-    "ivf_assignments", "knn_bruteforce", "knn_ivf", "lineitem_profile",
-    "media_byte_histograms", "media_frame_sample", "media_metadata",
-    "monthly_retention_cohorts", "nation_participants_full_outer",
-    "order_size_distribution", "packed_sequence_fragments",
-    "packed_sequences", "price_quantity_correlation",
-    "purchase_last_click_asof", "quality_filtered_corpus",
-    "repetition_scores", "session_stats", "session_window_stats",
-    "signup_to_purchase_funnel", "source_mixture_sample",
-    "stratified_event_sample", "streaming_hourly_counts",
-    "streaming_triangle_count", "top_parts_per_nation",
-    "triangle_count", "triangles", "trigram_counts",
-    "value_band_range_join", "value_distribution_stats",
-    "volume_shipping",
+    # last driver verdict r10
+    "stateful_streaming_sessions_evicting",
+    "embedding_near_dups_maintained", "account_balance_union",
+    "adjacency", "approx_distinct_counts", "bm25_topk",
+    "candidate_pairs", "canonical_url_groups", "corpus_shuffle",
+    "customer_running_spend", "customers_churned",
+    "customers_retained", "degrees", "edges_derive",
+    "events_json_extract", "exact_dedup_groups", "fingerprints",
+    "grouping_sets_sql", "kmeans_centroids", "kmeans_ivf_assignments",
+    "knn_ivf_trained", "lang_id", "minhash_dedup_pairs",
+    "mktsegment_pivot", "nation_order_stats", "ngram_jaccard_pairs",
+    "order_gap_days", "order_priority_rollup",
+    "order_scalar_functions", "orders_above_customer_average",
+    "pagerank", "parts_never_ordered", "pii_redaction",
+    "pricing_summary", "quality_scores", "repeated_spans",
+    "returnflag_status_cube", "revenue_by_nation",
+    "sessionize_events", "simhash_near_dups", "span_deduped_corpus",
+    "suppliers_with_orders", "symmetrize", "tfidf_doc_pairs",
+    "token_counts", "token_frequencies", "top_customers_per_nation",
+    "top_orders_global", "triangles_faithful", "user_value_scd2",
 }
 
 WINDOW = 50
@@ -59,16 +53,16 @@ WINDOW = 50
 _RETIRED_AFTER_VERDICT: set[str] = set()
 # (r11: pruned srp_bucket_stats — CORRECTNESS_r10.json landed and no
 # longer lists it; its tombstone + preserved oracle check remain at
-# plans/queries_similarity.py / test_retired_srp_bucket_stats_oracle_still_holds.)
+# plans/queries_similarity.py / test_retired_srp_bucket_stats_oracle_still_holds.
+# r12: nothing retired — CORRECTNESS_r11.json keys all remain registered.)
 
 # New queries that could NOT fit this round's 50-slot window and whose
 # driver verification is therefore deferred EXACTLY one round: they
 # must sit immediately after the window boundary so the next rotation
 # picks them up first, and they carry local oracle gating
 # (test_registry_oracle, sf0.001 + sf0.01) in the meantime.
-# Round 11: the r10 deferral (knn_ivf_maintained) rotated INTO the
-# window as its first entry; nothing new registered this round, so
-# nothing defers.
+# Round 12: nothing new registered (registry at the 100-query
+# ceiling; growth requires a funded retirement), so nothing defers.
 _DEFERRED_TO_NEXT_WINDOW: list[str] = []
 
 
@@ -128,43 +122,15 @@ def test_registry_has_expected_size():
 # either sit inside the window or be explicitly attested unchanged
 # below (a conscious, reviewable act in the diff).
 
-_ROUND_BASE = "280f9e2"  # r10 driver commit (verdict landed); bump each round
+_ROUND_BASE = "6007e55"  # r11 driver commit (verdict landed); bump each round
 
 # Queries living in touched modules whose own plan + oracle are
 # attested unchanged this round (measured against _ROUND_BASE = the
-# r10 driver commit).
+# r11 driver commit).
 #
-# Round 11's package edits, all assert→raise hygiene in the r10
-# ADVICE's pattern (bare asserts vanish under `python -O`):
-#
-# 1. plans/queries_similarity.py — the two ADVICE findings verbatim:
-#    the module-level assert guarding the _KNN_IVF_SQL k=5→k=7
-#    rewrite is now an explicit `if ... raise ValueError`, and the
-#    query-id reservation literal 10 (previously duplicated between
-#    ivf_maintenance_split and the registration's write/append/probe
-#    calls) is hoisted to one shared N_IVF_MAINT_QUERIES constant.
-#    The only registration whose wiring either fix touches is
-#    knn_ivf_maintained — IN the window, verified fresh this round.
-# 2. operators/dedup.py — the same pattern found by grep and fixed
-#    proactively: simhash_near_dup_pairs' pigeonhole-bound assert
-#    (which under -O would let max_hamming ≥ CHUNKS silently MISS
-#    pairs) is now an explicit raise. One guard line; every
-#    registered caller passes max_hamming=6, so no registered
-#    query's execution changes. The module's import closure is wide
-#    (graph/text helpers), which is why the attested list below is —
-#    every name's plan + oracle text is byte-untouched this round.
-_ATTESTED_UNCHANGED: set[str] = {
-    # similarity module r10-greens outside the window (edit 1)
-    "embedding_near_dups_maintained", "kmeans_centroids",
-    "kmeans_ivf_assignments", "knn_ivf_trained",
-    # dedup-closure r10-greens outside the window (edit 2)
-    "adjacency", "candidate_pairs", "canonical_url_groups", "degrees",
-    "edges_derive", "exact_dedup_groups", "minhash_dedup_pairs",
-    "ngram_jaccard_pairs", "pagerank", "repeated_spans",
-    "sessionize_events", "simhash_near_dups", "span_deduped_corpus",
-    "stateful_streaming_sessions_evicting", "symmetrize",
-    "triangles_faithful", "user_value_scd2",
-}
+# Round 12: the rotation lands first with no package edits; entries
+# appear here as edits land later in the round.
+_ATTESTED_UNCHANGED: set[str] = set()
 
 def _round_sorted(paths: list[str]) -> list[str]:
     """Sort round-stamped artifact files by NUMERIC round: plain
