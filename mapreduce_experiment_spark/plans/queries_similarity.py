@@ -290,9 +290,20 @@ def q_embedding_near_dups_maintained(spark: SparkSession,
     return df.withColumnRenamed("cos", "cos_sim")
 
 
+# One query-id reservation shared by the whole kNN family: every
+# oracle below cuts query vectors from the corpus at this id, and
+# every registration passes the same value as n_queries. It is
+# INTERPOLATED into the oracle f-strings rather than repeated as a
+# literal (ADVICE r11: the maintained-IVF oracle hardcoded
+# `vec_id < 10` cuts while the Spark side read a constant — bumping
+# the constant would have desynced plan from oracle; now every
+# participant renders from this one definition, pinned by
+# test_knn_query_reservation_is_interpolated_not_literal).
+N_KNN_QUERIES = 10
+
 _KNN_BF_SQL = _V_CTE + f"""
-, q AS (SELECT vec_id AS query_id, vec AS qv FROM v WHERE vec_id < 10),
-c AS (SELECT vec_id AS neighbor_id, vec AS nv FROM v WHERE vec_id >= 10),
+, q AS (SELECT vec_id AS query_id, vec AS qv FROM v WHERE vec_id < {N_KNN_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, vec AS nv FROM v WHERE vec_id >= {N_KNN_QUERIES}),
 s AS (SELECT query_id, neighbor_id, {_q6cos('qv', 'nv')} AS cos_sim FROM q, c),
 r AS (SELECT query_id, neighbor_id, cos_sim,
              row_number() OVER (PARTITION BY query_id
@@ -305,7 +316,7 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5
 @register("knn_bruteforce", oracle=_KNN_BF_SQL, headline=True)
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = S.knn_bruteforce(load_table(spark, sf_dir, "embeddings"),
-                          n_queries=10, k=5)
+                          n_queries=N_KNN_QUERIES, k=5)
     return df.withColumnRenamed("cos", "cos_sim")
 
 
@@ -343,7 +354,7 @@ def q_ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KNN_IVF_SQL = _IVF_ASSIGN_SQL + f"""
 , assign AS (SELECT vec_id, centroid_id FROM r WHERE rn = 1),
-q AS (SELECT vec_id AS query_id, vec AS qv FROM v WHERE vec_id < 10),
+q AS (SELECT vec_id AS query_id, vec AS qv FROM v WHERE vec_id < {N_KNN_QUERIES}),
 probe_s AS (SELECT query_id, centroid_id, {_q6cos('qv', 'cv')} AS ccos
             FROM q, cents),
 probe_r AS (SELECT query_id, centroid_id,
@@ -352,14 +363,14 @@ probe_r AS (SELECT query_id, centroid_id,
             FROM probe_s),
 probes AS (SELECT query_id, centroid_id FROM probe_r WHERE prn <= {S.N_PROBE}),
 buckets AS (SELECT vec_id FROM assign
-            JOIN probes USING (centroid_id) WHERE vec_id >= 10),
+            JOIN probes USING (centroid_id) WHERE vec_id >= {N_KNN_QUERIES}),
 cand AS (SELECT p.query_id, a.vec_id AS neighbor_id,
                 {_q6cos('q.qv', 'v.vec')} AS cos_sim
          FROM probes p
          JOIN assign a USING (centroid_id)
          JOIN q ON q.query_id = p.query_id
          JOIN v ON v.vec_id = a.vec_id
-         WHERE a.vec_id >= 10),
+         WHERE a.vec_id >= {N_KNN_QUERIES}),
 ranked AS (SELECT query_id, neighbor_id, cos_sim,
                   row_number() OVER (PARTITION BY query_id
                                      ORDER BY cos_sim DESC, neighbor_id) AS rank
@@ -371,7 +382,7 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
 @register("knn_ivf", oracle=_KNN_IVF_SQL)
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = S.knn_ivf(load_table(spark, sf_dir, "embeddings"),
-                   n_queries=10, k=5)
+                   n_queries=N_KNN_QUERIES, k=5)
     return df.withColumnRenamed("cos", "cos_sim")
 
 
@@ -457,12 +468,12 @@ def q_kmeans_ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_kmeans_cte() + f""",
 assign AS MATERIALIZED (SELECT vec_id, centroid_id FROM a{_T}),
 v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
-q AS (SELECT vec_id AS query_id, vec AS qv FROM v WHERE vec_id < 10),
+q AS (SELECT vec_id AS query_id, vec AS qv FROM v WHERE vec_id < {N_KNN_QUERIES}),
 qd AS MATERIALIZED (
   SELECT e.vec_id AS query_id, c.centroid_id,
          sum((e.qval - c.val) * (e.qval - c.val)) AS dist
   FROM e JOIN c{_T} c USING (pos)
-  WHERE e.vec_id < 10 GROUP BY 1, 2),
+  WHERE e.vec_id < {N_KNN_QUERIES} GROUP BY 1, 2),
 probes AS (
   SELECT query_id, centroid_id FROM (
     SELECT query_id, centroid_id,
@@ -475,7 +486,7 @@ cand AS (SELECT p.query_id, a.vec_id AS neighbor_id,
          JOIN assign a USING (centroid_id)
          JOIN q ON q.query_id = p.query_id
          JOIN v ON v.vec_id = a.vec_id
-         WHERE a.vec_id >= 10),
+         WHERE a.vec_id >= {N_KNN_QUERIES}),
 ranked AS (SELECT query_id, neighbor_id, cos_sim,
                   row_number() OVER (PARTITION BY query_id
                                      ORDER BY cos_sim DESC, neighbor_id) AS rank
@@ -488,7 +499,7 @@ def q_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline (train → bucket → probe → exact-cosine top-k), every
     stage of which the oracle replays in SQL."""
     df = S.knn_ivf_trained(load_table(spark, sf_dir, "embeddings"),
-                           n_queries=10, k=5)
+                           n_queries=N_KNN_QUERIES, k=5)
     return df.withColumnRenamed("cos", "cos_sim")
 
 
@@ -504,12 +515,17 @@ if _KNN_IVF_SQL.count("WHERE rank <= 5") != 1:
         "cut — the k=7 rewrite below would silently no-op; update both")
 _KNN_IVF_SQL_K7 = _KNN_IVF_SQL.replace("WHERE rank <= 5", "WHERE rank <= 7")
 
-# One shared query-id reservation for the maintained-IVF cycle: the
-# corpus split and every write/append/probe call must agree on how
-# many low vec_ids are query vectors, or batch rows could land in
-# (or be filtered from) the index inconsistently with the oracle
-# (ADVICE r10 — previously a literal 10 in two places).
-N_IVF_MAINT_QUERIES = 10
+# The maintained-IVF cycle's query-id reservation: the corpus split
+# and every write/append/probe call must agree on how many low
+# vec_ids are query vectors, or batch rows could land in (or be
+# filtered from) the index inconsistently with the oracle (ADVICE
+# r10 — previously a literal 10 in two places). An ALIAS, not an
+# independent knob: the maintained oracle is _KNN_IVF_SQL_K7, which
+# derives from _KNN_IVF_SQL, so its reservation is definitionally
+# the family-wide N_KNN_QUERIES the SQL interpolates (ADVICE r11 —
+# previously this constant could be bumped while the oracle kept
+# hardcoded `vec_id < 10` cuts).
+N_IVF_MAINT_QUERIES = N_KNN_QUERIES
 
 
 def ivf_maintenance_split(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -603,6 +619,6 @@ def q_knn_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     path = _memoized_index(
         spark, "ivf_index_", sf_dir,
-        build=lambda p: S.write_ivf_index(emb, p, n_queries=10))
-    df = S.knn_ivf_pruned(spark, emb, path, n_queries=10, k=5)
+        build=lambda p: S.write_ivf_index(emb, p, n_queries=N_KNN_QUERIES))
+    df = S.knn_ivf_pruned(spark, emb, path, n_queries=N_KNN_QUERIES, k=5)
     return df.withColumnRenamed("cos", "cos_sim")

@@ -47,6 +47,15 @@ _REQUIRED_CONFS = {
 }
 
 
+# Marker conf recording that ensure_session_confs already made its
+# once-per-session shuffle-partitions decision. Spark runtime conf is
+# a free-form string map, so an app-scoped key is the supported way
+# to persist a per-session flag (ADVICE r11: without it the guard
+# re-ran on every query call, so an operator who deliberately set
+# 200 MID-session lost the setting again on the next call).
+_SHUFFLE_DECIDED_CONF = "spark.mapreduce_experiment.shufflePartitionsDecided"
+
+
 def ensure_session_confs(spark: SparkSession) -> None:
     for k, v in _REQUIRED_CONFS.items():
         spark.conf.set(k, v)
@@ -57,18 +66,35 @@ def ensure_session_confs(spark: SparkSession) -> None:
     # but NOT stateful-operator task counts. Results are partition-
     # count-independent (every registered query is an unordered set or
     # carries a total order), and get_session/bench already pin the
-    # same value. Guarded: only the UNTOUCHED default is replaced — a
-    # session whose operator sized shuffle.partitions deliberately
-    # (e.g. a 100 TB cluster running thousands of partitions as the
-    # AQE-coalesce ceiling, per SCALING.md) keeps its setting; at that
-    # scale cores-many partitions would mean multi-GB shuffle blocks.
-    # (A deliberate setting of exactly 200 is indistinguishable from
-    # the default and gets replaced — acceptable: correctness is
-    # partition-count-independent, only scheduling width changes.)
+    # same value. Guarded three ways, so only the UNTOUCHED default is
+    # ever replaced — a session whose operator sized shuffle.partitions
+    # deliberately (e.g. a 100 TB cluster running thousands of
+    # partitions as the AQE-coalesce ceiling, per SCALING.md) keeps
+    # its setting; at that scale cores-many partitions would mean
+    # multi-GB shuffle blocks:
+    #  1. decided-marker conf: the decision runs ONCE per session, so
+    #     a value set mid-session — even exactly 200 — sticks;
+    #  2. build-time settings are visible in the SparkContext conf
+    #     (runtime `spark.conf.set` is not), so an explicit 200 in the
+    #     session builder is recognized as deliberate and kept;
+    #  3. value compare against Spark's shipped default of 200 — if a
+    #     future Spark changes the default, the pin stops applying,
+    #     which fails SAFE (we never override, we only ever replace
+    #     the known untouched default).
+    # The residual blind spot is a runtime set of exactly 200 BEFORE
+    # the first query call of the session — indistinguishable from
+    # the default and replaced; acceptable: correctness is partition-
+    # count-independent, only scheduling width changes.
     # defaultParallelism == the master's core count on local[N].
-    if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+    if spark.conf.get(_SHUFFLE_DECIDED_CONF, None) is not None:
+        return
+    set_at_build = spark.sparkContext.getConf().contains(
+        "spark.sql.shuffle.partitions")
+    if (not set_at_build
+            and spark.conf.get("spark.sql.shuffle.partitions") == "200"):
         spark.conf.set("spark.sql.shuffle.partitions",
                        str(spark.sparkContext.defaultParallelism))
+    spark.conf.set(_SHUFFLE_DECIDED_CONF, "true")
 
 
 def register(name: str, oracle: str | None = None, headline: bool = False):

@@ -558,6 +558,36 @@ def test_ivf_maintenance_split_is_a_disjoint_reserved_safe_cover(
     assert b_ids == {v for v in ids if v >= reserved and v % 7 == 0}
 
 
+def test_knn_query_reservation_is_interpolated_not_literal():
+    """ADVICE r11: N_IVF_MAINT_QUERIES claimed to be the maintained
+    cycle's single source of truth while the oracle (_KNN_IVF_SQL_K7,
+    derived from _KNN_IVF_SQL) still hardcoded the reservation as
+    literal `vec_id < 10` / `vec_id >= 10` cuts — bumping the
+    constant would have desynced plan from oracle. The fix
+    interpolates one family-wide N_KNN_QUERIES into every kNN oracle
+    f-string and registration; pin it mechanically so a future edit
+    can't reintroduce a literal cut (comment lines are excluded —
+    the ADVICE history is described there in words)."""
+    from mapreduce_experiment_spark.plans import queries_similarity as QS
+
+    with open(QS.__file__) as f:
+        code_lines = [ln for ln in f
+                      if not ln.lstrip().startswith("#")]
+    src = "".join(code_lines)
+    for literal in ("vec_id < 10", "vec_id >= 10"):
+        assert literal not in src, (
+            f"literal reservation cut {literal!r} reappeared in "
+            "queries_similarity.py — interpolate N_KNN_QUERIES instead"
+        )
+    # The alias is definitional, not coincidental: the maintained
+    # oracle derives from _KNN_IVF_SQL, whose reservation IS the
+    # family-wide constant.
+    assert QS.N_IVF_MAINT_QUERIES == QS.N_KNN_QUERIES
+    # And the rendered SQL actually carries the constant's value.
+    assert f"vec_id < {QS.N_KNN_QUERIES}" in QS._KNN_IVF_SQL
+    assert QS._KNN_IVF_SQL_K7.count("WHERE rank <= 7") == 1
+
+
 def test_srp_index_append_cycle(spark, sf_smoke, tmp_path):
     """The full daily-ingest cycle: index the corpus, probe the new
     batch, APPEND the batch's signatures, and verify (a) the appended

@@ -93,6 +93,13 @@ assert (spark.conf.get("spark.sql.shuffle.partitions")
 spark.conf.set("spark.sql.shuffle.partitions", "96")
 assert q["pricing_summary"](spark, {SF_SMOKE!r}).count() > 0
 assert spark.conf.get("spark.sql.shuffle.partitions") == "96"
+# r12 (ADVICE r11): the decision runs ONCE per session (the decided-
+# marker conf), so even a deliberate mid-session setting of exactly
+# 200 — previously indistinguishable from the untouched default and
+# re-clobbered on the next query call — now sticks.
+spark.conf.set("spark.sql.shuffle.partitions", "200")
+assert q["pricing_summary"](spark, {SF_SMOKE!r}).count() > 0
+assert spark.conf.get("spark.sql.shuffle.partitions") == "200"
 print("confs-applied")
 """
     # Timeout sizing: under r9/r10's wrapper the two streaming drains
@@ -117,3 +124,37 @@ print("confs-applied")
     assert "embedding_near_dups_maintained" in r.stdout
     assert "knn_ivf_maintained" in r.stdout
     assert "confs-applied" in r.stdout
+
+
+@pytest.mark.slow
+def test_build_time_shuffle_setting_of_200_is_respected():
+    """r12 (ADVICE r11): the untouched-default detection previously
+    compared only the runtime value against the literal "200", so an
+    operator who EXPLICITLY built the session with 200 shuffle
+    partitions was indistinguishable from the default and clobbered.
+    Build-time settings are visible in the SparkContext conf (runtime
+    ``spark.conf.set`` is not), and ensure_session_confs now checks
+    it: an explicit builder-config 200 must survive. Needs a fresh
+    process — a same-process getOrCreate would reuse the suite's
+    session and its builder conf."""
+    import subprocess
+    import sys
+
+    script = """
+import sys
+sys.path.insert(0, ".")
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.shuffle.partitions", "200").getOrCreate())
+from mapreduce_experiment_spark.plans.registry import ensure_session_confs
+ensure_session_confs(spark)
+assert spark.conf.get("spark.sql.shuffle.partitions") == "200", \\
+    spark.conf.get("spark.sql.shuffle.partitions")
+print("build-time-200-respected")
+"""
+    r = subprocess.run([sys.executable, "-c", script],
+                       capture_output=True, text=True, timeout=300,
+                       cwd=__file__.rsplit("/tests/", 1)[0])
+    assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr[-2000:]}"
+    assert "build-time-200-respected" in r.stdout

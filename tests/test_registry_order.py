@@ -128,9 +128,26 @@ _ROUND_BASE = "6007e55"  # r11 driver commit (verdict landed); bump each round
 # attested unchanged this round (measured against _ROUND_BASE = the
 # r11 driver commit).
 #
-# Round 12: the rotation lands first with no package edits; entries
-# appear here as edits land later in the round.
-_ATTESTED_UNCHANGED: set[str] = set()
+# Round 12's only package edit outside the registry module (which
+# the dep closure deliberately discards) is
+# plans/queries_similarity.py: the r11 ADVICE finding — the
+# maintained-IVF oracle hardcoded its query-id reservation as
+# literal `vec_id < 10` / `vec_id >= 10` cuts while the Spark side
+# read N_IVF_MAINT_QUERIES; the cuts (and every kNN registration's
+# n_queries) now interpolate one family-wide N_KNN_QUERIES, with
+# N_IVF_MAINT_QUERIES an explicit alias. At the shipped value of 10
+# every rendered oracle is BYTE-IDENTICAL to the r11 driver commit's
+# (verified by re-exec'ing the old module source and comparing all
+# registry oracles; pinned going forward by
+# test_knn_query_reservation_is_interpolated_not_literal), and no
+# registered plan changes (same n_queries value flows to the same
+# operators). The similarity registrations outside the new window
+# are therefore attested unchanged:
+_ATTESTED_UNCHANGED: set[str] = {
+    "knn_ivf_maintained", "knn_ivf_pruned", "knn_bruteforce",
+    "knn_ivf", "ivf_assignments", "embedding_near_dups_indexed",
+    "embedding_near_dups_probe",
+}
 
 def _round_sorted(paths: list[str]) -> list[str]:
     """Sort round-stamped artifact files by NUMERIC round: plain
