@@ -50,3 +50,39 @@ def test_no_bare_asserts_in_package_code():
         "bare assert in package code (stripped under python -O — "
         f"raise an explicit exception instead): {offenders}"
     )
+
+
+def test_explicit_guards_survive_python_O():
+    """The sweep's point, proven end-to-end: under ``python -O`` the
+    converted guards must still FIRE. Exercises the flagship one (the
+    simhash pigeonhole bound, whose violation silently misses pairs
+    rather than erroring) and the maintained-IVF module-level rewrite
+    guard's import path. The guard validates its argument before
+    touching the DataFrame, so no Spark session is needed. The
+    checking script itself avoids assert — it runs under -O too."""
+    import subprocess
+    import sys
+
+    script = """
+import sys
+sys.path.insert(0, ".")
+if sys.flags.optimize != 1:
+    raise SystemExit("not running under -O")
+from mapreduce_experiment_spark.operators.dedup import (
+    SIMHASH_CHUNKS, simhash_near_dup_pairs)
+try:
+    simhash_near_dup_pairs(None, max_hamming=SIMHASH_CHUNKS)
+    raise SystemExit("pigeonhole guard did not fire under -O")
+except ValueError:
+    print("pigeonhole-guard-fired")
+from mapreduce_experiment_spark.plans import queries_similarity as QS
+if QS._KNN_IVF_SQL_K7.count("WHERE rank <= 7") != 1:
+    raise SystemExit("k7 oracle rewrite broken under -O")
+print("k7-rewrite-ok")
+"""
+    r = subprocess.run([sys.executable, "-O", "-c", script],
+                       capture_output=True, text=True, timeout=120,
+                       cwd=os.path.dirname(_PKG_DIR))
+    assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr[-2000:]}"
+    assert "pigeonhole-guard-fired" in r.stdout
+    assert "k7-rewrite-ok" in r.stdout
