@@ -343,7 +343,14 @@ def test_current_window_snapshot_is_fresh():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     files = _round_sorted(glob.glob(os.path.join(repo, "WINDOW_r*.json")))
     assert files, "no WINDOW_r*.json committed — regenerate the snapshot"
-    latest = json.load(open(files[-1]))
+    with open(files[-1]) as f:
+        raw = f.read()
+    # ADVICE r11: WINDOW_r11.json shipped without a trailing newline,
+    # unlike the earlier snapshots — keep future artifacts POSIX-clean.
+    assert raw.endswith("\n"), (
+        f"{os.path.basename(files[-1])} is missing its trailing newline"
+    )
+    latest = json.loads(raw)
     assert latest == list(SPECS())[:WINDOW], (
         f"{os.path.basename(files[-1])} is stale vs _ORDER[:50] — "
         "regenerate it (python -c \"import json; from "
