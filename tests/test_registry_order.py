@@ -12,33 +12,37 @@ import os
 
 from mapreduce_experiment_spark.plans.registry import _ORDER, SPECS
 
-# Round 12 contract: steady-state alternate-round cadence, second
-# full cycle. The r11 driver verdict landed (CORRECTNESS_r11.json
-# 50/50 green, keys == WINDOW_r11.json), so the r11 window rotates
+# Round 13 contract: steady-state alternate-round cadence, third
+# full cycle. The r12 driver verdict landed (CORRECTNESS_r12.json
+# 50/50 green, keys == WINDOW_r12.json), so the r12 window rotates
 # out and the new window is the registry's stalest set: exactly the
-# 50 r10-greens (WINDOW_r10.json keys verbatim — nothing retired or
-# deferred in r11). 50 = 50, zero slack.
+# 50 r11-greens (WINDOW_r11.json keys verbatim — nothing retired or
+# deferred in r12). 50 = 50, zero slack.
 _MUST_BE_IN_WINDOW = {
-    # last driver verdict r10
-    "stateful_streaming_sessions_evicting",
-    "embedding_near_dups_maintained", "account_balance_union",
-    "adjacency", "approx_distinct_counts", "bm25_topk",
-    "candidate_pairs", "canonical_url_groups", "corpus_shuffle",
-    "customer_running_spend", "customers_churned",
-    "customers_retained", "degrees", "edges_derive",
-    "events_json_extract", "exact_dedup_groups", "fingerprints",
-    "grouping_sets_sql", "kmeans_centroids", "kmeans_ivf_assignments",
-    "knn_ivf_trained", "lang_id", "minhash_dedup_pairs",
-    "mktsegment_pivot", "nation_order_stats", "ngram_jaccard_pairs",
-    "order_gap_days", "order_priority_rollup",
-    "order_scalar_functions", "orders_above_customer_average",
-    "pagerank", "parts_never_ordered", "pii_redaction",
-    "pricing_summary", "quality_scores", "repeated_spans",
-    "returnflag_status_cube", "revenue_by_nation",
-    "sessionize_events", "simhash_near_dups", "span_deduped_corpus",
-    "suppliers_with_orders", "symmetrize", "tfidf_doc_pairs",
-    "token_counts", "token_frequencies", "top_customers_per_nation",
-    "top_orders_global", "triangles_faithful", "user_value_scd2",
+    # last driver verdict r11
+    "knn_ivf_maintained", "streaming_minhash_dedup",
+    "stateful_streaming_sessions", "streaming_view_attribution",
+    "knn_ivf_pruned", "embedding_near_dups_indexed",
+    "streaming_event_dedup", "embedding_near_dups_probe",
+    "approx_order_percentiles", "asia_market_share", "clean_corpus",
+    "connected_components", "decontaminated_corpus",
+    "decontamination_external", "decontamination_pairs",
+    "dedup_clusters", "dedup_survivors", "doc_chunks",
+    "event_type_counts_salted", "hourly_event_counts",
+    "ivf_assignments", "knn_bruteforce", "knn_ivf",
+    "lineitem_profile", "media_byte_histograms",
+    "media_frame_sample", "media_metadata",
+    "monthly_retention_cohorts", "nation_participants_full_outer",
+    "order_size_distribution", "packed_sequence_fragments",
+    "packed_sequences", "price_quantity_correlation",
+    "purchase_last_click_asof", "quality_filtered_corpus",
+    "repetition_scores", "session_stats", "session_window_stats",
+    "signup_to_purchase_funnel", "source_mixture_sample",
+    "stratified_event_sample", "streaming_hourly_counts",
+    "streaming_triangle_count", "top_parts_per_nation",
+    "triangle_count", "triangles", "trigram_counts",
+    "value_band_range_join", "value_distribution_stats",
+    "volume_shipping",
 }
 
 WINDOW = 50
@@ -54,14 +58,15 @@ _RETIRED_AFTER_VERDICT: set[str] = set()
 # (r11: pruned srp_bucket_stats — CORRECTNESS_r10.json landed and no
 # longer lists it; its tombstone + preserved oracle check remain at
 # plans/queries_similarity.py / test_retired_srp_bucket_stats_oracle_still_holds.
-# r12: nothing retired — CORRECTNESS_r11.json keys all remain registered.)
+# r12: nothing retired — CORRECTNESS_r11.json keys all remain registered.
+# r13: nothing retired — CORRECTNESS_r12.json keys all remain registered.)
 
 # New queries that could NOT fit this round's 50-slot window and whose
 # driver verification is therefore deferred EXACTLY one round: they
 # must sit immediately after the window boundary so the next rotation
 # picks them up first, and they carry local oracle gating
 # (test_registry_oracle, sf0.001 + sf0.01) in the meantime.
-# Round 12: nothing new registered (registry at the 100-query
+# Round 13: nothing new registered (registry at the 100-query
 # ceiling; growth requires a funded retirement), so nothing defers.
 _DEFERRED_TO_NEXT_WINDOW: list[str] = []
 
@@ -122,32 +127,18 @@ def test_registry_has_expected_size():
 # either sit inside the window or be explicitly attested unchanged
 # below (a conscious, reviewable act in the diff).
 
-_ROUND_BASE = "6007e55"  # r11 driver commit (verdict landed); bump each round
+_ROUND_BASE = "18f1beb"  # r12 driver commit (verdict landed); bump each round
 
 # Queries living in touched modules whose own plan + oracle are
 # attested unchanged this round (measured against _ROUND_BASE = the
-# r11 driver commit).
+# r12 driver commit).
 #
-# Round 12's only package edit outside the registry module (which
-# the dep closure deliberately discards) is
-# plans/queries_similarity.py: the r11 ADVICE finding — the
-# maintained-IVF oracle hardcoded its query-id reservation as
-# literal `vec_id < 10` / `vec_id >= 10` cuts while the Spark side
-# read N_IVF_MAINT_QUERIES; the cuts (and every kNN registration's
-# n_queries) now interpolate one family-wide N_KNN_QUERIES, with
-# N_IVF_MAINT_QUERIES an explicit alias. At the shipped value of 10
-# every rendered oracle is BYTE-IDENTICAL to the r11 driver commit's
-# (verified by re-exec'ing the old module source and comparing all
-# registry oracles; pinned going forward by
-# test_knn_query_reservation_is_interpolated_not_literal), and no
-# registered plan changes (same n_queries value flows to the same
-# operators). The similarity registrations outside the new window
-# are therefore attested unchanged:
-_ATTESTED_UNCHANGED: set[str] = {
-    "knn_ivf_maintained", "knn_ivf_pruned", "knn_bruteforce",
-    "knn_ivf", "ivf_assignments", "embedding_near_dups_indexed",
-    "embedding_near_dups_probe",
-}
+# Round 13's package edits are confined to the registry module
+# itself (the rotation plus the r12 ADVICE fixes to the
+# shuffle-partitions guard — a Spark Connect-safe sparkContext
+# access and a comment correction), which the dep closure
+# deliberately discards, so nothing needs attesting.
+_ATTESTED_UNCHANGED: set[str] = set()
 
 def _round_sorted(paths: list[str]) -> list[str]:
     """Sort round-stamped artifact files by NUMERIC round: plain
