@@ -76,24 +76,40 @@ def ensure_session_confs(spark: SparkSession) -> None:
     #     a value set mid-session — even exactly 200 — sticks;
     #  2. build-time settings are visible in the SparkContext conf
     #     (runtime `spark.conf.set` is not), so an explicit 200 in the
-    #     session builder is recognized as deliberate and kept;
+    #     session builder is recognized as deliberate and kept —
+    #     PROVIDED the builder actually created the context: a
+    #     getOrCreate against a PRE-EXISTING SparkContext applies
+    #     builder configs to the session-scoped SQLConf only, so an
+    #     explicit builder 200 in that case is a second blind spot,
+    #     indistinguishable from the default and replaced (ADVICE
+    #     r12; the subprocess test covers the fresh-process case);
     #  3. value compare against Spark's shipped default of 200 — if a
     #     future Spark changes the default, the pin stops applying,
     #     which fails SAFE (we never override, we only ever replace
     #     the known untouched default).
-    # The residual blind spot is a runtime set of exactly 200 BEFORE
-    # the first query call of the session — indistinguishable from
-    # the default and replaced; acceptable: correctness is partition-
-    # count-independent, only scheduling width changes.
+    # The other residual blind spot is a runtime set of exactly 200
+    # BEFORE the first query call of the session — indistinguishable
+    # from the default and replaced; both are acceptable: correctness
+    # is partition-count-independent, only scheduling width changes.
     # defaultParallelism == the master's core count on local[N].
     if spark.conf.get(_SHUFFLE_DECIDED_CONF, None) is not None:
         return
-    set_at_build = spark.sparkContext.getConf().contains(
-        "spark.sql.shuffle.partitions")
-    if (not set_at_build
-            and spark.conf.get("spark.sql.shuffle.partitions") == "200"):
-        spark.conf.set("spark.sql.shuffle.partitions",
-                       str(spark.sparkContext.defaultParallelism))
+    try:
+        sc = spark.sparkContext
+    except Exception:
+        # Spark Connect (and other context-less) sessions raise on
+        # sparkContext access (ADVICE r12): neither guard #2's
+        # build-time check nor defaultParallelism is readable there,
+        # so leave shuffle.partitions exactly as the server sized it
+        # — skipping the pin fails SAFE (we only ever narrow the
+        # known untouched local default).
+        sc = None
+    if sc is not None:
+        set_at_build = sc.getConf().contains("spark.sql.shuffle.partitions")
+        if (not set_at_build
+                and spark.conf.get("spark.sql.shuffle.partitions") == "200"):
+            spark.conf.set("spark.sql.shuffle.partitions",
+                           str(sc.defaultParallelism))
     spark.conf.set(_SHUFFLE_DECIDED_CONF, "true")
 
 

@@ -158,3 +158,46 @@ print("build-time-200-respected")
                        cwd=__file__.rsplit("/tests/", 1)[0])
     assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr[-2000:]}"
     assert "build-time-200-respected" in r.stdout
+
+
+def test_context_less_session_skips_shuffle_pin():
+    """r13 (ADVICE r12): Spark Connect sessions raise on sparkContext
+    access, and ensure_session_confs reached it unconditionally on
+    the first query call per session — previously only sessions whose
+    shuffle.partitions read exactly "200" got that far. The guard now
+    tolerates a context-less session: required confs and the decided
+    marker are still set, shuffle.partitions is left untouched (the
+    pin needs defaultParallelism, which is equally unreadable there).
+    Pinned with a duck-typed stub — this environment has no Connect
+    server, but the contract is purely "sparkContext access raises"."""
+    from mapreduce_experiment_spark.plans.registry import (
+        _REQUIRED_CONFS, _SHUFFLE_DECIDED_CONF, ensure_session_confs)
+
+    class _Conf:
+        def __init__(self):
+            self.store = {"spark.sql.shuffle.partitions": "200"}
+
+        def get(self, key, default=None):
+            return self.store.get(key, default)
+
+        def set(self, key, value):
+            self.store[key] = value
+
+    class _ConnectLikeSession:
+        conf = _Conf()
+
+        @property
+        def sparkContext(self):
+            raise RuntimeError(
+                "sparkContext is not supported in Spark Connect")
+
+    stub = _ConnectLikeSession()
+    ensure_session_confs(stub)
+    assert stub.conf.get("spark.sql.shuffle.partitions") == "200"
+    assert stub.conf.get(_SHUFFLE_DECIDED_CONF) == "true"
+    for k, v in _REQUIRED_CONFS.items():
+        assert stub.conf.get(k) == v
+    # and the decision is once-per-session even on the skip path
+    stub.conf.set("spark.sql.shuffle.partitions", "17")
+    ensure_session_confs(stub)
+    assert stub.conf.get("spark.sql.shuffle.partitions") == "17"

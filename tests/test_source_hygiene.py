@@ -9,7 +9,7 @@ this test pins it mechanically so a new bare assert in the package —
 which would reintroduce the -O failure mode — fails review here
 instead of resurfacing as a silent semantic hole.
 
-Tests themselves are exempt: pytest rewrites/readsserts them and they
+Tests themselves are exempt: pytest rewrites their asserts and they
 never ship in the -O execution path.
 """
 
