@@ -12,7 +12,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from mapreduce_experiment_spark.session import get_session  # noqa: E402
 
 SF_SMOKE = "/root/testdata/sf0.001"
-SF_CORRECTNESS = "/root/testdata/sf0.01"
+# r13: overridable so the slow oracle mirror can run at a larger
+# scale point (the full registry was swept value-exact at sf0.1 this
+# round; SPARK_GRAFT_SF_CORRECTNESS=/root/testdata/sf0.1 repeats it
+# through the ordinary test surface — budget ~35 min, and use a 16g
+# driver heap: the streaming drains at sf0.1 exhaust Spark's 1g
+# default, see BENCHNOTES r13).
+SF_CORRECTNESS = os.environ.get("SPARK_GRAFT_SF_CORRECTNESS",
+                                "/root/testdata/sf0.01")
 REFERENCE_RESOURCES = "/root/reference/src/main/resources"
 
 
