@@ -58,14 +58,16 @@ def main() -> int:
     for i, name in enumerate(half):
         t0 = time.time()
         try:
+            # Driver parity: an omitted oracle is recorded err:no_oracle
+            # by the driver (no rows-only mode exists — registry.py),
+            # so a query missing one must FAIL here, not pass quietly
+            # (r13 review finding).
+            if name not in o:
+                raise AssertionError("no_oracle — the driver records "
+                                     "this as err, not a pass")
             df = q[name](spark, args.sf_dir)
-            if name in o:
-                assert_matches(df, run_oracle(o[name], args.sf_dir), name)
-                verdict = "OK"
-            else:
-                if df.count() < 0:
-                    raise AssertionError("negative count")
-                verdict = "OK(rows-only)"
+            assert_matches(df, run_oracle(o[name], args.sf_dir), name)
+            verdict = "OK"
         except Exception as ex:  # noqa: BLE001 — report and continue
             verdict = f"FAIL {str(ex)[:200]}"
             failures.append((name, verdict))

@@ -4,7 +4,12 @@ Runs a registry query on Spark and its oracle SQL on DuckDB over the
 same parquet tables, then compares row count, schema (column names),
 and values order-insensitively — the same gate the driver applies at
 sf=0.01, so mismatches surface locally first.
-"""
+
+Every check raises explicitly instead of using a bare ``assert``:
+although this module lives in tests/, it is ALSO the gate behind
+scripts/rehearse.py, which is documented to run under ``python -O``
+(the r13 -O rehearsal) — a stripped assert there would silently
+weaken the gate to values-only (r13 review finding)."""
 
 from __future__ import annotations
 
@@ -51,11 +56,12 @@ def _assert_no_decimals(spark_df, name: str) -> None:
 
     bad = [f.name for f in spark_df.schema.fields
            if isinstance(f.dataType, DecimalType)]
-    assert not bad, (
-        f"{name}: DECIMAL result columns {bad} — driver hash would "
-        "mismatch the oracle's DOUBLE rendering; CAST(... AS DOUBLE) "
-        "in the Spark plan"
-    )
+    if bad:
+        raise AssertionError(
+            f"{name}: DECIMAL result columns {bad} — driver hash would "
+            "mismatch the oracle's DOUBLE rendering; CAST(... AS DOUBLE) "
+            "in the Spark plan"
+        )
 
 
 def _numeric_class(dtype) -> str | None:
@@ -72,18 +78,22 @@ def assert_matches(spark_df, oracle_pdf: pd.DataFrame, name: str = "?") -> None:
     _assert_no_decimals(spark_df, name)
     got = _normalize(spark_df.toPandas())
     want = _normalize(oracle_pdf)
-    assert list(got.columns) == list(want.columns), (
-        f"{name}: column mismatch {list(got.columns)} vs {list(want.columns)}"
-    )
-    assert len(got) == len(want), f"{name}: row count {len(got)} vs {len(want)}"
+    if list(got.columns) != list(want.columns):
+        raise AssertionError(
+            f"{name}: column mismatch {list(got.columns)} vs "
+            f"{list(want.columns)}"
+        )
+    if len(got) != len(want):
+        raise AssertionError(
+            f"{name}: row count {len(got)} vs {len(want)}")
     for c in got.columns:
         # Driver-hash fidelity, beyond decimals: an int column on one
         # side and a float on the other render differently ('5' vs
         # '5.0') even when numerically equal. The float-vs-float value
         # compare below would coerce and hide it — reject up front.
         g_cls, w_cls = _numeric_class(got[c].dtype), _numeric_class(want[c].dtype)
-        if g_cls and w_cls:
-            assert g_cls == w_cls, (
+        if g_cls and w_cls and g_cls != w_cls:
+            raise AssertionError(
                 f"{name}.{c}: numeric class mismatch spark={got[c].dtype} "
                 f"oracle={want[c].dtype} — driver hash renders these "
                 "differently; align the types in plan and oracle"
@@ -99,7 +109,9 @@ def assert_matches(spark_df, oracle_pdf: pd.DataFrame, name: str = "?") -> None:
                 close = np.isclose(g, w, rtol=0, atol=1e-9) | both_nan
                 bad = np.flatnonzero(~exact)[:5]
                 detail = [(got[c].iloc[i], want[c].iloc[i]) for i in bad]
-                assert close.all(), f"{name}.{c}: float mismatch {detail}"
+                if not close.all():
+                    raise AssertionError(
+                        f"{name}.{c}: float mismatch {detail}")
                 raise AssertionError(
                     f"{name}.{c}: floats close but not exact (driver hash "
                     f"would fail): {detail} — round harder in both engines"

@@ -10,7 +10,10 @@ which would reintroduce the -O failure mode — fails review here
 instead of resurfacing as a silent semantic hole.
 
 Tests themselves are exempt: pytest rewrites their asserts and they
-never ship in the -O execution path.
+never ship in the -O execution path — EXCEPT tests/oracle_util.py,
+which scripts/rehearse.py imports as the oracle gate for -O
+rehearsals, so it (plus scripts/, bench.py, __spark_entry__.py) is
+included in the scan.
 """
 
 from __future__ import annotations
@@ -23,10 +26,29 @@ import mapreduce_experiment_spark as pkg
 _PKG_DIR = os.path.dirname(os.path.abspath(pkg.__file__))
 
 
+_REPO_DIR = os.path.dirname(_PKG_DIR)
+
+# Non-test files that ALSO run in the -O execution path (r13 review
+# finding: scripts/rehearse.py is documented to run under python -O,
+# and it gates through tests/oracle_util.assert_matches — a bare
+# assert in either silently weakens the oracle gate to values-only).
+_EXTRA_O_PATH_SOURCES = (
+    os.path.join(_REPO_DIR, "tests", "oracle_util.py"),
+    os.path.join(_REPO_DIR, "scripts"),
+    os.path.join(_REPO_DIR, "bench.py"),
+    os.path.join(_REPO_DIR, "__spark_entry__.py"),
+)
+
+
 def _package_sources() -> list[str]:
     out = []
-    for root, _dirs, files in os.walk(_PKG_DIR):
-        out.extend(os.path.join(root, f) for f in files if f.endswith(".py"))
+    for top in (_PKG_DIR,) + _EXTRA_O_PATH_SOURCES:
+        if os.path.isfile(top):
+            out.append(top)
+            continue
+        for root, _dirs, files in os.walk(top):
+            out.extend(os.path.join(root, f)
+                       for f in files if f.endswith(".py"))
     return sorted(out)
 
 
@@ -45,7 +67,7 @@ def test_no_bare_asserts_in_package_code():
         for node in ast.walk(tree):
             if isinstance(node, ast.Assert):
                 offenders.append(
-                    f"{os.path.relpath(path, _PKG_DIR)}:{node.lineno}")
+                    f"{os.path.relpath(path, _REPO_DIR)}:{node.lineno}")
     assert not offenders, (
         "bare assert in package code (stripped under python -O — "
         f"raise an explicit exception instead): {offenders}"
@@ -86,3 +108,49 @@ print("k7-rewrite-ok")
     assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr[-2000:]}"
     assert "pigeonhole-guard-fired" in r.stdout
     assert "k7-rewrite-ok" in r.stdout
+
+
+def test_oracle_gate_fires_under_python_O():
+    """r13 review finding, proven closed end-to-end: assert_matches'
+    schema/row-count/type checks were bare asserts, so a ``python -O``
+    rehearsal (scripts/rehearse.py's documented mode) silently passed
+    a result missing an entire oracle column — the gate degraded to
+    values-only. Now converted to explicit raises; this subprocess
+    pins that the cheapest structural check (column mismatch) FIRES
+    with asserts stripped. Duck-typed stand-in for the Spark side —
+    assert_matches only touches .schema.fields and .toPandas()."""
+    import subprocess
+    import sys
+
+    script = """
+import sys
+sys.path.insert(0, ".")
+if sys.flags.optimize != 1:
+    raise SystemExit("not running under -O")
+import pandas as pd
+from tests.oracle_util import assert_matches
+
+class FakeField:
+    def __init__(self, name):
+        self.name = name
+        self.dataType = None
+
+class FakeSchema:
+    fields = [FakeField("a")]
+
+class FakeDF:
+    schema = FakeSchema()
+    def toPandas(self):
+        return pd.DataFrame({"a": [1, 2]})
+
+try:
+    assert_matches(FakeDF(), pd.DataFrame({"a": [1, 2], "b": [3, 4]}), "p")
+    raise SystemExit("oracle gate did not fire under -O")
+except AssertionError:
+    print("oracle-gate-fired")
+"""
+    r = subprocess.run([sys.executable, "-O", "-c", script],
+                       capture_output=True, text=True, timeout=120,
+                       cwd=_REPO_DIR)
+    assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr[-2000:]}"
+    assert "oracle-gate-fired" in r.stdout
