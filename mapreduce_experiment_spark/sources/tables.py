@@ -16,22 +16,31 @@ from pyspark.sql import functions as F
 from ..schemas import TABLE_NAMES
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize events.ts to session-local TIMESTAMP.
+
+    events.ts has shipped as two parquet types across driver testdata
+    generations: TIMESTAMP(NANOS) (surfaced as int64 via
+    spark.sql.legacy.parquet.nanosAsLong, session.py) and
+    TIMESTAMP(MICROS) (surfaced as timestamp_ntz). Integer division
+    for the nanos case (a double roundtrip would lose precision at
+    1.7e18 ns); a plain cast (identity under the UTC session) for the
+    ntz case. ONE shared implementation for the batch loader and
+    ``streaming.pipeline.read_event_stream`` (r13 review: the logic
+    was duplicated verbatim, so a third testdata generation would
+    have had to land in two places or the paths silently diverge).
+    Works on batch and streaming DataFrames alike — it only touches
+    the analyzed schema."""
+    if dict(df.dtypes)["ts"] == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test table, e.g. ``load_table(spark, sf_dir, 'lineitem')``."""
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # events.ts has shipped as two parquet types across driver
-        # testdata generations: TIMESTAMP(NANOS) (surfaced as int64
-        # via spark.sql.legacy.parquet.nanosAsLong, session.py) and
-        # TIMESTAMP(MICROS) (surfaced as timestamp_ntz). Normalize
-        # both to session-local TIMESTAMP — integer division for the
-        # nanos case (a double roundtrip would lose precision at
-        # 1.7e18 ns); a plain cast (identity under the UTC session)
-        # for the ntz case.
-        if dict(df.dtypes)["ts"] == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        else:
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        df = normalize_event_ts(df)
     return df
 
 

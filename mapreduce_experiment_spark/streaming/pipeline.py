@@ -30,29 +30,38 @@ from pyspark.sql import types as T
 _COUNTER = itertools.count()
 
 
-def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The file stream source wants a directory; select just the events
-    # file from the shared sf_dir with a glob filter. Streaming needs
-    # an explicit schema, but events.ts has shipped as two parquet
-    # types across driver testdata generations (TIMESTAMP(NANOS) →
-    # int64 under nanosAsLong; TIMESTAMP(MICROS) → timestamp_ntz), so
-    # the schema comes from a batch probe of the actual footer — a
-    # hardcoded LongType ts would silently read the micros files as
-    # nulls and the watermark would drop every row.
+def probe_event_schema(spark: SparkSession, sf_dir: str):
+    """Batch footer probe for the events file — streaming needs an
+    explicit schema, and events.ts has shipped as two parquet types
+    across driver testdata generations (see
+    ``sources.tables.normalize_event_ts``); a hardcoded LongType ts
+    would silently read the micros files as nulls and the watermark
+    would drop every row. Exposed so a query building TWO stream
+    branches over the same file probes the footer once (r13 review:
+    the dual-source queries ran the identical driver-side probe
+    back-to-back)."""
     import os
 
-    schema = spark.read.parquet(
-        os.path.join(sf_dir, "events.parquet")).schema
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str,
+                      schema=None) -> DataFrame:
+    # The file stream source wants a directory; select just the events
+    # file from the shared sf_dir with a glob filter. Pass a
+    # pre-probed ``schema`` when building several branches over the
+    # same file; ts normalization is the shared helper the batch
+    # loader uses (r13 review — previously duplicated verbatim here).
+    from ..sources.tables import normalize_event_ts
+
+    if schema is None:
+        schema = probe_event_schema(spark, sf_dir)
     stream = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict((f.name, f.dataType.simpleString()) for f in schema)["ts"] \
-            == "bigint":
-        return stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return normalize_event_ts(stream)
 
 
 def dedup_events(events: DataFrame) -> DataFrame:
@@ -150,8 +159,9 @@ def streaming_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     no memory-sink table backs it). The bounded-output window aggs
     (``streaming_hourly_counts``) keep the memory sink, where it is
     the right tool."""
-    a = read_event_stream(spark, sf_dir)
-    b = read_event_stream(spark, sf_dir)
+    schema = probe_event_schema(spark, sf_dir)  # one probe, two branches
+    a = read_event_stream(spark, sf_dir, schema)
+    b = read_event_stream(spark, sf_dir, schema)
     deduped = dedup_events(a.unionByName(b))
     return drain_to_parquet(spark, deduped, "dedup_")
 
@@ -202,8 +212,9 @@ def streaming_view_purchase_attribution(spark: SparkSession,
     it drains through the checkpointed parquet sink, not the memory
     sink.
     """
+    schema = probe_event_schema(spark, sf_dir)  # one probe, two branches
     views = (
-        read_event_stream(spark, sf_dir)
+        read_event_stream(spark, sf_dir, schema)
         .where(F.col("event_type") == "view")
         .select(F.col("event_id").alias("view_id"),
                 F.col("user_id").alias("view_user"),
@@ -211,7 +222,7 @@ def streaming_view_purchase_attribution(spark: SparkSession,
         .withWatermark("view_ts", "1 hour")
     )
     purchases = (
-        read_event_stream(spark, sf_dir)
+        read_event_stream(spark, sf_dir, schema)
         .where(F.col("event_type") == "purchase")
         .select(F.col("event_id").alias("purchase_id"),
                 F.col("user_id").alias("purchase_user"),

@@ -11,7 +11,12 @@ with amendment — downstream consumers keep the latest row per
 Under an ``availableNow`` drain of a single parquet file the whole
 stream is one micro-batch, so the emitted set equals the batch
 sessionization exactly — which is how the driver value-checks this
-operator against the same SQL oracle as the batch path.
+operator against the same SQL oracle as the batch path. Across
+micro-batches both variants classify whole within-batch GAP-CHAINS
+against the open session (bounds widen, never regress — since r13
+this includes the retained-counter variant, whose per-event loop
+previously regressed ``last_us`` on an out-of-order arrival) and
+emit pre-session stragglers as ts-keyed orphan rows (_orphan_rows).
 
 Scale shape: output is one row per session — LINEAR in the input —
 so the drain goes through the checkpointed parquet sink
@@ -35,6 +40,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -75,7 +81,16 @@ def _batch_ts_cents(pdfs: Iterator[pd.DataFrame]):
         return None
     batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
     ts_us = batch["ts"].astype("int64") // 1000  # ns -> us, exact
-    val_cents = (batch["value"] * 100).round().astype("int64")
+    # floor(+0.5), NOT pandas .round(): the batch oracle path rounds
+    # cents with Spark F.round = HALF_UP, while pandas rounds
+    # half-to-even, so a dyadic half-cent product (value*100 exactly
+    # .5, e.g. value=0.125) would diverge between the streaming and
+    # batch/oracle totals (r13 review). floor(x+0.5) is the repo-wide
+    # HALF_UP mirror; event values are non-negative by contract
+    # (where HALF_UP == floor(+0.5) exactly).
+    val_cents = np.floor(
+        batch["value"].to_numpy() * 100 + 0.5).astype("int64")
+    val_cents = pd.Series(val_cents, index=batch.index)
     return ts_us, val_cents
 
 
@@ -93,6 +108,71 @@ def _emit(out_rows: list[tuple]) -> pd.DataFrame:
         "session_end": pd.to_datetime(df["last_us"], unit="us"),
         "total_value": df["cents"] / 100.0,
     })
+
+
+def _gap_chains(ts_us, val_cents, gap_us: int) -> list[list[tuple[int, int]]]:
+    """Segment a sorted batch into maximal GAP-CHAINS: runs of events
+    whose consecutive gaps are all <= gap. Batch sessionization would
+    never split a chain, so the chain — not the single event — is the
+    unit CLASSIFIED against the open session. (Classifying
+    event-by-event mis-orphans an admissible straggler when a LATER
+    event in the same batch chains it into the session's reach: state
+    [60m, 60m], gap 30m, batch {25m, 31m} — 25m alone sits below
+    start-gap, but 31m bridges it.) Chains keep their per-event rows
+    because orphan EMISSION is per-microsecond (see _orphan_rows).
+    Shared by both sessionizer variants since r13 — previously only
+    the evicting variant chained, and the retained-counter variant's
+    per-event loop REGRESSED last_us on a cross-batch out-of-order
+    event (r13 review)."""
+    chains: list[list[tuple[int, int]]] = []  # [(us, cents), ...]
+    for us, cent in zip(ts_us.to_numpy(), val_cents.to_numpy()):
+        us, cent = int(us), int(cent)
+        if chains and us - chains[-1][-1][0] <= gap_us:
+            chains[-1].append((us, cent))
+        else:
+            chains.append([(us, cent)])
+    return chains
+
+
+def _orphan_rows(user_id, ch: list[tuple[int, int]]) -> list[tuple]:
+    """A straggler chain from before the open session's reach: emit it
+    as closed "orphan" rows rather than corrupt the open session or
+    drop data. Orphan EMISSION is per-microsecond — one row per
+    distinct straggler ts, id -(ts_us + 1) — even though
+    CLASSIFICATION is per chain: an orphan row keyed by a chain's min
+    would let a later batch that re-delivers ONLY the min event
+    (partial at-least-once replay) replace the whole chain's row and
+    permanently lose its sibling events, whereas per-ts keys make
+    replacement idempotent — each straggler ts owns its amendment key,
+    and a re-delivery replaces exactly itself. Ids are strictly
+    negative, so they can never collide with a real session id
+    (ts-keyed ids are non-negative by the pre-epoch guard; ordinal ids
+    are positive) and clobber a closed session's final amendment row
+    downstream. Same-ts events within a batch merge into one row —
+    batch sessionization would merge them too; distinct
+    same-microsecond events across batches remain approximate
+    (replacement). A deployment that needs real straggler sessions
+    shrinks the watermark delay so such rows are filtered, or
+    reprocesses in batch."""
+    if ch[0][0] < 0:
+        # Negative orphan ids require non-negative event times: a
+        # pre-epoch ts would flip -(ts+1) POSITIVE, colliding with a
+        # real session id (a small ordinal, or a ts-keyed id sharing
+        # the value) and clobbering its final amendment row
+        # downstream. Refuse loudly rather than corrupt silently — a
+        # deployment with genuinely pre-1970 data has a broken clock
+        # upstream, not a session.
+        raise ValueError(
+            "sessionize: pre-epoch straggler timestamp "
+            f"({ch[0][0]} us) — the negative-id orphan scheme "
+            "requires non-negative event times")
+    orphans: dict[int, list[int]] = {}
+    for o_us, o_cent in ch:
+        agg = orphans.setdefault(o_us, [0, 0])
+        agg[0] += 1
+        agg[1] += o_cent
+    return [(user_id, -(o_us + 1), o_n, o_us, o_us, o_cents)
+            for o_us, (o_n, o_cents) in orphans.items()]
 
 
 def _sessionize_group(
@@ -113,17 +193,38 @@ def _sessionize_group(
         return
     ts_us, val_cents = prep
 
+    # Classify whole gap-chains against the open session (r13 review:
+    # the previous per-event loop REGRESSED last_us — and never
+    # widened start_us — on an out-of-order event arriving in a later
+    # micro-batch, wrongly splitting sessions and emitting amendment
+    # rows whose session_end moved backwards; within a single batch —
+    # the driver-verified availableNow drain — chains are exactly the
+    # batch sessions, so that contract is byte-identical). The case
+    # analysis mirrors _sessionize_group_evicting; the one divergence
+    # is ids: a straggler chain from before the open session's reach
+    # cannot take the batch oracle's ordinal (that would renumber
+    # every later session — unknowable without retained history), so
+    # it is emitted as per-microsecond orphan rows with ts-keyed
+    # NEGATIVE ids, same as the evicting variant.
     out: list[tuple] = []
-    for us, cent in zip(ts_us.to_numpy(), val_cents.to_numpy()):
-        if last_us is None or us - last_us > gap_us:
+    touched = False
+    for ch in _gap_chains(ts_us, val_cents, gap_us):
+        c_min, c_max = ch[0][0], ch[-1][0]
+        if last_us is not None and c_max < start_us - gap_us:
+            out.extend(_orphan_rows(user_id, ch))
+            continue
+        if last_us is None or c_min - last_us > gap_us:
             if last_us is not None:
                 out.append((user_id, sid, n, start_us, last_us, cents))
             sid += 1
-            start_us, n, cents = int(us), 0, 0
-        last_us = int(us)
-        n += 1
-        cents += int(cent)
-    out.append((user_id, sid, n, start_us, last_us, cents))  # trailing
+            start_us, last_us, n, cents = c_min, c_max, 0, 0
+        start_us = min(start_us, c_min)
+        last_us = max(last_us, c_max)
+        n += len(ch)
+        cents += sum(c for _, c in ch)
+        touched = True
+    if touched:  # trailing amendment — only if this batch changed it
+        out.append((user_id, sid, n, start_us, last_us, cents))
 
     state.update((sid, start_us, last_us, n, cents))
     yield _emit(out)
@@ -199,24 +300,9 @@ def _sessionize_group_evicting(
             f"({int(ts_us.iloc[0])} us) — the ts-keyed session-id "
             "scheme requires non-negative event times")
 
-    # 1. Segment the sorted batch into maximal GAP-CHAINS: runs of
-    # events whose consecutive gaps are all <= gap. Batch
-    # sessionization would never split a chain, so the chain — not
-    # the single event — is the unit CLASSIFIED against the open
-    # session. (Classifying event-by-event mis-orphans an admissible
-    # straggler when a LATER event in the same batch chains it into
-    # the session's reach: state [60m, 60m], gap 30m, batch {25m,
-    # 31m} — 25m alone sits below start-gap, but 31m bridges it.)
-    # Chains keep their per-event rows because orphan EMISSION is
-    # per-microsecond (see below).
-    chains: list[list[tuple[int, int]]] = []  # [(us, cents), ...]
-    for us, cent in zip(ts_us.to_numpy(), val_cents.to_numpy()):
-        us, cent = int(us), int(cent)
-        if chains and us - chains[-1][-1][0] <= gap_us:
-            chains[-1].append((us, cent))
-        else:
-            chains.append([(us, cent)])
-
+    # 1. Segment the sorted batch into maximal gap-chains — see
+    # _gap_chains (shared with the retained-counter variant).
+    #
     # 2. Classify each chain against the OPEN session, in ascending
     # order. Three cases, none of which may REGRESS the session's
     # bounds or its eviction deadline (a shrinking last_us would
@@ -227,43 +313,15 @@ def _sessionize_group_evicting(
     #   c_max >= start - gap      -> absorb the WHOLE chain; bounds
     #                                only WIDEN (start=min, last=max)
     #   c_max <  start - gap      -> a straggler chain from before
-    #                                the open session's reach: emit it
-    #                                as closed "orphan" rows rather
-    #                                than corrupt the open session or
-    #                                drop data. Orphan EMISSION is
-    #                                per-microsecond — one row per
-    #                                distinct straggler ts, id
-    #                                -(ts_us + 1) — even though
-    #                                CLASSIFICATION is per chain: an
-    #                                orphan row keyed by a chain's min
-    #                                would let a later batch that
-    #                                re-delivers ONLY the min event
-    #                                (partial at-least-once replay)
-    #                                replace the whole chain's row and
-    #                                permanently lose its sibling
-    #                                events, whereas per-ts keys make
-    #                                replacement idempotent — each
-    #                                straggler ts owns its amendment
-    #                                key, and a re-delivery replaces
-    #                                exactly itself. Ids are strictly
-    #                                negative (pre-epoch guarded
-    #                                above), so they can never collide
-    #                                with a real session id and
-    #                                clobber a closed session's final
-    #                                amendment row downstream (a
-    #                                straggler CAN share its ts with
-    #                                an old session's first event).
-    #                                Same-ts events within a batch
-    #                                merge into one row — batch
-    #                                sessionization would merge them
-    #                                too; distinct same-microsecond
-    #                                events across batches remain
-    #                                approximate (replacement). A
-    #                                deployment that needs real
-    #                                straggler sessions shrinks the
-    #                                watermark delay so such rows are
-    #                                filtered, or reprocesses in
-    #                                batch.
+    #                                the open session's reach: emit
+    #                                per-microsecond orphan rows —
+    #                                see _orphan_rows (a straggler
+    #                                CAN share its ts with an old
+    #                                session's first event; ids stay
+    #                                disjoint because orphan ids are
+    #                                negative and the pre-epoch guard
+    #                                above keeps real ts-keyed ids
+    #                                non-negative).
     # Orphan classification is stable under SAME-BATCH widening: a
     # chain absorbed later in this batch starts > gap above the
     # orphan chain's max (chains are maximal within the batch), so
@@ -277,16 +335,10 @@ def _sessionize_group_evicting(
     # approximation, bounded by the watermark delay.
     out: list[tuple] = []
     touched = False
-    for ch in chains:
+    for ch in _gap_chains(ts_us, val_cents, gap_us):
         c_min, c_max = ch[0][0], ch[-1][0]
         if last_us is not None and c_max < start_us - gap_us:
-            orphans: dict[int, list[int]] = {}
-            for o_us, o_cent in ch:
-                agg = orphans.setdefault(o_us, [0, 0])
-                agg[0] += 1
-                agg[1] += o_cent
-            for o_us, (o_n, o_cents) in orphans.items():
-                out.append((user_id, -(o_us + 1), o_n, o_us, o_us, o_cents))
+            out.extend(_orphan_rows(user_id, ch))
             continue
         if last_us is None or c_min - last_us > gap_us:
             if last_us is not None:

@@ -19,10 +19,20 @@ Incremental step for a batch B against accumulated edge state E:
    in ``B_new`` is found from each of them — distinct dedups within
    the batch; across batches step 1 makes re-finding impossible).
 
-State and output are parquet directories (append) — the pattern that
-scales: the edge state is the deduped simple graph, partitioned
-storage at cluster scale, and foreachBatch gives exactly-once output
-per micro-batch id.
+State and output are parquet directories laid out one Hive partition
+per micro-batch (``batch_key=r{run}b{batch_id}``), each written with
+mode("overwrite") — the pattern that scales AND survives replay:
+foreachBatch is only at-least-once, so a batch re-delivered after a
+partial failure must overwrite its own partition rather than append
+a duplicate (r13 review: blind appends double-emitted triangles on
+replay). The replay recomputes from exactly the pre-batch state —
+the anti-join and the state union read every partition EXCEPT the
+replayed batch's own, so a half-committed first attempt can't feed
+itself — and overwrites both partitions with identical content:
+idempotent. Existence is probed by attempting the read (not
+``os.path.exists``, which is always false on HDFS/S3 — r13 review),
+and a source that yields zero micro-batches returns an empty result
+instead of PATH_NOT_FOUND.
 """
 
 from __future__ import annotations
@@ -31,6 +41,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 
 from ..operators.graph import canonical_edges
 from .pipeline import _COUNTER
@@ -38,15 +49,30 @@ from .pipeline import _COUNTER
 _EDGE_SCHEMA = "src long, dst long"
 
 
-def _process_batch(batch: DataFrame, state_dir: str, out_dir: str) -> None:
+def _read_batches(spark: SparkSession, root: str, schema: str,
+                  exclude_key: str | None = None) -> DataFrame:
+    """Read every ``batch_key=...`` partition under ``root`` except
+    ``exclude_key`` (the in-flight batch's own partition, so a replay
+    never sees its first attempt's half-committed writes). A missing
+    root means no batch has committed yet — empty, not an error; the
+    filesystem goes through Spark's datasource (portable to HDFS/S3,
+    unlike a driver-local os.path.exists)."""
+    try:
+        df = spark.read.schema(f"{schema}, batch_key string").parquet(root)
+    except AnalysisException:
+        return spark.createDataFrame([], schema)
+    if exclude_key is not None:
+        df = df.where(F.col("batch_key") != exclude_key)
+    return df.drop("batch_key")
+
+
+def _process_batch(batch: DataFrame, batch_key: str, state_dir: str,
+                   out_dir: str) -> None:
     spark = batch.sparkSession
     new = canonical_edges(batch)
-    if os.path.exists(state_dir):
-        state = spark.read.schema("u long, v long").parquet(state_dir)
-        new = new.join(state, ["u", "v"], "left_anti")
-    else:
-        state = spark.createDataFrame([], "u long, v long")
-    new = new.persist()
+    state = _read_batches(spark, state_dir, "u long, v long",
+                          exclude_key=batch_key)
+    new = new.join(state, ["u", "v"], "left_anti").persist()
 
     all_edges = state.unionByName(new).persist()
     adj_x = all_edges.select(F.col("u").alias("a"), F.col("v").alias("w")) \
@@ -66,8 +92,14 @@ def _process_batch(batch: DataFrame, state_dir: str, out_dir: str) -> None:
         abc.getItem(2).alias("tc"),
     ).distinct()
 
-    tris.write.mode("append").parquet(out_dir)
-    new.write.mode("append").parquet(state_dir)
+    # Idempotent per-batch commits: overwrite THIS batch's partition
+    # only. A replay recomputes identical content (the reads above
+    # excluded this partition) and overwrites in place — no appends,
+    # no duplicates (r13 review).
+    tris.write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"batch_key={batch_key}"))
+    new.write.mode("overwrite").parquet(
+        os.path.join(state_dir, f"batch_key={batch_key}"))
     new.unpersist()
     all_edges.unpersist()
 
@@ -75,7 +107,20 @@ def _process_batch(batch: DataFrame, state_dir: str, out_dir: str) -> None:
 def streaming_triangles(spark: SparkSession, edges_dir: str,
                         work_dir: str) -> DataFrame:
     """Run the incremental pipeline over parquet edge files arriving
-    one file per micro-batch; returns the accumulated triangle set."""
+    one file per micro-batch; returns the accumulated triangle set.
+
+    ``batch_key`` carries the run ordinal too (``r{run}b{batch_id}``):
+    batch ids restart at 0 under a fresh checkpoint, so a later call
+    over the same ``work_dir`` must not treat an earlier run's batch 0
+    as its own in-flight partition (the exclusion would un-see those
+    edges). Replays WITHIN one call (task retry / checkpoint resume in
+    the same query) keep their run ordinal and self-exclude —
+    idempotent overwrite. A whole NEW call (or a restarted process,
+    where the counter need not align with the crashed one's) gets a
+    fresh checkpoint and run key, reprocesses the source, and the
+    anti-join against the accumulated state suppresses everything
+    already seen: its partitions come out empty and the triangle set
+    is unchanged — correct, just not incremental for that pass."""
     state_dir = os.path.join(work_dir, "edge_state")
     out_dir = os.path.join(work_dir, "triangles_out")
     run = next(_COUNTER)
@@ -87,14 +132,13 @@ def streaming_triangles(spark: SparkSession, edges_dir: str,
     )
     q = (
         stream.writeStream
-        .foreachBatch(lambda b, _id: _process_batch(b, state_dir, out_dir))
+        .foreachBatch(lambda b, bid: _process_batch(
+            b, f"r{run}b{bid}", state_dir, out_dir))
         .option("checkpointLocation", os.path.join(work_dir, f"ckpt_{run}"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return (
-        spark.read.schema("ta long, tb long, tc long").parquet(out_dir)
+    return _read_batches(spark, out_dir, "ta long, tb long, tc long") \
         .select(F.col("ta").alias("a"), F.col("tb").alias("b"),
                 F.col("tc").alias("c"))
-    )

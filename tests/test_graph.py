@@ -130,6 +130,77 @@ def test_streaming_triangles_span_batches(spark, tmp_path):
     assert tris.count() == 2  # exactly once — no duplicate emissions
 
 
+def test_streaming_triangles_batch_replay_is_idempotent(spark, tmp_path):
+    """r13 review: foreachBatch is at-least-once, and the old blind
+    appends double-emitted a replayed batch's triangles (a run dying
+    between the two sink appends left a half-committed batch that the
+    anti-join could not suppress). Commits are now one overwritten
+    Hive partition per batch_key, and the batch's own partition is
+    EXCLUDED from the state read — so replaying _process_batch, even
+    over a half-committed first attempt, converges to the same set."""
+    from mapreduce_experiment_spark.streaming.triangles import (
+        _process_batch, _read_batches,
+    )
+    work = tmp_path / "work_replay"
+    state_dir, out_dir = str(work / "edge_state"), str(work / "triangles_out")
+
+    _process_batch(_edges(spark, [(1, 2), (2, 3)]), "r0b0",
+                   state_dir, out_dir)
+    b1 = _edges(spark, [(1, 3), (3, 4), (2, 4)])  # completes both tris
+
+    # half-committed first attempt: triangles partition written (with
+    # content that must be REPLACED, not appended to), state partition
+    # never committed — the failure window the review named
+    import os
+    spark.createDataFrame([(9, 9, 9)], "ta long, tb long, tc long") \
+        .write.mode("overwrite") \
+        .parquet(os.path.join(out_dir, "batch_key=r0b1"))
+
+    for _ in range(2):  # replay twice — idempotent both times
+        _process_batch(b1, "r0b1", state_dir, out_dir)
+        got = {(r.ta, r.tb, r.tc) for r in _read_batches(
+            spark, out_dir, "ta long, tb long, tc long").collect()}
+        assert got == {(1, 2, 3), (2, 3, 4)}
+        state = {(r.u, r.v) for r in _read_batches(
+            spark, state_dir, "u long, v long").collect()}
+        assert state == {(1, 2), (2, 3), (1, 3), (3, 4), (2, 4)}
+
+
+def test_streaming_triangles_empty_source(spark, tmp_path):
+    """r13 review: a source directory yielding zero micro-batches left
+    triangles_out uncreated and the final read crashed PATH_NOT_FOUND;
+    it must return an empty result instead."""
+    from mapreduce_experiment_spark.streaming.triangles import (
+        streaming_triangles,
+    )
+    edges_dir = tmp_path / "edges_empty"
+    edges_dir.mkdir()
+    tris = streaming_triangles(spark, str(edges_dir),
+                               str(tmp_path / "work_empty"))
+    assert tris.count() == 0
+    assert tris.columns == ["a", "b", "c"]
+
+
+def test_streaming_triangles_rerun_same_workdir(spark, tmp_path):
+    """A second full call over the same work_dir (fresh checkpoint,
+    new run key) reprocesses the source but the anti-join suppresses
+    every already-seen edge — the triangle set must not grow, and the
+    new run's partitions must not shadow the old run's (the run
+    ordinal in batch_key keeps exclusion scoped to the in-flight
+    batch only)."""
+    from mapreduce_experiment_spark.streaming.triangles import (
+        streaming_triangles,
+    )
+    edges_dir = str(tmp_path / "edges_rerun")
+    _edges(spark, [(1, 2), (2, 3), (1, 3)]).coalesce(1) \
+        .write.mode("append").parquet(edges_dir)
+    work = str(tmp_path / "work_rerun")
+    first = streaming_triangles(spark, edges_dir, work)
+    assert _tri_set(first) == {(1, 2, 3)} and first.count() == 1
+    second = streaming_triangles(spark, edges_dir, work)
+    assert _tri_set(second) == {(1, 2, 3)} and second.count() == 1
+
+
 @settings(max_examples=10, deadline=None)
 @given(pairs=edge_lists)
 def test_triangles_invariant_under_orientation_and_duplication(spark, pairs):

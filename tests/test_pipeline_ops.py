@@ -1968,6 +1968,109 @@ def test_stateful_sessions_out_of_order_never_regresses(spark, tmp_path):
     assert u2 == [(-(us_of[20] + 1), 1, 8.00), (us_of[70], 1, 9.00)]
 
 
+def test_retained_sessions_out_of_order_never_regresses(spark, tmp_path):
+    """r13 review: the retained-counter sessionizer's per-event loop
+    REGRESSED last_us (and never widened start_us) on an out-of-order
+    event arriving in a later micro-batch — state [60m,60m] gap 30m
+    absorbing a 50m event set last_us=50m, so a following 85m event
+    (35m > gap from the regressed end, 25m from the true end) wrongly
+    forked a new session, and the 50m amendment row carried a
+    session_end earlier than the already-emitted 60m. Both variants
+    now classify whole gap-chains; this mirrors
+    test_stateful_sessions_out_of_order_never_regresses for the
+    ordinal-id variant (no watermark here — NoTimeout admits every
+    arrival): same three batches, ordinal ids instead of start-micros,
+    straggler emitted under the ts-keyed negative orphan id."""
+    import time
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from mapreduce_experiment_spark.streaming import sessions as S
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+
+    def ts(minutes):
+        return t0 + pd.Timedelta(minutes=minutes)
+
+    d = tmp_path / "events_ooo_ret"
+    d.mkdir()
+    now = time.time()
+    batches = [
+        ([1, 2], [100, 200], [ts(60), ts(70)], [1.00, 9.00]),
+        ([1], [101], [ts(50)], [2.00]),
+        ([1, 2], [102, 201], [ts(85), ts(20)], [4.00, 8.00]),
+    ]
+    for i, (users, eids, tss, vals) in enumerate(batches, start=1):
+        f = d / f"batch{i}.parquet"
+        pd.DataFrame({"user_id": users, "event_id": eids,
+                      "ts": tss, "value": vals}) \
+            .to_parquet(f, coerce_timestamps="us")
+        os.utime(f, (now + i, now + i))
+
+    gap_us = 30 * 60 * 1_000_000
+
+    def fn(key, pdfs, state):
+        return S._sessionize_group(key, pdfs, state, gap_us)
+
+    stream = (spark.readStream
+              .schema("user_id long, event_id long, ts timestamp, "
+                      "value double")
+              .option("maxFilesPerTrigger", 1).parquet(str(d)))
+    q = (stream.groupBy("user_id")
+         .applyInPandasWithState(fn, S._OUT_SCHEMA, S._STATE_SCHEMA,
+                                 "append", GroupStateTimeout.NoTimeout)
+         .writeStream.format("memory").queryName("sess_ooo_ret_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(fed) == 3, "expected three single-file batches"
+
+    us_of = {m: int(ts(m).value) // 1000 for m in (20, 50, 60, 85)}
+    rows = spark.table("sess_ooo_ret_test").collect()
+
+    u1 = [(r.session_id, r.n_events,
+           int(r.session_start.timestamp() * 1_000_000),
+           int(r.session_end.timestamp() * 1_000_000),
+           float(r.total_value))
+          for r in rows if r.user_id == 1]
+    # one ordinal throughout — never forked by the regression bug
+    assert {sid for sid, *_ in u1} == {1}
+    assert sorted(u1) == [
+        (1, 1, us_of[60], us_of[60], 1.00),
+        (1, 2, us_of[50], us_of[60], 3.00),   # start widened,
+                                              # end NOT regressed
+        (1, 3, us_of[50], us_of[85], 7.00),
+    ]
+
+    u2 = sorted((r.session_id, r.n_events, float(r.total_value))
+                for r in rows if r.user_id == 2)
+    # straggler below the open session's reach: its own closed
+    # singleton under the negative orphan id, ordinal session untouched
+    assert u2 == [(-(us_of[20] + 1), 1, 8.00), (1, 1, 9.00)]
+
+
+def test_session_cents_round_half_up_like_batch():
+    """r13 review: streaming cents used pandas .round() (half-to-even)
+    while the batch oracle path uses Spark F.round (HALF_UP), so a
+    dyadic half-cent product diverged: value=0.125 -> 12.5 cents ->
+    batch 13, old streaming 12. Pinned on _batch_ts_cents directly."""
+    import pandas as pd
+
+    from mapreduce_experiment_spark.streaming.sessions import (
+        _batch_ts_cents,
+    )
+
+    pdf = pd.DataFrame({
+        "ts": pd.to_datetime(["2024-01-01", "2024-01-02"]),
+        "event_id": [1, 2],
+        "value": [0.125, 0.375],   # *100 = 12.5, 37.5 — both exact
+    })
+    _, cents = _batch_ts_cents(iter([pdf]))
+    assert list(cents) == [13, 38]  # HALF_UP, not half-even (12, 38)
+
+
 def test_streaming_minhash_deadline_never_regresses(spark, tmp_path):
     """An older-but-admissible re-delivery must not move a signature
     group's eviction deadline BACKWARDS — the contract is (group's
@@ -2266,6 +2369,151 @@ def test_evicting_sessionizer_property(spark):
     o6 = -(6 * 60_000_000 + 1)
     assert latest[o5]["n_events"] == 1
     assert latest[o6]["n_events"] == 1   # sibling survived the replay
+
+
+def test_retained_sessionizer_property(spark):
+    """Property-test the retained-counter group function's algebra
+    (mock GroupState, no engine — NoTimeout means no watermark, no
+    late filter, no eviction: every arrival is admitted), mirroring
+    test_evicting_sessionizer_property since r13, when the gap-chain
+    classification became shared between the variants:
+
+    1. CONSERVATION — every event lands in exactly one session;
+    2. MONOTONY — per session_id, amendment rows never decrease n,
+       never raise session_start, never lower session_end (the r13
+       fix: the per-event loop regressed session_end);
+    3. BATCH PARITY — on globally in-order delivery the latest rows
+       equal batch sessionization, with ids the ordinals 1..k.
+
+    ``spark`` unused at runtime; fixture scoping."""
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    from mapreduce_experiment_spark.streaming.sessions import (
+        _sessionize_group,
+    )
+
+    GAP_US = 30 * 60 * 1_000_000
+
+    def drive(batches_min):
+        state = _FakeGroupState()
+        emitted, admitted = [], []
+        for batch in batches_min:
+            if not batch:
+                continue
+            rows = [(m * 60_000_000, 1.0) for m in sorted(batch)]
+            admitted.extend(rows)
+            pdf = pd.DataFrame({
+                "ts": pd.to_datetime([us for us, _ in rows], unit="us"),
+                "event_id": range(len(rows)),
+                "value": [v for _, v in rows],
+            })
+            emitted.extend(pd.concat(list(
+                _sessionize_group((7,), iter([pdf]), state, GAP_US)),
+                ignore_index=True).to_dict("records"))
+        return emitted, admitted
+
+    n_examples, minute_max, batches_max = _prop_config(6)
+    minutes = st.integers(min_value=0, max_value=minute_max)
+    batches = st.lists(
+        st.lists(minutes, min_size=0, max_size=5),
+        min_size=1, max_size=batches_max)
+
+    @settings(max_examples=n_examples, deadline=None)
+    @given(batches)
+    def prop(bs):
+        # distinct timestamps only, as in the evicting property: two
+        # events at the identical microsecond merge under batch
+        # semantics too (orphan ids are unique per ts by construction)
+        seen_min = set()
+        bs = [[m for m in b if not (m in seen_min or seen_min.add(m))]
+              for b in bs]
+        emitted, admitted = drive(bs)
+        assert len(emitted) >= bool(admitted)
+        latest = {}
+        seen_per_sid = {}
+        for r in emitted:
+            sid = r["session_id"]
+            prev = seen_per_sid.get(sid)
+            if prev is not None:                       # monotony
+                assert r["n_events"] >= prev["n_events"]
+                assert r["session_start"] <= prev["session_start"]
+                assert r["session_end"] >= prev["session_end"]
+            seen_per_sid[sid] = r
+            latest[sid] = r
+        # conservation over the latest row per session
+        assert sum(r["n_events"] for r in latest.values()) == len(admitted)
+        total = round(sum(r["total_value"] for r in latest.values()), 2)
+        assert total == round(sum(v for _, v in admitted), 2)
+        # batch parity on in-order delivery — including the ORDINALS
+        flat = [us for b in bs for us in sorted(b)]
+        if flat == sorted(flat) and admitted:
+            want, cur = [], None
+            for us, _ in admitted:
+                if cur is None or us - cur[-1] > GAP_US:
+                    want.append([us])
+                else:
+                    cur.append(us)
+                cur = want[-1]
+            got = sorted((r["session_id"],
+                          r["session_start"].value // 1000,
+                          r["session_end"].value // 1000,
+                          r["n_events"]) for r in latest.values())
+            assert got == [(i, s[0], s[-1], len(s))
+                           for i, s in enumerate(want, start=1)]
+
+    prop()
+
+    # The r13 regression, deterministically: state [60m], gap 30m —
+    # batch {50m} absorbs (widen start, end STAYS 60m, same ordinal),
+    # then batch {85m} extends the SAME session (25m from the true
+    # end; the regressed end would have put it 35m > gap away and
+    # forked ordinal 2).
+    emitted, admitted = drive([[60], [50], [85]])
+    latest = {r["session_id"]: r for r in emitted}
+    assert set(latest) == {1} and len(admitted) == 3
+    assert latest[1]["n_events"] == 3
+    assert latest[1]["session_start"].value // 60_000_000_000 == 50
+    assert latest[1]["session_end"].value // 60_000_000_000 == 85
+
+    # Straggler below the open session's reach: negative ts-keyed
+    # orphan id, ordinal session untouched.
+    emitted, admitted = drive([[60], [10]])
+    latest = {r["session_id"]: r for r in emitted}
+    assert latest[1]["n_events"] == 1
+    assert latest[-(10 * 60_000_000 + 1)]["n_events"] == 1
+    assert sum(r["n_events"] for r in latest.values()) == len(admitted) == 2
+
+
+def test_retained_sessionizer_rejects_pre_epoch_straggler(spark):
+    """The retained variant accepts pre-epoch events in the ordinary
+    path (ordinal ids don't care), but a pre-epoch STRAGGLER would
+    mint a POSITIVE orphan id -(ts+1) that can collide with a real
+    ordinal — it must be rejected loudly at orphan emission (r13;
+    the evicting variant guards the whole batch up-front instead
+    because its REAL ids are ts-keyed). ``spark`` unused; scoping."""
+    import pandas as pd
+    import pytest
+
+    from mapreduce_experiment_spark.streaming.sessions import (
+        _sessionize_group,
+    )
+
+    GAP_US = 30 * 60 * 1_000_000
+    state = _FakeGroupState()
+    ok = pd.DataFrame({
+        "ts": pd.to_datetime([10 * 3_600_000_000], unit="us"),
+        "event_id": [0],
+        "value": [1.0],
+    })
+    list(_sessionize_group((7,), iter([ok]), state, GAP_US))
+    straggler = pd.DataFrame({
+        "ts": pd.to_datetime([-5_000_000], unit="us"),  # 1969-12-31
+        "event_id": [1],
+        "value": [1.0],
+    })
+    with pytest.raises(ValueError, match="pre-epoch"):
+        list(_sessionize_group((7,), iter([straggler]), state, GAP_US))
 
 
 def test_evicting_sessionizer_rejects_pre_epoch_ts(spark):
