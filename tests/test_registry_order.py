@@ -133,12 +133,53 @@ _ROUND_BASE = "18f1beb"  # r12 driver commit (verdict landed); bump each round
 # attested unchanged this round (measured against _ROUND_BASE = the
 # r12 driver commit).
 #
-# Round 13's package edits are confined to the registry module
-# itself (the rotation plus the r12 ADVICE fixes to the
-# shuffle-partitions guard — a Spark Connect-safe sparkContext
-# access and a comment correction), which the dep closure
-# deliberately discards, so nothing needs attesting.
-_ATTESTED_UNCHANGED: set[str] = set()
+# Round 13's package edits beyond the registry module (which the dep
+# closure discards) are the streaming-review fixes:
+# streaming/{sessions,triangles,pipeline}.py and — because the
+# duplicated events.ts normalization was extracted into it —
+# sources/tables.py, which every plans module imports, so the dep
+# closure flags ALL 50 out-of-window queries. Attestation basis:
+#  - sources/tables.py: pure extraction refactor — normalize_event_ts
+#    is the identical branch/expressions the loader inlined; no
+#    registered plan changes.
+#  - streaming/sessions.py: the gap-chain/orphan path is new code that
+#    is UNREACHABLE on the driver's single-batch availableNow drain
+#    (no prior state -> chains are exactly the batch sessions; no
+#    out-of-window streaming query is affected beyond
+#    stateful_streaming_sessions_evicting, whose group function was
+#    refactored onto the shared helpers without semantic change). The
+#    cents rounding fix (pandas half-even -> floor(+0.5) HALF_UP) is
+#    value-neutral on every shipped SF: zero exact half-cent tie
+#    values at sf0.001/0.01/0.1, checked by query this round.
+#  - streaming/pipeline.py + triangles.py: affected registered queries
+#    (streaming_* set) all sit INSIDE the r13 window.
+# Empirical backstop: both registry halves rehearsed 50/50 value-exact
+# against their DuckDB oracles under a bare session at sf0.01 AFTER
+# the fixes landed (BENCHNOTES r13), so every attested query below
+# holds fresh local evidence in addition to the reasoning above.
+_ATTESTED_UNCHANGED: set[str] = {
+    # the 50 r12-greens (= WINDOW_r12.json), flagged only because
+    # their plans modules import sources/tables.py
+    "stateful_streaming_sessions_evicting",
+    "embedding_near_dups_maintained", "account_balance_union",
+    "adjacency", "approx_distinct_counts", "bm25_topk",
+    "candidate_pairs", "canonical_url_groups", "corpus_shuffle",
+    "customer_running_spend", "customers_churned",
+    "customers_retained", "degrees", "edges_derive",
+    "events_json_extract", "exact_dedup_groups", "fingerprints",
+    "grouping_sets_sql", "kmeans_centroids", "kmeans_ivf_assignments",
+    "knn_ivf_trained", "lang_id", "minhash_dedup_pairs",
+    "mktsegment_pivot", "nation_order_stats", "ngram_jaccard_pairs",
+    "order_gap_days", "order_priority_rollup",
+    "order_scalar_functions", "orders_above_customer_average",
+    "pagerank", "parts_never_ordered", "pii_redaction",
+    "pricing_summary", "quality_scores", "repeated_spans",
+    "returnflag_status_cube", "revenue_by_nation",
+    "sessionize_events", "simhash_near_dups", "span_deduped_corpus",
+    "suppliers_with_orders", "symmetrize", "tfidf_doc_pairs",
+    "token_counts", "token_frequencies", "top_customers_per_nation",
+    "top_orders_global", "triangles_faithful", "user_value_scd2",
+}
 
 def _round_sorted(paths: list[str]) -> list[str]:
     """Sort round-stamped artifact files by NUMERIC round: plain
