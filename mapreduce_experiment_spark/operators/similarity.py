@@ -103,24 +103,28 @@ def srp_signatures(embeddings: DataFrame, bands: int = SRP_BANDS,
     return v.mapInPandas(sig, schema="vec_id long, band_id long, band_val long")
 
 
-def embedding_near_dup_pairs_lsh(embeddings: DataFrame,
-                                 threshold: float = 0.45) -> DataFrame:
-    """Bucketed embedding near-duplicates: SRP-LSH candidates + exact
-    cosine verify. Replaces the all-pairs crossJoin (quadratic) with
-    the 100 TB-shaped plan: signatures are one narrow map-side pass,
-    candidates come from an equi-join on (band_id, band_val) —
-    same-bucket vectors only — then the exact cosine runs on the
-    (distinct) candidate set, never on the full N².
-    """
-    sigs = srp_signatures(embeddings)
+def _self_join_cands(sigs: DataFrame) -> DataFrame:
+    """Distinct canonical candidate pairs from a signature self-join
+    on (band_id, band_val) — shared by the recompute path and the
+    persisted-index path (duplicated byte-for-byte before r13), so a
+    candidate-generation change can never apply to one and not the
+    other."""
     a = sigs.select(F.col("vec_id").alias("id_a"), "band_id", "band_val")
     b = sigs.select(F.col("vec_id").alias("id_b"), "band_id", "band_val")
-    cands = (
+    return (
         a.join(b, ["band_id", "band_val"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def _verify_pairs(cands: DataFrame, embeddings: DataFrame,
+                  threshold: float) -> DataFrame:
+    """Exact-cosine verify of canonical (id_a, id_b) candidates against
+    ``embeddings`` — the threshold join shared by every LSH near-dup
+    path (four near-identical copies before r13; the zero-norm guard
+    in _cos now lands everywhere by construction)."""
     v = _prep(embeddings)
     va = v.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("va"),
                   F.col("norm").alias("na"))
@@ -135,6 +139,19 @@ def embedding_near_dup_pairs_lsh(embeddings: DataFrame,
     )
 
 
+def embedding_near_dup_pairs_lsh(embeddings: DataFrame,
+                                 threshold: float = 0.45) -> DataFrame:
+    """Bucketed embedding near-duplicates: SRP-LSH candidates + exact
+    cosine verify. Replaces the all-pairs crossJoin (quadratic) with
+    the 100 TB-shaped plan: signatures are one narrow map-side pass,
+    candidates come from an equi-join on (band_id, band_val) —
+    same-bucket vectors only — then the exact cosine runs on the
+    (distinct) candidate set, never on the full N².
+    """
+    return _verify_pairs(_self_join_cands(srp_signatures(embeddings)),
+                         embeddings, threshold)
+
+
 def _prep(embeddings: DataFrame) -> DataFrame:
     """Vectors as doubles with the norm precomputed ONCE per vector —
     the per-pair cosine is then a single dot product, not three
@@ -146,7 +163,20 @@ def _prep(embeddings: DataFrame) -> DataFrame:
 
 
 def _cos(va: F.Column, vb: F.Column, na: F.Column, nb: F.Column) -> F.Column:
-    return q6(dot(va, vb) / (na * nb))
+    """q6-quantized cosine, with cos := -1.0 when either norm is zero.
+
+    A zero-norm embedding has no direction: unguarded, Spark 4's
+    ANSI-on default hard-fails the whole query with DIVIDE_BY_ZERO on
+    a single degenerate row, and the BLAS mirror's silent NaN ranked
+    FIRST under cos DESC (r13 review — both verified live). -1.0 is
+    the cosine floor, so degenerate vectors rank last in every kNN
+    path and can never clear a near-dup threshold; a genuine
+    antiparallel pair also scores -1, which is indistinguishable here
+    and equally never a neighbor of interest. Value-neutral on all
+    shipped testdata (zero zero-norm vectors at every SF, checked)."""
+    den = na * nb
+    return q6(F.when(den == F.lit(0.0), F.lit(-1.0))
+              .otherwise(dot(va, vb) / den))
 
 
 def embedding_near_dup_pairs(embeddings: DataFrame,
@@ -191,12 +221,7 @@ def knn_bruteforce(embeddings: DataFrame, n_queries: int = 10,
                 _cos(F.col("qv"), F.col("nv"), F.col("qn"), F.col("nn"))
                 .alias("cos"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-    )
+    return _topk(scored, k)
 
 
 def knn_bruteforce_blas(embeddings: DataFrame, n_queries: int = 10,
@@ -228,10 +253,17 @@ def knn_bruteforce_blas(embeddings: DataFrame, n_queries: int = 10,
 
     def score(batches):
         for pdf in batches:
+            if len(pdf) == 0:
+                continue  # empty Arrow batch: (0,) mat breaks the matmul
             ids = pdf["vec_id"].to_numpy()
             mat = np.array(list(pdf["vec"]), dtype=np.float64)
             norm = pdf["norm"].to_numpy(dtype=np.float64)
-            cos = (q_mat @ mat.T) / (q_norm[:, None] * norm[None, :])
+            # Mirror _cos's zero-norm floor: numpy 0/0 is a silent NaN
+            # that ranks FIRST under cos DESC (r13 review); divide by
+            # a substituted 1.0 so the masked lanes never raise.
+            den = q_norm[:, None] * norm[None, :]
+            cos = np.where(den == 0.0, -1.0,
+                           (q_mat @ mat.T) / np.where(den == 0.0, 1.0, den))
             cos = np.floor(cos * 1_000_000 + 0.5) / 1_000_000.0
             nq, nc = cos.shape
             yield pd.DataFrame({
@@ -243,12 +275,7 @@ def knn_bruteforce_blas(embeddings: DataFrame, n_queries: int = 10,
     corpus = v.where(F.col("vec_id") >= n_queries)
     scored = corpus.mapInPandas(
         score, schema="query_id long, neighbor_id long, cos double")
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-    )
+    return _topk(scored, k)
 
 
 # --- trained IVF: deterministic Lloyd k-means ------------------------------
@@ -307,28 +334,33 @@ def kmeans_train(embeddings: DataFrame, k: int = KMEANS_K,
     import numpy as np
 
     v = _vec_batches(embeddings).persist()
-    seeds = sorted(v.where(F.col("vec_id") < k).collect(),
-                   key=lambda r: r.vec_id)
-    cent_ids = [r.vec_id for r in seeds]
-    cents = _quantize_mat(np.array([r.vec for r in seeds], dtype=np.float64))
-    for _ in range(n_iter):
-        agg = (
-            _kmeans_partial_sums(v, cent_ids, cents)
-            .groupBy("centroid_id", "pos")
-            .agg(F.sum("psum").alias("s"), F.sum("pcnt").alias("cnt"))
-            .collect()
-        )
-        by_cid: dict[int, dict[int, tuple[int, int]]] = {}
-        for r in agg:
-            by_cid.setdefault(r.centroid_id, {})[r.pos] = (r.s, r.cnt)
-        cent_ids = sorted(by_cid)
-        d = cents.shape[1]
-        cents = np.array(
-            [[by_cid[cid][p][0] // by_cid[cid][p][1] for p in range(1, d + 1)]
-             for cid in cent_ids],
-            dtype=np.int64,
-        )
-    v.unpersist()
+    try:  # unpersist even when a training collect throws, else the
+        # cached plan holds executor storage for the app's lifetime
+        seeds = sorted(v.where(F.col("vec_id") < k).collect(),
+                       key=lambda r: r.vec_id)
+        cent_ids = [r.vec_id for r in seeds]
+        cents = _quantize_mat(
+            np.array([r.vec for r in seeds], dtype=np.float64))
+        for _ in range(n_iter):
+            agg = (
+                _kmeans_partial_sums(v, cent_ids, cents)
+                .groupBy("centroid_id", "pos")
+                .agg(F.sum("psum").alias("s"), F.sum("pcnt").alias("cnt"))
+                .collect()
+            )
+            by_cid: dict[int, dict[int, tuple[int, int]]] = {}
+            for r in agg:
+                by_cid.setdefault(r.centroid_id, {})[r.pos] = (r.s, r.cnt)
+            cent_ids = sorted(by_cid)
+            d = cents.shape[1]
+            cents = np.array(
+                [[by_cid[cid][p][0] // by_cid[cid][p][1]
+                  for p in range(1, d + 1)]
+                 for cid in cent_ids],
+                dtype=np.int64,
+            )
+    finally:
+        v.unpersist()
     return cent_ids, cents
 
 
@@ -450,27 +482,9 @@ def knn_ivf_trained(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
         F.col("vec_id") >= n_queries)
 
     v = _prep(embeddings)
-    corpus = v.select(F.col("vec_id").alias("neighbor_id"),
-                      F.col("vec").alias("nv"), F.col("norm").alias("nn"))
-    queries = v.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("vec").alias("qv"),
-        F.col("norm").alias("qn"))
-
-    cands = (
-        probes.join(buckets, "centroid_id")
-        .select("query_id", F.col("vec_id").alias("neighbor_id"))
-        .join(corpus, "neighbor_id")
-        .join(F.broadcast(queries), "query_id")
-        .select("query_id", "neighbor_id",
-                _cos(F.col("qv"), F.col("nv"), F.col("qn"), F.col("nn"))
-                .alias("cos"))
-    )
-    wk = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id"))
-    return (
-        cands.withColumn("rank", F.row_number().over(wk).cast("long"))
-        .where(F.col("rank") <= k)
-    )
+    cands = _score_bucket_cands(probes, buckets, v,
+                                _ivf_queries(v, n_queries))
+    return _topk(cands, k)
 
 
 def _assign_to_centroids(corpus: DataFrame,
@@ -549,12 +563,34 @@ def _ivf_probes(v: DataFrame, n_queries: int, n_centroids: int,
 
 def _topk(cands: DataFrame, k: int) -> DataFrame:
     """Per-query top-k by (cos desc, neighbor_id) — the shared final
-    ranking of every kNN path."""
+    ranking of every kNN path (since r13 actually called by every
+    path: brute-force, BLAS, trained, and the two IVF paths inlined
+    copies before, which a future tie-break change would have
+    silently skipped — r13 review)."""
     wk = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id"))
     return (
         cands.withColumn("rank", F.row_number().over(wk).cast("long"))
         .where(F.col("rank") <= k)
+    )
+
+
+def _score_bucket_cands(probes: DataFrame, buckets: DataFrame,
+                        v: DataFrame, queries: DataFrame) -> DataFrame:
+    """probes(query_id, centroid_id) ⋈ buckets(vec_id, centroid_id) →
+    exact-cosine-scored candidates — the candidate join shared by
+    :func:`knn_ivf` and :func:`knn_ivf_trained` (duplicated verbatim
+    before r13, invisible to the shared-helper tests)."""
+    corpus = v.select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("vec").alias("nv"), F.col("norm").alias("nn"))
+    return (
+        probes.join(buckets, "centroid_id")
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .join(corpus, "neighbor_id")
+        .join(F.broadcast(queries), "query_id")
+        .select("query_id", "neighbor_id",
+                _cos(F.col("qv"), F.col("nv"), F.col("qn"), F.col("nn"))
+                .alias("cos"))
     )
 
 
@@ -583,22 +619,10 @@ def knn_ivf(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
     0.92) by ``test_ivf_recall_vs_bruteforce``.
     """
     v = _prep(embeddings)
-    queries = _ivf_queries(v, n_queries)
     probes = _ivf_probes(v, n_queries, n_centroids, nprobe)
-
     buckets = _ivf_buckets(embeddings, n_queries, n_centroids)
-    corpus = v.select(F.col("vec_id").alias("neighbor_id"),
-                      F.col("vec").alias("nv"), F.col("norm").alias("nn"))
-
-    cands = (
-        probes.join(buckets, "centroid_id")
-        .select("query_id", F.col("vec_id").alias("neighbor_id"))
-        .join(corpus, "neighbor_id")
-        .join(F.broadcast(queries), "query_id")
-        .select("query_id", "neighbor_id",
-                _cos(F.col("qv"), F.col("nv"), F.col("qn"), F.col("nn"))
-                .alias("cos"))
-    )
+    cands = _score_bucket_cands(probes, buckets, v,
+                                _ivf_queries(v, n_queries))
     return _topk(cands, k)
 
 
@@ -863,31 +887,12 @@ def embedding_near_dups_from_index(spark, embeddings: DataFrame, table: str,
     equivalence to re-running the full pipeline is pinned by
     ``test_srp_index_incremental_probe``).
     """
-    sigs = spark.table(table)
-    a = sigs.select(F.col("vec_id").alias("id_a"), "band_id", "band_val")
-    b = sigs.select(F.col("vec_id").alias("id_b"), "band_id", "band_val")
-    cands = (
-        a.join(b, ["band_id", "band_val"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    v = _prep(embeddings)
-    va = v.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("va"),
-                  F.col("norm").alias("na"))
-    vb = v.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"),
-                  F.col("norm").alias("nb"))
-    return (
-        cands.join(va, "id_a").join(vb, "id_b")
-        .select("id_a", "id_b",
-                _cos(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
-                .alias("cos"))
-        .where(F.col("cos") >= threshold)
-    )
+    return _verify_pairs(_self_join_cands(spark.table(table)),
+                         embeddings, threshold)
 
 
 def embedding_near_dups_probe_index(spark, batch: DataFrame,
-                                    batch_vectors: DataFrame, table: str,
+                                    verify_vectors: DataFrame, table: str,
                                     threshold: float = 0.45,
                                     bands: int = SRP_BANDS,
                                     rows: int = SRP_ROWS) -> DataFrame:
@@ -904,9 +909,13 @@ def embedding_near_dups_probe_index(spark, batch: DataFrame,
     cos) with pairs CANONICALIZED as id_a < id_b (side attribution is
     numeric, not batch-vs-index — recover "which endpoint is new" from
     the caller's own id ranges), verified by exact cosine against
-    ``batch_vectors`` (the union of corpus and batch vectors, for the
-    verify join only — a real deployment passes the corpus table
-    here).
+    ``verify_vectors``, which MUST cover corpus AND batch ids (a real
+    deployment passes the corpus vector table). Renamed from
+    ``batch_vectors`` (r13 review: the old name invited passing only
+    the new batch's vectors, and the inner verify join then SILENTLY
+    dropped every cross-split candidate pair); coverage is now
+    machine-enforced — a candidate whose endpoint is missing from
+    ``verify_vectors`` raises at execution time instead of vanishing.
 
     This is the daily-ingest shape of a 100 TB dedup pipeline: index
     once, then each arriving batch pays signatures-over-batch plus a
@@ -929,15 +938,31 @@ def embedding_near_dups_probe_index(spark, batch: DataFrame,
                 F.greatest("id_a", "id_b").alias("id_b"))
         .distinct()
     )
-    v = _prep(batch_vectors)
+    v = _prep(verify_vectors)
     va = v.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("va"),
                   F.col("norm").alias("na"))
     vb = v.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"),
                   F.col("norm").alias("nb"))
+    # LEFT joins + assert_true, NOT _verify_pairs' inner joins: here
+    # the candidate ids come from the index + batch while the vectors
+    # come from the caller, so an under-covering verify_vectors used
+    # to drop pairs silently. The assert rides inside the selected
+    # expression (a standalone check column would be pruned away);
+    # still fully lazy — no extra driver job, the guard fires with
+    # the query itself.
+    missing = F.concat(
+        F.lit("embedding_near_dups_probe_index: verify_vectors is "
+              "missing the embedding for candidate pair ("),
+        F.col("id_a"), F.lit(", "), F.col("id_b"),
+        F.lit(") — pass the corpus AND batch vectors (corpus table "
+              "in a real deployment)"))
+    covered = F.col("va").isNotNull() & F.col("vb").isNotNull()
     return (
-        cands.join(va, "id_a").join(vb, "id_b")
+        cands.join(va, "id_a", "left").join(vb, "id_b", "left")
         .select("id_a", "id_b",
-                _cos(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+                F.when(F.assert_true(covered, missing).isNull(),
+                       _cos(F.col("va"), F.col("vb"),
+                            F.col("na"), F.col("nb")))
                 .alias("cos"))
         .where(F.col("cos") >= threshold)
     )
@@ -972,12 +997,20 @@ def knn_ivf_pruned(spark, embeddings: DataFrame, path: str,
             f"knn_ivf_pruned: nprobe*n_queries = {n_probe_ids} probed "
             "centroids exceeds the static-pruning bound (10000); "
             "split the query batch or use knn_ivf's equi-join path")
-    probe_ids = sorted(
-        r.centroid_id for r in probes.select("centroid_id").distinct().collect())
+    # Collect the probe PAIRS once (bounded by the guard above) and
+    # rebuild the broadcast side as a local relation: the old code
+    # collected only the distinct centroid ids and then joined the
+    # original `probes` plan, recomputing the whole query/centroid
+    # scan + window a second time on the recurring hot path (r13
+    # review).
+    probe_rows = [(r.query_id, r.centroid_id) for r in probes.collect()]
+    probe_ids = sorted({cid for _, cid in probe_rows})
+    probes_local = spark.createDataFrame(
+        probe_rows, "query_id long, centroid_id long")
 
     idx = spark.read.parquet(path).where(F.col("centroid_id").isin(probe_ids))
     cands = (
-        F.broadcast(probes).join(idx, "centroid_id")
+        F.broadcast(probes_local).join(idx, "centroid_id")
         .select("query_id", F.col("vec_id").alias("neighbor_id"),
                 F.col("vec").alias("nv"), F.col("norm").alias("nn"))
         .join(F.broadcast(queries), "query_id")

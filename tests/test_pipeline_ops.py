@@ -380,6 +380,72 @@ def test_srp_index_value_parity(spark, sf_smoke, tmp_path):
     assert idx == ref and idx
 
 
+def test_zero_norm_embedding_never_crashes_or_ranks(spark):
+    """r13 review, both verified live against this Spark before the
+    fix: (a) Spark 4's ANSI-on default hard-failed every cosine query
+    with DIVIDE_BY_ZERO on a single all-zeros embedding; (b) the BLAS
+    kNN's numpy 0/0 produced a silent NaN that ranked FIRST under cos
+    DESC, returning a garbage rank-1 neighbor. _cos (and the BLAS
+    mirror) now floor degenerate vectors at cos = -1.0: no crash,
+    ranked last, never above a near-dup threshold, and both kNN paths
+    stay value-identical."""
+    from mapreduce_experiment_spark.operators import similarity as S
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),           # query
+        (10, [0.9, 0.1, 0.0, 0.0]),          # close neighbor
+        (11, [0.0, 1.0, 0.0, 0.0]),          # orthogonal
+        (12, [0.0, 0.0, 0.0, 0.0]),          # zero-norm (degenerate)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    jvm = S.knn_bruteforce(emb, n_queries=1, k=3).collect()
+    blas = S.knn_bruteforce_blas(emb, n_queries=1, k=3).collect()
+    key = lambda rs: sorted((r.neighbor_id, r.rank, r.cos) for r in rs)
+    assert key(jvm) == key(blas)                     # path parity holds
+    by_rank = {r.rank: r for r in jvm}
+    assert by_rank[3].neighbor_id == 12              # degenerate ranks LAST
+    assert by_rank[3].cos == -1.0
+    assert by_rank[1].neighbor_id == 10              # real neighbors first
+
+    # near-dup paths: the zero vector clears no threshold, no crash
+    pairs = {(r.id_a, r.id_b)
+             for r in S.embedding_near_dup_pairs(emb, threshold=0.1).collect()}
+    assert all(12 not in p for p in pairs)
+
+
+def test_probe_missing_verify_vectors_raises_not_drops(spark, sf_smoke,
+                                                       tmp_path):
+    """r13 review: embedding_near_dups_probe_index verified candidates
+    with INNER joins against the caller's vector set, so passing only
+    the batch's vectors (the misuse the old `batch_vectors` name
+    invited) silently dropped every cross-split pair. The verify join
+    is now left + assert_true: under-coverage raises at execution
+    time; full coverage still matches the recompute reference."""
+    import pytest
+
+    from mapreduce_experiment_spark.operators import similarity as S
+    from mapreduce_experiment_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    corpus = emb.where(F.col("vec_id") >= 50)
+    batch = emb.where(F.col("vec_id") < 50)
+    table = "srp_index_coverage_test"
+    S.write_srp_index(corpus, table, path=str(tmp_path / table))
+    try:
+        # correct usage (corpus ∪ batch) still works
+        ok = S.embedding_near_dups_probe_index(
+            spark, batch, emb, table, threshold=0.30)
+        n_ok = ok.count()
+        assert n_ok > 0, "fixture produced no cross-split pairs"
+        # misuse: batch-only vectors must raise, not return a subset
+        with pytest.raises(Exception, match="verify_vectors is missing"):
+            S.embedding_near_dups_probe_index(
+                spark, batch, batch, table, threshold=0.30).count()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_srp_index_incremental_probe(spark, sf_smoke, tmp_path):
     """The daily-ingest claim, demonstrated: index the corpus half
     ONCE, then probe a new batch against the persisted index — the
