@@ -153,6 +153,16 @@ _ROUND_BASE = "18f1beb"  # r12 driver commit (verdict landed); bump each round
 #    values at sf0.001/0.01/0.1, checked by query this round.
 #  - streaming/pipeline.py + triangles.py: affected registered queries
 #    (streaming_* set) all sit INSIDE the r13 window.
+#  - operators/similarity.py (review fixes, second r13 batch): the
+#    out-of-window queries in its closure are kmeans_centroids /
+#    kmeans_ivf_assignments / knn_ivf_trained /
+#    embedding_near_dups_maintained. The zero-norm cos floor is
+#    value-neutral on shipped data (zero zero-norm vectors at every
+#    SF, checked by query); the _topk/_score_bucket_cands/
+#    _verify_pairs consolidation produces the same expressions the
+#    inlined copies did; kmeans_train's try/finally changes no value.
+#    All four re-verified oracle-exact at sf0.01 via the slow mirror
+#    this round, and the 11 in-window similarity queries likewise.
 # Empirical backstop: both registry halves rehearsed 50/50 value-exact
 # against their DuckDB oracles under a bare session at sf0.01 AFTER
 # the fixes landed (BENCHNOTES r13), so every attested query below
