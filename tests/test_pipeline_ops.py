@@ -131,6 +131,50 @@ def test_short_docs_dropped_not_garbled(spark):
     assert [r.doc_id for r in sigs.collect()] == [2]
 
 
+def test_arrow_signatures_drop_empty_arrays_like_agg(spark):
+    """r13 review: a row whose shingle_hashes array is EMPTY (the
+    with_shingle_hashes contract for too-short docs) crashed the
+    Arrow path ('zero-size array to reduction operation minimum' in
+    the worker) while the JVM agg path simply never emits such rows —
+    only the streaming caller survived, via its own pre-filter. The
+    generator now drops empties, matching the agg path row-for-row."""
+    sh = spark.createDataFrame(
+        [(1, [7, 8, 9]), (2, [])],
+        "doc_id long, shingle_hashes array<long>")
+    fast = {r.doc_id: list(r.sig)
+            for r in D.minhash_signatures_from(sh).collect()}
+    ref = {r.doc_id: list(r.sig)
+           for r in D.minhash_signatures_from_agg(sh).collect()}
+    assert fast == ref and list(fast) == [1]
+
+
+def test_arrow_signatures_honor_string_ids(spark):
+    """r13 review: the Arrow path's output schema hardcoded the id
+    column as `long`, so the id_col genericity the parameter (and the
+    bit-equal agg sibling) advertises broke on string ids."""
+    sh = spark.createDataFrame(
+        [("u-1", [7, 8, 9]), ("u-2", [7, 8, 10, 11])],
+        "url string, shingle_hashes array<long>")
+    fast = {r.url: list(r.sig)
+            for r in D.minhash_signatures_from(sh, id_col="url").collect()}
+    ref = {r.url: list(r.sig)
+           for r in D.minhash_signatures_from_agg(sh, id_col="url").collect()}
+    assert fast == ref and set(fast) == {"u-1", "u-2"}
+
+
+def test_exploded_shingles_accept_unigrams(spark):
+    """r13 review: exploded_shingle_hashes(n=1) raised IndexError
+    (leads[-1] over an empty list) while the HOF sibling accepted
+    n=1; the two shingle paths must agree on the same parameter."""
+    docs = _docs(spark, [(1, "alpha beta alpha")])
+    got = sorted(r.h for r in
+                 D.exploded_shingle_hashes(docs, n=1).distinct().collect())
+    want = sorted(r.h for r in
+                  docs.select(F.explode(D.shingle_hashes(
+                      F.col("text"), 1)).alias("h")).collect())
+    assert got == want and len(got) == 2  # {alpha, beta}
+
+
 def test_lang_id_stopword_scoring(spark):
     docs = _docs(spark, [
         (1, "the cat and the dog of it is that for"),

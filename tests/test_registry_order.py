@@ -163,6 +163,18 @@ _ROUND_BASE = "18f1beb"  # r12 driver commit (verdict landed); bump each round
 #    inlined copies did; kmeans_train's try/finally changes no value.
 #    All four re-verified oracle-exact at sf0.01 via the slow mirror
 #    this round, and the 11 in-window similarity queries likewise.
+#  - operators/dedup.py (review fixes, third r13 batch): all changes
+#    are plan-neutral for every registered query — the Arrow signature
+#    generator drops empty shingle arrays internally (Python-side;
+#    unreachable from registered callers, whose input is collect_set
+#    output that never contains empties), the id-column DDL is now
+#    derived from the input schema (renders the identical string for
+#    the long ids every registered query uses), the n=1 unigram branch
+#    is unreachable at the registered n=3, and the repeated-spans
+#    double-scan note is comment-only. The two review findings that DO
+#    change an out-of-window plan/oracle (minhash localCheckpoint,
+#    URL-canon `$`→`\z`) are deliberately DEFERRED to r14, when those
+#    queries rotate into the window (BENCHNOTES r13, queued items).
 # Empirical backstop: both registry halves rehearsed 50/50 value-exact
 # against their DuckDB oracles under a bare session at sf0.01 AFTER
 # the fixes landed (BENCHNOTES r13), so every attested query below
