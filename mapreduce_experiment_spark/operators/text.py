@@ -59,7 +59,13 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     All ratios come from integer counts quantized with floor(+0.5), so
     the values are cross-engine deterministic.
     """
-    text = F.col(text_col)
+    # NULL text folds into the empty-string case (r13 review: NULL
+    # propagated through every feature, and F.least SKIPS null
+    # operands, so a null-text doc scored a PERFECT 1.0 and sailed
+    # through quality_filter's null-comparison when-chain as 'kept').
+    # As '' it takes the ordinary path: one phantom token, zero
+    # ratios, score 0.0, reason 'too_short'.
+    text = F.coalesce(F.col(text_col), F.lit(""))
     toks = tokenize(text)
     n_chars = F.length(text).cast("long")
     n_alpha = F.length(F.regexp_replace(F.lower(text), "[^a-z]", "")).cast("long")
@@ -68,7 +74,12 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     total_tok_chars = F.aggregate(
         toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
     q6 = lambda c: F.floor(c * 1_000_000 + 0.5) / 1_000_000.0  # noqa: E731
-    alpha_ratio = q6(n_alpha.cast("double") / n_chars)
+    # Zero-guard: ANSI-on Spark 4 (the session default) hard-fails
+    # the division on an empty doc instead of scoring it (r13 review,
+    # reproduced live); an empty doc is simply zero-alpha. n_tokens
+    # needs no guard — tokenize('') yields [''], so it is never 0.
+    alpha_ratio = q6(F.when(n_chars == 0, F.lit(0.0))
+                     .otherwise(n_alpha.cast("double") / n_chars))
     stop_ratio = q6(n_stop.cast("double") / n_tokens)
     mean_tok_len = q6(total_tok_chars.cast("double") / n_tokens)
     # Bounded composite: rewards alpha-heavy, stopword-bearing prose
@@ -355,7 +366,13 @@ def tfidf_pairs(docs: DataFrame, threshold: float = 0.5,
         .groupBy("id_a", "id_b", "na", "nb")
         .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
     )
-    sim = F.floor(F.col("dot") / (F.col("na") * F.col("nb"))
+    # Zero-norm guard (r13 review, reproduced live): a doc whose
+    # surviving terms all have df == N gets idf 0 everywhere, hence
+    # norm 0, and ANSI-on Spark 4 hard-failed the division for every
+    # pair it appears in. Degenerate docs carry no tf-idf signal —
+    # score their pairs 0, below any meaningful threshold.
+    sim = F.floor(F.when(F.col("na") * F.col("nb") == 0, F.lit(0.0))
+                  .otherwise(F.col("dot") / (F.col("na") * F.col("nb")))
                   * 1_000_000 + 0.5) / 1_000_000.0
     return (
         dots.select("id_a", "id_b", sim.alias("tfidf_cosine"))

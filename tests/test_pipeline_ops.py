@@ -1239,6 +1239,41 @@ def test_repetition_scores_crafted(spark):
     assert (r[3].n_bigrams, r[3].top_bigram_frac) == (0, 0.0)
 
 
+def test_quality_handles_empty_and_null_text(spark):
+    """r13 review, both reproduced live before the fix: (a) an
+    empty-text doc crashed quality_features with DIVIDE_BY_ZERO
+    (alpha_ratio over n_chars=0, ANSI-on session default); (b) a
+    NULL-text doc scored a PERFECT 1.0 (F.least skips null operands)
+    and quality_filter's null-comparison when-chain fell through to
+    'kept'. Both now take the empty-string path: score 0.0, dropped
+    as 'too_short'."""
+    docs = spark.createDataFrame(
+        [(1, ""), (2, None),
+         (3, "the quick brown fox jumps over the lazy dog and then "
+             "it sat with the cat for a while in the sun")],
+        "doc_id long, text string")
+    feats = {r.doc_id: r for r in TX.quality_features(docs).collect()}
+    assert feats[1].quality_score == 0.0
+    assert feats[2].quality_score == 0.0
+    assert feats[3].quality_score > 0.5
+    verdict = {r.doc_id: (r.keep, r.reason)
+               for r in TX.quality_filter(docs).collect()}
+    assert verdict[1] == (False, "too_short")
+    assert verdict[2] == (False, "too_short")
+    assert verdict[3][0] is True
+
+
+def test_tfidf_zero_norm_corpus_does_not_crash(spark):
+    """r13 review, reproduced live: when every surviving term appears
+    in ALL docs (df == N), idf = 0 everywhere, norms are 0, and the
+    cosine division hard-failed under ANSI. Degenerate pairs now
+    score 0 and fall below the threshold."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta alpha"), (3, "alpha beta beta")],
+        "doc_id long, text string")
+    assert TX.tfidf_pairs(docs, threshold=0.5, max_df=100).collect() == []
+
+
 def test_quality_filter_first_failing_rule_order(spark):
     """A doc failing several rules must report the FIRST (rule order is
     the contract): a 2-token doc with no stopwords reports too_short,

@@ -175,6 +175,17 @@ _ROUND_BASE = "18f1beb"  # r12 driver commit (verdict landed); bump each round
 #    change an out-of-window plan/oracle (minhash localCheckpoint,
 #    URL-canon `$`→`\z`) are deliberately DEFERRED to r14, when those
 #    queries rotate into the window (BENCHNOTES r13, queued items).
+#  - operators/text.py (review fixes, fourth r13 batch): two ANSI
+#    DIVIDE_BY_ZERO guards (empty-doc alpha_ratio; zero-norm tf-idf
+#    cosine) and the NULL-text coalesce in quality_features. All
+#    value-neutral on shipped data — zero NULL/empty/whitespace-only
+#    documents at every SF, checked by query — and the affected
+#    queries (in- and out-of-window: quality_scores, tfidf_doc_pairs,
+#    quality_filtered_corpus, clean_corpus, repetition_scores)
+#    re-verified oracle-exact at sf0.01. The remaining text findings
+#    (bm25 phantom-token match, lang_id NULL bucket, pack_sequences
+#    NULL row, chunk guard, n-gram helper consolidation) are queued
+#    for r14 with the deferred dedup items.
 # Empirical backstop: both registry halves rehearsed 50/50 value-exact
 # against their DuckDB oracles under a bare session at sf0.01 AFTER
 # the fixes landed (BENCHNOTES r13), so every attested query below
