@@ -12,37 +12,34 @@ import os
 
 from mapreduce_experiment_spark.plans.registry import _ORDER, SPECS
 
-# Round 13 contract: steady-state alternate-round cadence, third
-# full cycle. The r12 driver verdict landed (CORRECTNESS_r12.json
-# 50/50 green, keys == WINDOW_r12.json), so the r12 window rotates
+# Round 14 contract: steady-state alternate-round cadence, fourth
+# full cycle. The r13 driver verdict landed (CORRECTNESS_r13.json
+# 50/50 green, keys == WINDOW_r13.json), so the r13 window rotates
 # out and the new window is the registry's stalest set: exactly the
-# 50 r11-greens (WINDOW_r11.json keys verbatim — nothing retired or
-# deferred in r12). 50 = 50, zero slack.
+# 50 r12-greens (WINDOW_r12.json keys verbatim — nothing retired or
+# deferred in r13). 50 = 50, zero slack. The seven r13-deferred
+# review fixes all target queries inside this window.
 _MUST_BE_IN_WINDOW = {
-    # last driver verdict r11
-    "knn_ivf_maintained", "streaming_minhash_dedup",
-    "stateful_streaming_sessions", "streaming_view_attribution",
-    "knn_ivf_pruned", "embedding_near_dups_indexed",
-    "streaming_event_dedup", "embedding_near_dups_probe",
-    "approx_order_percentiles", "asia_market_share", "clean_corpus",
-    "connected_components", "decontaminated_corpus",
-    "decontamination_external", "decontamination_pairs",
-    "dedup_clusters", "dedup_survivors", "doc_chunks",
-    "event_type_counts_salted", "hourly_event_counts",
-    "ivf_assignments", "knn_bruteforce", "knn_ivf",
-    "lineitem_profile", "media_byte_histograms",
-    "media_frame_sample", "media_metadata",
-    "monthly_retention_cohorts", "nation_participants_full_outer",
-    "order_size_distribution", "packed_sequence_fragments",
-    "packed_sequences", "price_quantity_correlation",
-    "purchase_last_click_asof", "quality_filtered_corpus",
-    "repetition_scores", "session_stats", "session_window_stats",
-    "signup_to_purchase_funnel", "source_mixture_sample",
-    "stratified_event_sample", "streaming_hourly_counts",
-    "streaming_triangle_count", "top_parts_per_nation",
-    "triangle_count", "triangles", "trigram_counts",
-    "value_band_range_join", "value_distribution_stats",
-    "volume_shipping",
+    # last driver verdict r12
+    "stateful_streaming_sessions_evicting",
+    "embedding_near_dups_maintained", "account_balance_union",
+    "adjacency", "approx_distinct_counts", "bm25_topk",
+    "candidate_pairs", "canonical_url_groups", "corpus_shuffle",
+    "customer_running_spend", "customers_churned",
+    "customers_retained", "degrees", "edges_derive",
+    "events_json_extract", "exact_dedup_groups", "fingerprints",
+    "grouping_sets_sql", "kmeans_centroids", "kmeans_ivf_assignments",
+    "knn_ivf_trained", "lang_id", "minhash_dedup_pairs",
+    "mktsegment_pivot", "nation_order_stats", "ngram_jaccard_pairs",
+    "order_gap_days", "order_priority_rollup",
+    "order_scalar_functions", "orders_above_customer_average",
+    "pagerank", "parts_never_ordered", "pii_redaction",
+    "pricing_summary", "quality_scores", "repeated_spans",
+    "returnflag_status_cube", "revenue_by_nation",
+    "sessionize_events", "simhash_near_dups", "span_deduped_corpus",
+    "suppliers_with_orders", "symmetrize", "tfidf_doc_pairs",
+    "token_counts", "token_frequencies", "top_customers_per_nation",
+    "top_orders_global", "triangles_faithful", "user_value_scd2",
 }
 
 WINDOW = 50
@@ -59,14 +56,15 @@ _RETIRED_AFTER_VERDICT: set[str] = set()
 # longer lists it; its tombstone + preserved oracle check remain at
 # plans/queries_similarity.py / test_retired_srp_bucket_stats_oracle_still_holds.
 # r12: nothing retired — CORRECTNESS_r11.json keys all remain registered.
-# r13: nothing retired — CORRECTNESS_r12.json keys all remain registered.)
+# r13: nothing retired — CORRECTNESS_r12.json keys all remain registered.
+# r14: nothing retired — CORRECTNESS_r13.json keys all remain registered.)
 
 # New queries that could NOT fit this round's 50-slot window and whose
 # driver verification is therefore deferred EXACTLY one round: they
 # must sit immediately after the window boundary so the next rotation
 # picks them up first, and they carry local oracle gating
 # (test_registry_oracle, sf0.001 + sf0.01) in the meantime.
-# Round 13: nothing new registered (registry at the 100-query
+# Round 14: nothing new registered (registry at the 100-query
 # ceiling; growth requires a funded retirement), so nothing defers.
 _DEFERRED_TO_NEXT_WINDOW: list[str] = []
 
@@ -127,92 +125,19 @@ def test_registry_has_expected_size():
 # either sit inside the window or be explicitly attested unchanged
 # below (a conscious, reviewable act in the diff).
 
-_ROUND_BASE = "18f1beb"  # r12 driver commit (verdict landed); bump each round
+_ROUND_BASE = "6d16eec"  # r13 driver commit (verdict landed); bump each round
 
 # Queries living in touched modules whose own plan + oracle are
 # attested unchanged this round (measured against _ROUND_BASE = the
-# r12 driver commit).
+# r13 driver commit).
 #
-# Round 13's package edits beyond the registry module (which the dep
-# closure discards) are the streaming-review fixes:
-# streaming/{sessions,triangles,pipeline}.py and — because the
-# duplicated events.ts normalization was extracted into it —
-# sources/tables.py, which every plans module imports, so the dep
-# closure flags ALL 50 out-of-window queries. Attestation basis:
-#  - sources/tables.py: pure extraction refactor — normalize_event_ts
-#    is the identical branch/expressions the loader inlined; no
-#    registered plan changes.
-#  - streaming/sessions.py: the gap-chain/orphan path is new code that
-#    is UNREACHABLE on the driver's single-batch availableNow drain
-#    (no prior state -> chains are exactly the batch sessions; no
-#    out-of-window streaming query is affected beyond
-#    stateful_streaming_sessions_evicting, whose group function was
-#    refactored onto the shared helpers without semantic change). The
-#    cents rounding fix (pandas half-even -> floor(+0.5) HALF_UP) is
-#    value-neutral on every shipped SF: zero exact half-cent tie
-#    values at sf0.001/0.01/0.1, checked by query this round.
-#  - streaming/pipeline.py + triangles.py: affected registered queries
-#    (streaming_* set) all sit INSIDE the r13 window.
-#  - operators/similarity.py (review fixes, second r13 batch): the
-#    out-of-window queries in its closure are kmeans_centroids /
-#    kmeans_ivf_assignments / knn_ivf_trained /
-#    embedding_near_dups_maintained. The zero-norm cos floor is
-#    value-neutral on shipped data (zero zero-norm vectors at every
-#    SF, checked by query); the _topk/_score_bucket_cands/
-#    _verify_pairs consolidation produces the same expressions the
-#    inlined copies did; kmeans_train's try/finally changes no value.
-#    All four re-verified oracle-exact at sf0.01 via the slow mirror
-#    this round, and the 11 in-window similarity queries likewise.
-#  - operators/dedup.py (review fixes, third r13 batch): all changes
-#    are plan-neutral for every registered query — the Arrow signature
-#    generator drops empty shingle arrays internally (Python-side;
-#    unreachable from registered callers, whose input is collect_set
-#    output that never contains empties), the id-column DDL is now
-#    derived from the input schema (renders the identical string for
-#    the long ids every registered query uses), the n=1 unigram branch
-#    is unreachable at the registered n=3, and the repeated-spans
-#    double-scan note is comment-only. The two review findings that DO
-#    change an out-of-window plan/oracle (minhash localCheckpoint,
-#    URL-canon `$`→`\z`) are deliberately DEFERRED to r14, when those
-#    queries rotate into the window (BENCHNOTES r13, queued items).
-#  - operators/text.py (review fixes, fourth r13 batch): two ANSI
-#    DIVIDE_BY_ZERO guards (empty-doc alpha_ratio; zero-norm tf-idf
-#    cosine) and the NULL-text coalesce in quality_features. All
-#    value-neutral on shipped data — zero NULL/empty/whitespace-only
-#    documents at every SF, checked by query — and the affected
-#    queries (in- and out-of-window: quality_scores, tfidf_doc_pairs,
-#    quality_filtered_corpus, clean_corpus, repetition_scores)
-#    re-verified oracle-exact at sf0.01. The remaining text findings
-#    (bm25 phantom-token match, lang_id NULL bucket, pack_sequences
-#    NULL row, chunk guard, n-gram helper consolidation) are queued
-#    for r14 with the deferred dedup items.
-# Empirical backstop: both registry halves rehearsed 50/50 value-exact
-# against their DuckDB oracles under a bare session at sf0.01 AFTER
-# the fixes landed (BENCHNOTES r13), so every attested query below
-# holds fresh local evidence in addition to the reasoning above.
-_ATTESTED_UNCHANGED: set[str] = {
-    # the 50 r12-greens (= WINDOW_r12.json), flagged only because
-    # their plans modules import sources/tables.py
-    "stateful_streaming_sessions_evicting",
-    "embedding_near_dups_maintained", "account_balance_union",
-    "adjacency", "approx_distinct_counts", "bm25_topk",
-    "candidate_pairs", "canonical_url_groups", "corpus_shuffle",
-    "customer_running_spend", "customers_churned",
-    "customers_retained", "degrees", "edges_derive",
-    "events_json_extract", "exact_dedup_groups", "fingerprints",
-    "grouping_sets_sql", "kmeans_centroids", "kmeans_ivf_assignments",
-    "knn_ivf_trained", "lang_id", "minhash_dedup_pairs",
-    "mktsegment_pivot", "nation_order_stats", "ngram_jaccard_pairs",
-    "order_gap_days", "order_priority_rollup",
-    "order_scalar_functions", "orders_above_customer_average",
-    "pagerank", "parts_never_ordered", "pii_redaction",
-    "pricing_summary", "quality_scores", "repeated_spans",
-    "returnflag_status_cube", "revenue_by_nation",
-    "sessionize_events", "simhash_near_dups", "span_deduped_corpus",
-    "suppliers_with_orders", "symmetrize", "tfidf_doc_pairs",
-    "token_counts", "token_frequencies", "top_customers_per_nation",
-    "top_orders_global", "triangles_faithful", "user_value_scd2",
-}
+# Round 14 plan: the seven r13-deferred review fixes (operators/
+# dedup.py minhash localCheckpoint + URL-canon `$`→`\z`; operators/
+# text.py bm25 phantom token, lang_id NULL bucket, pack_sequences
+# NULL row, chunk guards, n-gram helper extraction) all target
+# queries that rotated INTO this window, so their closure's
+# out-of-window queries need attestation below as edits land.
+_ATTESTED_UNCHANGED: set[str] = set()
 
 def _round_sorted(paths: list[str]) -> list[str]:
     """Sort round-stamped artifact files by NUMERIC round: plain
