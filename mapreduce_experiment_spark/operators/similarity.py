@@ -943,13 +943,16 @@ def embedding_near_dups_probe_index(spark, batch: DataFrame,
                   F.col("norm").alias("na"))
     vb = v.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"),
                   F.col("norm").alias("nb"))
-    # LEFT joins + assert_true, NOT _verify_pairs' inner joins: here
-    # the candidate ids come from the index + batch while the vectors
-    # come from the caller, so an under-covering verify_vectors used
-    # to drop pairs silently. The assert rides inside the selected
-    # expression (a standalone check column would be pruned away);
-    # still fully lazy — no extra driver job, the guard fires with
-    # the query itself.
+    # LEFT joins + a throwing ELSE branch, NOT _verify_pairs' inner
+    # joins: here the candidate ids come from the index + batch while
+    # the vectors come from the caller, so an under-covering
+    # verify_vectors used to drop pairs silently. The guard is the
+    # else-branch VALUE of the cos expression itself — an optimizer
+    # can only eliminate it by proving coverage, which it can't (the
+    # r13 shape wrapped assert_true's null in when(...isNull...),
+    # whose elimination would have silently disabled the guard across
+    # a Spark upgrade — ADVICE r13). Still fully lazy: no extra
+    # driver job, the guard fires with the query itself.
     missing = F.concat(
         F.lit("embedding_near_dups_probe_index: verify_vectors is "
               "missing the embedding for candidate pair ("),
@@ -960,9 +963,10 @@ def embedding_near_dups_probe_index(spark, batch: DataFrame,
     return (
         cands.join(va, "id_a", "left").join(vb, "id_b", "left")
         .select("id_a", "id_b",
-                F.when(F.assert_true(covered, missing).isNull(),
+                F.when(covered,
                        _cos(F.col("va"), F.col("vb"),
                             F.col("na"), F.col("nb")))
+                .otherwise(F.raise_error(missing).cast("double"))
                 .alias("cos"))
         .where(F.col("cos") >= threshold)
     )

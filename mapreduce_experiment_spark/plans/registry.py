@@ -134,6 +134,15 @@ def register(name: str, oracle: str | None = None, headline: bool = False):
 # in a recent round rotate to the back. Names not listed keep their
 # registration order after the listed ones.
 #
+# WINDOW is the single source of truth for the driver's observed
+# verification-prefix size: tests/test_registry_order.py pins _ORDER
+# to it and scripts/rehearse.py splits the halves on it (ADVICE r13:
+# a hardcoded 50 in the rehearsal script would silently test the
+# wrong halves if the window ever changed). Its correctness against
+# the driver's ACTUAL behavior is machine-checked each round by
+# test_driver_window_contract_holds (len(CORRECTNESS keys) == WINDOW).
+WINDOW = 50
+#
 # SATURATION: with a 50-query window on alternate-round rotation, 100
 # registered queries is the EXACT ceiling at which every entry can
 # hold a driver verdict <= 1 round old (50 verified this round, 50

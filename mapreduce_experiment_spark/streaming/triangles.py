@@ -49,6 +49,15 @@ from .pipeline import _COUNTER
 _EDGE_SCHEMA = "src long, dst long"
 
 
+def _is_missing_path(ex: AnalysisException) -> bool:
+    """Only PATH_NOT_FOUND means "no batch has committed yet". Any
+    other analysis failure on the state/output root (corrupt layout,
+    conflicting schema, permission mapping) must PROPAGATE: swallowing
+    it as 'no prior state' would let the anti-join re-admit
+    already-seen edges and duplicate triangles (ADVICE r13)."""
+    return ex.getCondition() == "PATH_NOT_FOUND"
+
+
 def _read_batches(spark: SparkSession, root: str, schema: str,
                   exclude_key: str | None = None) -> DataFrame:
     """Read every ``batch_key=...`` partition under ``root`` except
@@ -59,7 +68,9 @@ def _read_batches(spark: SparkSession, root: str, schema: str,
     unlike a driver-local os.path.exists)."""
     try:
         df = spark.read.schema(f"{schema}, batch_key string").parquet(root)
-    except AnalysisException:
+    except AnalysisException as ex:
+        if not _is_missing_path(ex):
+            raise
         return spark.createDataFrame([], schema)
     if exclude_key is not None:
         df = df.where(F.col("batch_key") != exclude_key)
@@ -139,6 +150,16 @@ def streaming_triangles(spark: SparkSession, edges_dir: str,
         .start()
     )
     q.awaitTermination()
+    # .distinct() closes the one non-idempotent window left (ADVICE
+    # r13): a crash BETWEEN the triangles write and the state write,
+    # followed by a fresh-checkpoint rerun under a DIFFERENT run
+    # ordinal, leaves the half-committed r{run}b{N} triangles
+    # partition in place while the rerun re-derives the same triangles
+    # under its own key — duplicate rows across differently-keyed
+    # partitions that per-partition overwrite can't collapse. Rows are
+    # canonical (ta<=tb<=tc), so a set union over all partitions is
+    # exactly the intended semantics; the cost is one shuffle over the
+    # (small) triangle set, not the edge state.
     return _read_batches(spark, out_dir, "ta long, tb long, tc long") \
         .select(F.col("ta").alias("a"), F.col("tb").alias("b"),
-                F.col("tc").alias("c"))
+                F.col("tc").alias("c")).distinct()

@@ -47,11 +47,15 @@ def main() -> int:
     spark = builder.getOrCreate()
 
     import __spark_entry__ as entry
+    from mapreduce_experiment_spark.plans.registry import WINDOW
     from tests.oracle_util import assert_matches, run_oracle
 
     q, o = entry.queries(), entry.oracle_sql()
     names = list(q)
-    half = {"window": names[:50], "complement": names[50:],
+    # Split on the registry's own window constant, not a hardcoded 50
+    # (ADVICE r13: a literal here would silently test the wrong halves
+    # if the driver's window size ever changed).
+    half = {"window": names[:WINDOW], "complement": names[WINDOW:],
             "all": names}[args.half]
     t00 = time.time()
     failures: list[tuple[str, str]] = []

@@ -201,6 +201,64 @@ def test_streaming_triangles_rerun_same_workdir(spark, tmp_path):
     assert _tri_set(second) == {(1, 2, 3)} and second.count() == 1
 
 
+def test_read_batches_swallows_only_missing_path(spark, tmp_path):
+    """ADVICE r13: _read_batches caught EVERY AnalysisException and
+    returned empty, so a genuine analysis failure on the state root
+    (corrupt layout, schema conflict) was silently treated as 'no
+    prior state' — the anti-join would then re-admit already-seen
+    edges and duplicate triangles. Only PATH_NOT_FOUND may mean
+    empty; everything else re-raises."""
+    from pyspark.errors import AnalysisException
+
+    from mapreduce_experiment_spark.streaming.triangles import (
+        _is_missing_path, _read_batches,
+    )
+    # the one condition that legitimately means "no batch committed"
+    # (message passed explicitly: PATH_NOT_FOUND is a JVM-side class
+    # absent from the Python error-conditions.json, so the template
+    # lookup the message-less constructor does would fail)
+    assert _is_missing_path(AnalysisException(
+        message="[PATH_NOT_FOUND] Path does not exist: file:/nope",
+        errorClass="PATH_NOT_FOUND", messageParameters={}))
+    # any OTHER analysis failure must propagate
+    assert not _is_missing_path(AnalysisException(
+        message="[COLUMN_ALREADY_EXISTS] batch_key",
+        errorClass="COLUMN_ALREADY_EXISTS",
+        messageParameters={"columnName": "batch_key"}))
+    # end-to-end: a genuinely missing root still reads as empty
+    empty = _read_batches(spark, str(tmp_path / "never_written"),
+                          "u long, v long")
+    assert empty.count() == 0 and empty.columns == ["u", "v"]
+
+
+def test_streaming_triangles_cross_run_half_commit_dedups(spark, tmp_path):
+    """ADVICE r13: a crash BETWEEN the triangles write and the state
+    write, followed by a fresh-checkpoint rerun under a DIFFERENT run
+    ordinal, leaves the orphaned triangles partition in place while
+    the rerun re-derives the same triangles under its own batch_key —
+    per-partition overwrite can't collapse those. The accumulated
+    read is now .distinct(), so the duplicate rows union to one."""
+    import os
+
+    from mapreduce_experiment_spark.streaming.triangles import (
+        streaming_triangles,
+    )
+    work = tmp_path / "work_half_commit"
+    # the half-committed state: triangles partition from a crashed run
+    # whose state write never happened (so nothing suppresses the
+    # rerun's re-derivation)
+    spark.createDataFrame([(1, 2, 3)], "ta long, tb long, tc long") \
+        .write.mode("overwrite") \
+        .parquet(os.path.join(str(work / "triangles_out"),
+                              "batch_key=r9999b0"))
+    edges_dir = str(tmp_path / "edges_half_commit")
+    _edges(spark, [(1, 2), (2, 3), (1, 3)]).coalesce(1) \
+        .write.mode("append").parquet(edges_dir)
+    tris = streaming_triangles(spark, edges_dir, str(work))
+    assert _tri_set(tris) == {(1, 2, 3)}
+    assert tris.count() == 1  # duplicate across run keys collapsed
+
+
 @settings(max_examples=10, deadline=None)
 @given(pairs=edge_lists)
 def test_triangles_invariant_under_orientation_and_duplication(spark, pairs):

@@ -464,8 +464,12 @@ def test_probe_missing_verify_vectors_raises_not_drops(spark, sf_smoke,
     with INNER joins against the caller's vector set, so passing only
     the batch's vectors (the misuse the old `batch_vectors` name
     invited) silently dropped every cross-split pair. The verify join
-    is now left + assert_true: under-coverage raises at execution
-    time; full coverage still matches the recompute reference."""
+    is now left + a throwing else-branch in the cos expression
+    (raise_error — the value of the uncovered case, which no
+    optimizer can prune without proving coverage; ADVICE r13 flagged
+    the earlier assert_true-wrapped-in-when shape as fragile across
+    Spark upgrades): under-coverage raises at execution time; full
+    coverage still matches the recompute reference."""
     import pytest
 
     from mapreduce_experiment_spark.operators import similarity as S

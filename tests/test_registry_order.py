@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import os
 
-from mapreduce_experiment_spark.plans.registry import _ORDER, SPECS
+from mapreduce_experiment_spark.plans.registry import _ORDER, SPECS, WINDOW
 
 # Round 14 contract: steady-state alternate-round cadence, fourth
 # full cycle. The r13 driver verdict landed (CORRECTNESS_r13.json
@@ -42,7 +42,12 @@ _MUST_BE_IN_WINDOW = {
     "top_orders_global", "triangles_faithful", "user_value_scd2",
 }
 
-WINDOW = 50
+# WINDOW is imported from the registry — the single source of truth
+# (ADVICE r13: scripts/rehearse.py hardcoded 50 and could silently
+# split the wrong halves). An erroneous edit to registry.WINDOW can't
+# slip through: test_driver_window_contract_holds compares it against
+# the key count of the latest CORRECTNESS_r*.json the driver actually
+# wrote.
 
 # Names the latest driver correctness file verified that have since
 # been consciously RETIRED from the registry (each leaves a tombstone
@@ -92,6 +97,19 @@ def test_deferred_queries_sit_just_past_the_boundary():
     assert not set(_DEFERRED_TO_NEXT_WINDOW) & set(window)
 
 
+def test_rehearse_script_splits_on_registry_window():
+    """ADVICE r13: scripts/rehearse.py hardcoded names[:50]; if the
+    window size ever changed, rehearsal would silently test the wrong
+    halves while these registry tests kept passing. The script must
+    import WINDOW from the registry and carry no literal 50-split."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "scripts", "rehearse.py")) as f:
+        src = f.read()
+    assert "from mapreduce_experiment_spark.plans.registry import WINDOW" in src
+    assert "names[:WINDOW]" in src and "names[WINDOW:]" in src
+    assert "names[:50]" not in src and "names[50:]" not in src
+
+
 def test_order_names_all_registered():
     """A typo'd name in _ORDER would silently fall out of the window."""
     specs = SPECS()
@@ -137,7 +155,36 @@ _ROUND_BASE = "6d16eec"  # r13 driver commit (verdict landed); bump each round
 # NULL row, chunk guards, n-gram helper extraction) all target
 # queries that rotated INTO this window, so their closure's
 # out-of-window queries need attestation below as edits land.
-_ATTESTED_UNCHANGED: set[str] = set()
+#
+# ADVICE-r13 closure batch (first r14 package edit):
+#  - streaming/triangles.py: the except-narrowing (_is_missing_path)
+#    is unreachable on a healthy run — the state/output roots either
+#    read cleanly or raise PATH_NOT_FOUND, which keeps the old
+#    behavior; any other condition now propagates instead of being
+#    silently treated as empty state. The final-read .distinct() is
+#    value-neutral by construction: batch partitions are pairwise
+#    disjoint on every non-crashed run (the anti-join guarantees it),
+#    so the set union equals the old bag union; only the orphaned
+#    cross-run half-commit case (new test) differs — and there the
+#    old output was WRONG (duplicates). Affects out-of-window
+#    streaming_triangle_count only.
+#  - operators/similarity.py: the probe coverage guard's shape
+#    changed from when(assert_true(..).isNull(), cos) to
+#    when(covered, cos).otherwise(raise_error) — identical value on
+#    every covered pair, and the registered probe query passes the
+#    full corpus∪batch vector set, so the throwing branch stays
+#    unreached. No other function in the module changed; the flagged
+#    out-of-window queries (knn_* / ivf_assignments /
+#    embedding_near_dups_indexed|probe) share only unchanged code.
+# Empirical backstop: both registry halves rehearsed 50/50
+# value-exact against their DuckDB oracles under a bare session at
+# sf0.01 after the batch landed (BENCHNOTES r14).
+_ATTESTED_UNCHANGED: set[str] = {
+    "streaming_triangle_count",
+    "knn_ivf_maintained", "knn_ivf_pruned", "knn_bruteforce",
+    "knn_ivf", "ivf_assignments", "embedding_near_dups_indexed",
+    "embedding_near_dups_probe",
+}
 
 def _round_sorted(paths: list[str]) -> list[str]:
     """Sort round-stamped artifact files by NUMERIC round: plain
