@@ -1508,7 +1508,13 @@ def test_canonical_url_cross_engine_property(spark):
              for _ in range(300)]
     cases += ["", "#", "?", "/", "//", "www.", "WWW.x", "https://",
               "HtTpS://WwW.A.b/C?d#e", "\n\n", "x#\ny?z", "a/b/c///\n \t",
-              "a.io/x\x0B", "\x0Bb.io/y", "c.io/z\x0B\x0B\n"]
+              "a.io/x\x0B", "\x0Bb.io/y", "c.io/z\x0B\x0B\n",
+              # URLs ending in '/' + a Unicode line terminator: Java's
+              # $ (unlike RE2's) also matches BEFORE a final
+              # U+0085/U+2028/U+2029, so the trailing strip diverged
+              # until URL_CANON_STEPS switched to \z (r13 dedup
+              # review, landed r14) — with $ these three FAIL
+              "a.io/x/\u2028", "b.io/y/\u0085", "c.io/z/\u2029"]
     got = [r.c for r in spark.createDataFrame(
         [(u,) for u in cases], "url string"
     ).select(D.canonical_url(F.col("url")).alias("c")).collect()]

@@ -176,14 +176,41 @@ _ROUND_BASE = "6d16eec"  # r13 driver commit (verdict landed); bump each round
 #    unreached. No other function in the module changed; the flagged
 #    out-of-window queries (knn_* / ivf_assignments /
 #    embedding_near_dups_indexed|probe) share only unchanged code.
+# Deferred-dedup batch (second r14 package edit, operators/dedup.py):
+#  - minhash_dedup_pairs' shingle-set persist → localCheckpoint: an
+#    eager materialization of the SAME intermediate rows feeding the
+#    identical downstream plan — value-neutral by construction for
+#    minhash_dedup_pairs (in-window) and its out-of-window consumers
+#    dedup_clusters / dedup_survivors / clean_corpus (the bench
+#    fingerprints re-pinned in this commit record the physical-plan
+#    change honestly).
+#  - URL_CANON_STEPS trailing strip `$` → `\z`: value-identical on
+#    every input without a final Unicode line terminator; shipped
+#    data has ZERO source values containing U+0085/U+2028/U+2029 at
+#    any SF (checked by DuckDB query this round), and the affected
+#    query (canonical_url_groups) is IN-window anyway — the oracle
+#    renders from the same constant, so both engines changed
+#    together (cross-engine tests + new terminator cases pass).
+#  - every other query flagged below (events/graph/sessions set)
+#    shares only module-level imports with the changed code, none of
+#    its own expressions.
 # Empirical backstop: both registry halves rehearsed 50/50
 # value-exact against their DuckDB oracles under a bare session at
-# sf0.01 after the batch landed (BENCHNOTES r14).
+# sf0.01 after each batch landed (BENCHNOTES r14).
 _ATTESTED_UNCHANGED: set[str] = {
+    # ADVICE-closure batch
     "streaming_triangle_count",
     "knn_ivf_maintained", "knn_ivf_pruned", "knn_bruteforce",
     "knn_ivf", "ivf_assignments", "embedding_near_dups_indexed",
     "embedding_near_dups_probe",
+    # deferred-dedup batch
+    "clean_corpus", "dedup_clusters", "dedup_survivors",
+    "connected_components", "hourly_event_counts", "session_stats",
+    "session_window_stats", "stateful_streaming_sessions",
+    "stratified_event_sample", "streaming_event_dedup",
+    "streaming_hourly_counts", "streaming_minhash_dedup",
+    "streaming_view_attribution", "triangle_count", "triangles",
+    "value_band_range_join",
 }
 
 def _round_sorted(paths: list[str]) -> list[str]:
