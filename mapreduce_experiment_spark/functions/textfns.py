@@ -39,21 +39,33 @@ def tokenize_sql(expr: str) -> str:
     )
 
 
-def shingles(tokens: Column, n: int = 3) -> Column:
-    """Distinct word n-grams as strings (set semantics for Jaccard).
+def word_ngrams(tokens: Column, n: int, distinct: bool = False) -> Column:
+    """Word n-grams as strings — OCCURRENCE list by default (the
+    LM-counts / repetition flavor: duplicates kept), distinct set with
+    ``distinct=True`` (the Jaccard/shingle flavor).
 
     Guarded for short docs: Spark's ``sequence(1, size-n+1)`` would
     count DOWN when size < n (default step -1), yielding garbage
     indices — return an empty array instead.
+
+    One definition for the expression that was previously triplicated
+    across shingles / ngram_counts / repetition_scores (r13 text
+    review): the three copies could silently drift on the guard or
+    the slice arithmetic.
     """
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
-        )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
     )
+    if distinct:
+        grams = F.array_distinct(grams)
     empty = F.array().cast("array<string>")
     return F.when(F.size(tokens) >= n, grams).otherwise(empty)
+
+
+def shingles(tokens: Column, n: int = 3) -> Column:
+    """Distinct word n-grams as strings (set semantics for Jaccard)."""
+    return word_ngrams(tokens, n, distinct=True)
 
 
 def shingles_sql(tokens_expr: str, n: int = 3) -> str:

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.textfns import hash60, shingles, tokenize
+from ..functions.textfns import hash60, shingles, tokenize, word_ngrams
 
 # Fixed stopword inventories (shared with the oracle SQL).
 STOPWORDS = {
@@ -43,8 +43,12 @@ def lang_scores(text: Column) -> dict[str, Column]:
 
 def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Predict language by stopword hits; ties resolve in LANGS order,
-    zero hits → 'und' (undetermined)."""
-    scores = lang_scores(F.col(text_col))
+    zero hits → 'und' (undetermined). NULL text folds into the
+    empty-string case (zero hits everywhere → 'und') — unguarded, the
+    hit counts were NULL and the when-chain fell through to a NULL
+    pred_lang bucket (r13 text review, deferred to r14); the same
+    convention quality_features uses."""
+    scores = lang_scores(F.coalesce(F.col(text_col), F.lit("")))
     best = F.greatest(*[scores[lg] for lg in LANGS])
     pred = F.when(best == 0, F.lit("und"))
     for lg in LANGS:
@@ -180,9 +184,16 @@ def _pack_starts(docs: DataFrame, n_shards: int, id_col: str,
     from ..functions.textfns import hash60
 
     h = hash60(F.col(id_col).cast("string"))
+    # NULL text folds into the empty-string case (one phantom ''
+    # token), the repo-wide convention: unguarded, pack_sequences
+    # emitted a NULL-n_tokens row (and poisoned every later _start in
+    # the shard) while pack_sequence_fragments dropped the doc — the
+    # two views disagreed on corpus membership (r13 text review,
+    # deferred to r14).
     t = docs.select(
         F.col(id_col),
-        F.size(tokenize(F.col(text_col))).cast("long").alias("n_tokens"),
+        F.size(tokenize(F.coalesce(F.col(text_col), F.lit(""))))
+         .cast("long").alias("n_tokens"),
         h.alias("_h"),
         (h % n_shards).alias("shard"),
     )
@@ -409,15 +420,7 @@ def repetition_scores(docs: DataFrame, id_col: str = "doc_id",
     t = docs.select(id_col, tokenize(F.col(text_col)).alias("toks"))
     grams = t.select(
         id_col,
-        F.explode(
-            F.when(
-                F.size("toks") >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size("toks") - 1),
-                    lambda i: F.concat_ws(" ", F.slice("toks", i, 2)),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("gram"),
+        F.explode(word_ngrams(F.col("toks"), 2)).alias("gram"),
     )
     gram_counts = (
         grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
@@ -482,14 +485,30 @@ def chunk_documents(docs: DataFrame, chunk_chars: int = CHUNK_CHARS,
     expressions, embarrassingly parallel, fan-out per doc is
     ~``len / stride`` rows regardless of doc-length skew.
     """
+    # Parameter guards (r13 text review, deferred to r14): a negative
+    # overlap silently produced stride > chunk_chars — windows with
+    # UNCOVERED gaps between them, the exact failure the overlap
+    # contract exists to prevent; chunk_chars <= 0 made the substring
+    # width nonsensical.
+    if int(chunk_chars) <= 0:
+        raise ValueError("chunk_chars must be positive")
+    if int(overlap) < 0:
+        raise ValueError(
+            "overlap must be >= 0 (negative overlap leaves uncovered "
+            "gaps between consecutive chunks)")
     if overlap >= chunk_chars:
         raise ValueError("overlap must be < chunk_chars")
     stride = int(chunk_chars) - int(overlap)
     c = int(chunk_chars)
+    # The DIV expression references a FIXED internal alias, never the
+    # caller's text_col name (r13 text review: raw interpolation into
+    # F.expr broke on any column name needing quoting).
     length = F.length(F.col(text_col))
     last_i = F.when(length <= c, F.lit(0)).otherwise(
-        F.expr(f"(length({text_col}) - {c} + {stride} - 1) DIV {stride}"))
+        F.expr(f"(`__chunk_len` - {c} + {stride} - 1) DIV {stride}"))
     t = docs.select(
+        F.col(id_col), F.col(text_col), length.alias("__chunk_len"),
+    ).select(
         F.col(id_col), F.col(text_col),
         F.explode(F.sequence(F.lit(0), last_i)).alias("chunk_id"))
     start = (F.col("chunk_id") * stride + 1).cast("long")
@@ -525,13 +544,7 @@ def ngram_counts(docs: DataFrame, n: int = 3, top_n: int = 200,
     the corpus scan).
     """
     t = docs.select(tokenize(F.col(text_col)).alias("toks"))
-    grams = F.when(
-        F.size("toks") >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size("toks") - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice("toks", i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = word_ngrams(F.col("toks"), n)
     counts = (
         t.select(F.explode(grams).alias("gram"))
         .groupBy("gram")
@@ -583,10 +596,17 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k1: float = BM25_K1,
     """
     k1p1 = float(k1) + 1.0
     one_minus_b = 1.0 - float(b)
+    # Zero-length terms are filtered on BOTH sides (r13 text review,
+    # deferred to r14): tokenize('') yields the phantom '' token, so
+    # an empty or punctuation-only QUERY matched every empty DOCUMENT
+    # and retrieved them rank-1 (idf of '' is high precisely because
+    # almost no doc is empty). The corpus-side filter also keeps ''
+    # rows out of the explode → vocab join even when a degenerate
+    # query slips through.
     qterms = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.explode(F.array_distinct(tokenize(F.col(query_text_col))))
-         .alias("term"))
+         .alias("term")).where(F.length("term") > 0)
     vocab = qterms.select("term").distinct()
     # One tokenized base projection; dl (doc token length) rides
     # THROUGH the explode as a carried column, so no corpus-sized
@@ -599,7 +619,7 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k1: float = BM25_K1,
     base = t.select(
         "doc_id",
         F.size("_toks").cast("long").alias("dl"),
-        F.explode("_toks").alias("term"))
+        F.explode("_toks").alias("term")).where(F.length("term") > 0)
     tfq = (base.join(F.broadcast(vocab), "term")
            .groupBy("doc_id", "dl", "term")
            .agg(F.count(F.lit(1)).alias("tf")))

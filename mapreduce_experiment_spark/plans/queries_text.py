@@ -21,7 +21,14 @@ def _hits_sql(lang: str) -> str:
     )
 
 
-_LANG_SCORE_CTE = _T_CTE + f"""
+# lang_id folds NULL text into '' (zero hits → 'und'), so its oracle
+# tokenizes coalesce(text, '') — mirroring operators/text.lang_id
+# (r13 text review fix, landed r14).
+_LANG_T_CTE = ("WITH t AS (SELECT doc_id, "
+               + tokenize_sql("coalesce(text, '')")
+               + " AS toks FROM documents)\n")
+
+_LANG_SCORE_CTE = _LANG_T_CTE + f"""
 , s AS (
   SELECT doc_id,
          {', '.join(f'{_hits_sql(lg)} AS hits_{lg}' for lg in TX.LANGS)}
@@ -218,10 +225,12 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PACK_H = hash60_sql("CAST(doc_id AS VARCHAR)")
 
 
+# coalesce(text, ''): NULL text packs as the empty-string case (one
+# phantom token), matching _pack_starts (r13 text review fix, r14).
 _PACK_W_CTE = f"""
 WITH t AS (
   SELECT doc_id,
-         CAST(len({tokenize_sql('text')}) AS BIGINT) AS n_tokens,
+         CAST(len({tokenize_sql("coalesce(text, '')")}) AS BIGINT) AS n_tokens,
          {_PACK_H} AS h,
          {_PACK_H} % {TX.PACK_SHARDS} AS shard
   FROM documents),
@@ -584,13 +593,15 @@ _OMB = repr(1.0 - float(TX.BM25_B))
 , q_raw(query_id, qtext) AS (VALUES
   {_BQ_VALUES}),
 qt AS (
-  SELECT query_id, unnest(list_distinct({tokenize_sql('qtext')})) AS term
-  FROM q_raw),
+  SELECT * FROM (
+    SELECT query_id, unnest(list_distinct({tokenize_sql('qtext')})) AS term
+    FROM q_raw)
+  WHERE length(term) > 0),
 vocab AS (SELECT DISTINCT term FROM qt),
 tfq AS (
   SELECT doc_id, term, count(*) AS tf
   FROM (SELECT doc_id, unnest(toks) AS term FROM t)
-  WHERE term IN (SELECT term FROM vocab)
+  WHERE term IN (SELECT term FROM vocab) AND length(term) > 0
   GROUP BY doc_id, term),
 dfr AS (SELECT term, count(*) AS df FROM tfq GROUP BY term),
 dln AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
