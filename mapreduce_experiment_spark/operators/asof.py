@@ -32,6 +32,20 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     callers needing stricter tie-breaks should pre-dedup the right
     side.
     """
+    # Collision guards (r14 review): a right_payload name that also
+    # exists on the LEFT would be silently dropped at the end and
+    # replaced by the carried as-of value — left data loss with no
+    # error; the internal tag columns would likewise be clobbered.
+    clash = set(right_payload) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join: right_payload column(s) {sorted(clash)} already "
+            "exist on the left side — rename one side first")
+    reserved = {"_t", "_side"} & (set(left.columns) | set(right.columns))
+    if reserved:
+        raise ValueError(
+            f"asof_join: column name(s) {sorted(reserved)} are reserved "
+            "by the union-and-carry-forward implementation")
     lt = left.withColumn("_t", F.col(left_ts)).withColumn("_side", F.lit(1))
     rt = right.select(
         *on, F.col(right_ts).alias("_t"),

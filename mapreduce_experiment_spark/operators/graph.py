@@ -136,10 +136,17 @@ def candidate_pair_counts(edges: DataFrame) -> DataFrame:
     the scalable summary: a degree aggregate and a scalar expression,
     no quadratic blowup.
     """
+    # Integer DIV, not float `/ 2` + cast (r14 graph review): d(d-1)
+    # is always even so the small-degree values are identical, but
+    # above d ≈ 9.4e7 the double round-trip loses low bits — the
+    # same int64-exactness discipline as the packing operators. (The
+    # oracle moved from `/ 2` to `// 2` in the same commit; DuckDB's
+    # float `/` additionally ROUNDS on the BIGINT cast where Spark
+    # truncates, so the old forms also disagreed cross-engine in the
+    # lossy range.)
     return degrees(edges).select(
         "node",
-        (F.col("degree") * (F.col("degree") - 1) / 2).cast("long")
-        .alias("n_candidate_pairs"),
+        F.expr("degree * (degree - 1) div 2").alias("n_candidate_pairs"),
     )
 
 
@@ -322,6 +329,16 @@ def pagerank(edges: DataFrame, n_iter: int = 10,
     edges_deg = sym.join(deg, "a").persist()
     nodes = sym.select(F.col("a").alias("node")).distinct().persist()
     n = nodes.count()
+    if n == 0:
+        # An edgeless graph has no rank mass to distribute; unguarded,
+        # PAGERANK_SCALE // n crashed driver-side with
+        # ZeroDivisionError instead of returning the empty result
+        # every other operator produces on empty input (r14 graph
+        # review).
+        for df in (edges_deg, ce, nodes):
+            df.unpersist()
+        return nodes.sparkSession.createDataFrame(
+            [], "node long, rank_micro long")
     r0 = PAGERANK_SCALE // n
     base = (15 * r0) // 100
 

@@ -79,9 +79,21 @@ def extract_features(media: DataFrame) -> DataFrame:
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if not len(pdf):
+                # A 0-row frame would build object-typed columns that
+                # Arrow can't map to the declared longs — the same
+                # hazard the minhash signature generator guards (r14
+                # review).
+                continue
             hists = [
                 np.bincount(
-                    np.frombuffer(p, dtype=np.uint8) % N_BUCKETS,
+                    # NULL payload scores as empty bytes (all-zero
+                    # histogram) instead of crashing the whole job
+                    # with a TypeError inside the Arrow worker (r14
+                    # review; unreachable from build_media_table,
+                    # whose payloads are encode() of non-null text).
+                    np.frombuffer(p if p is not None else b"",
+                                  dtype=np.uint8) % N_BUCKETS,
                     minlength=N_BUCKETS,
                 )
                 for p in pdf["payload"]
@@ -112,6 +124,15 @@ def sample_frames(media: DataFrame, frame_bytes: int = FRAME_BYTES,
     All JVM expressions (sequence/explode/substring/md5 on binary), so
     the explosion and hashing run in codegen with no Python hop.
     """
+    # Parameter guards (r14 review): frame_bytes <= 0 fed a zero/
+    # negative divisor into the frame-count division (ANSI
+    # DIVIDE_BY_ZERO at runtime), and stride <= 0 a non-positive
+    # sequence step (runtime error mid-job) — fail at call time with
+    # the actual mistake named.
+    if int(frame_bytes) <= 0:
+        raise ValueError("frame_bytes must be positive")
+    if int(stride) <= 0:
+        raise ValueError("stride must be positive")
     df = media.select(
         "media_id", "payload",
         F.floor(F.length("payload") / F.lit(frame_bytes))

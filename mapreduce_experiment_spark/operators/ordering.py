@@ -47,6 +47,11 @@ def corpus_shuffle(docs: DataFrame, seed: str = "shuffle-v1",
     order on any cluster, any partitioning, any engine — the DuckDB
     oracle replays the hash and a global ``row_number`` and must
     match value-for-value."""
+    if n_buckets <= 0:
+        # Unguarded this crashed driver-side with ZeroDivisionError
+        # (r14 review); the parameter is a parallelism knob, never
+        # legitimately non-positive.
+        raise ValueError("n_buckets must be positive")
     width = _HASH60_SPACE // n_buckets
     h = hash60(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
     # Integer `div`, not float division: hashes exceed 2^53, where a

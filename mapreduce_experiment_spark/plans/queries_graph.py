@@ -97,7 +97,7 @@ def q_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "candidate_pairs",
     oracle=_DEGREES_CTE + """
-SELECT node, CAST(degree * (degree - 1) / 2 AS BIGINT) AS n_candidate_pairs
+SELECT node, CAST(degree * (degree - 1) // 2 AS BIGINT) AS n_candidate_pairs
 FROM degrees
 """,
 )

@@ -39,3 +39,24 @@ def test_asof_matches_naive(spark, left, right):
                            right_ts="rt", right_payload=["rt"]).collect()
     }
     assert got == _naive(left, right)
+
+
+def test_asof_rejects_payload_name_clash(spark):
+    """r14 review: a right_payload name that also exists on the left
+    was silently dropped at the end and replaced by the carried as-of
+    value — left data loss with no error. Reserved internal names are
+    guarded the same way."""
+    import pytest
+
+    ldf = spark.createDataFrame([(1, 1, 5, 9.0)],
+                                "lid long, k long, lt long, price double")
+    rdf = spark.createDataFrame([(1, 3, 7.0)],
+                                "k long, rt long, price double")
+    with pytest.raises(ValueError, match="already((.|\n)*)exist"):
+        asof_join(ldf, rdf, on=["k"], left_ts="lt", right_ts="rt",
+                  right_payload=["price"])
+    l2 = spark.createDataFrame([(1, 1, 5, 0)],
+                               "lid long, k long, lt long, _side long")
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(l2, rdf.drop("price"), on=["k"], left_ts="lt",
+                  right_ts="rt", right_payload=["rt"])

@@ -75,6 +75,35 @@ def test_candidate_pair_counts(spark):
     assert counts == {1: 3, 2: 0, 3: 0, 4: 0}
 
 
+def test_candidate_pair_count_is_int64_exact(spark):
+    """r14 graph review: C(d, 2) was computed as float `/ 2` + cast,
+    which loses low bits once d(d-1) exceeds 2^53 and is not a
+    multiple of the double's ulp — a degree a hub CAN reach at
+    100 TB. Pin the integer-DIV form bit-exact at a lossy-range
+    degree (d ≡ 2 mod 4, so d(d-1) ≡ 2 mod 4 while the double
+    granularity at this magnitude is 4); the old float form is off
+    by 1 here."""
+    d = 140_000_002
+    exact = d * (d - 1) // 2
+    got = spark.createDataFrame([(d,)], "degree long").select(
+        F.expr("degree * (degree - 1) div 2").alias("n")).collect()[0].n
+    assert got == exact
+    lossy = spark.createDataFrame([(d,)], "degree long").select(
+        (F.col("degree") * (F.col("degree") - 1) / 2).cast("long")
+        .alias("n")).collect()[0].n
+    assert lossy != exact  # documents why the float form was a defect
+
+
+def test_pagerank_empty_graph_returns_empty(spark):
+    """r14 graph review: PAGERANK_SCALE // n crashed driver-side with
+    ZeroDivisionError on an edgeless graph; every other operator
+    returns an empty result on empty input."""
+    e = spark.createDataFrame([], EDGE_SCHEMA)
+    out = G.pagerank(e, n_iter=2)
+    assert out.count() == 0
+    assert out.columns == ["node", "rank_micro"]
+
+
 # --- reference bundled datasets vs survey goldens (BASELINE.md) -------------
 
 GOLDENS = {  # dataset -> (faithful distinct, simple-graph distinct)

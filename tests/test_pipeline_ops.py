@@ -218,6 +218,47 @@ def test_media_features_shape_and_determinism(spark):
     assert sum(getattr(r, f"b{i}") for i in range(16)) == 7
 
 
+def test_media_features_null_payload_scores_zero(spark):
+    """r14 review: a NULL payload crashed the Arrow featurizer with a
+    TypeError inside the worker (np.frombuffer(None)); it now scores
+    as empty bytes — an all-zero histogram — and a 0-row Arrow batch
+    is skipped instead of building object-typed columns the declared
+    long schema rejects."""
+    media = spark.createDataFrame(
+        [(1, None), (2, b"ab")], "media_id long, payload binary")
+    byid = {r.media_id: r for r in MM.extract_features(media).collect()}
+    assert sum(getattr(byid[1], f"b{i}") for i in range(16)) == 0
+    assert sum(getattr(byid[2], f"b{i}") for i in range(16)) == 2
+
+
+def test_sample_frames_rejects_bad_params(spark):
+    """r14 review: frame_bytes <= 0 fed a zero divisor into the
+    frame-count division (ANSI DIVIDE_BY_ZERO mid-job) and
+    stride <= 0 a non-positive sequence step; both now fail at call
+    time."""
+    import pytest
+
+    media = spark.createDataFrame([(1, b"x" * 64)],
+                                  "media_id long, payload binary")
+    with pytest.raises(ValueError, match="frame_bytes"):
+        MM.sample_frames(media, frame_bytes=0)
+    with pytest.raises(ValueError, match="stride"):
+        MM.sample_frames(media, stride=0)
+
+
+def test_corpus_shuffle_rejects_nonpositive_buckets(spark):
+    """r14 review: n_buckets <= 0 crashed driver-side with
+    ZeroDivisionError; it is a parallelism knob, never legitimately
+    non-positive."""
+    import pytest
+
+    from mapreduce_experiment_spark.operators.ordering import corpus_shuffle
+
+    docs = _docs(spark, [(1, "a")])
+    with pytest.raises(ValueError, match="n_buckets"):
+        corpus_shuffle(docs, n_buckets=0)
+
+
 def test_decode_image_is_stubbed():
     import pytest
     with pytest.raises((NotImplementedError, Exception)):
@@ -1390,6 +1431,94 @@ def test_bm25_ranks_relevant_doc_first(spark):
     assert 3 not in ids                      # no matching term → no row
     assert all(r.score_micro > 0 for r in rows)
     assert all(1 <= r.rank <= 3 for r in rows)
+
+
+def test_bm25_empty_query_matches_nothing(spark):
+    """r13 text review (landed r14): tokenize('') yields the phantom
+    '' token, so an empty or punctuation-only query used to match
+    every empty DOCUMENT and retrieve it rank-1 (the '' term's idf is
+    high precisely because almost no doc is empty). Zero-length terms
+    are now filtered on both sides."""
+    docs = _docs(spark, [
+        (1, ""),                         # empty doc — the old rank-1 hit
+        (2, "alpha beta gamma"),
+        (3, "!!!"),                      # punctuation-only doc
+    ])
+    qs = spark.createDataFrame(
+        [("q-empty", ""), ("q-punct", "?!."), ("q-real", "alpha")],
+        "query_id string, qtext string")
+    rows = TX.bm25_topk(docs, qs).collect()
+    assert {r.query_id for r in rows} == {"q-real"}
+    assert [(r.doc_id, r.rank) for r in rows] == [(2, 1)]
+
+
+def test_lang_id_null_text_is_und(spark):
+    """r13 text review (landed r14): NULL text propagated NULL hit
+    counts through the when-chain to a NULL pred_lang bucket; it now
+    folds into the empty-string case — zero hits, 'und' — matching
+    quality_features' convention."""
+    docs = _docs(spark, [(1, None), (2, "the cat and the dog is it")])
+    out = {r.doc_id: (r.pred_lang, r.hits_en)
+           for r in TX.lang_id(docs).collect()}
+    assert out == {1: ("und", 0), 2: ("en", 5)}
+
+
+def test_pack_views_agree_on_null_text(spark):
+    """r13 text review (landed r14): pack_sequences emitted a
+    NULL-n_tokens row for NULL text (poisoning every later _start in
+    its shard) while pack_sequence_fragments dropped the doc — the
+    two views disagreed on corpus membership. NULL now folds into the
+    empty-string case (one phantom token) in the shared core, so both
+    views carry the doc and the tiling invariants hold."""
+    docs = _docs(spark, [(1, None), (2, "tok " * 10), (3, "")])
+    ps = {r.doc_id: r for r in TX.pack_sequences(docs, capacity=8).collect()}
+    pf = TX.pack_sequence_fragments(docs, capacity=8).collect()
+    assert set(ps) == {1, 2, 3}
+    assert all(r.n_tokens is not None for r in ps.values())
+    assert ps[1].n_tokens == 1 and ps[3].n_tokens == 1  # NULL ≡ ''
+    frag_sum: dict[int, int] = {}
+    for r in pf:
+        frag_sum[r.doc_id] = frag_sum.get(r.doc_id, 0) + r.frag_len
+    assert frag_sum == {d: r.n_tokens for d, r in ps.items()}
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    """r13 text review (landed r14): a negative overlap silently made
+    stride > chunk_chars — consecutive windows with UNCOVERED gaps —
+    and chunk_chars <= 0 a nonsensical substring width; both now
+    raise. The DIV expression also no longer interpolates the
+    caller's column name into raw SQL: a name needing quoting works."""
+    import pytest
+
+    docs = _docs(spark, [(1, "x" * 500)])
+    with pytest.raises(ValueError, match="uncovered"):
+        TX.chunk_documents(docs, chunk_chars=200, overlap=-50)
+    with pytest.raises(ValueError, match="positive"):
+        TX.chunk_documents(docs, chunk_chars=0, overlap=0)
+    with pytest.raises(ValueError, match="< chunk_chars"):
+        TX.chunk_documents(docs, chunk_chars=50, overlap=50)
+    odd = spark.createDataFrame([(1, "y" * 450)],
+                                "doc_id long, `my text` string")
+    got = TX.chunk_documents(odd, text_col="my text").collect()
+    assert len(got) == 3 and {r.chunk_len for r in got} == {200, 150}
+
+
+def test_word_ngrams_helper_semantics(spark):
+    """The one shared n-gram expression (r13 text review: previously
+    triplicated across shingles / ngram_counts / repetition_scores and
+    free to drift): occurrence list by default, distinct set as
+    shingles, empty-guarded for short docs."""
+    from mapreduce_experiment_spark.functions.textfns import (
+        shingles, tokenize, word_ngrams,
+    )
+    df = spark.createDataFrame([("a b a b a",), ("a b",)], "text string")
+    rows = df.select(
+        word_ngrams(tokenize(F.col("text")), 3).alias("occ"),
+        shingles(tokenize(F.col("text")), 3).alias("dis"),
+    ).collect()
+    assert rows[0].occ == ["a b a", "b a b", "a b a"]  # duplicates kept
+    assert sorted(rows[0].dis) == ["a b a", "b a b"]   # set semantics
+    assert rows[1].occ == [] and rows[1].dis == []     # short-doc guard
 
 
 def test_dedup_survivors_one_per_cluster(spark):

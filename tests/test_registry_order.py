@@ -194,6 +194,38 @@ _ROUND_BASE = "6d16eec"  # r13 driver commit (verdict landed); bump each round
 #  - every other query flagged below (events/graph/sessions set)
 #    shares only module-level imports with the changed code, none of
 #    its own expressions.
+# Deferred-text batch (third r14 package edit, operators/text.py +
+# functions/textfns.py + plans/queries_text.py):
+#  - the r13 queue said all five text fixes target r14-window
+#    queries; that was true only for bm25_topk and lang_id. The
+#    pack/chunk/n-gram fixes touch queries that sat in the R13
+#    window (packed_sequences, packed_sequence_fragments, doc_chunks,
+#    repetition_scores, trigram_counts) — freshly driver-verified
+#    LAST round, re-verified by the driver next round when they
+#    rotate back in. Attestation basis, per fix:
+#    - pack NULL→'' coalesce + lang oracle coalesce: value-neutral on
+#      shipped data (zero NULL/empty text at every SF, r13 check);
+#      Spark plan and DuckDB oracle changed TOGETHER from the same
+#      convention.
+#    - chunk_documents guards: raise on arguments no registered query
+#      passes; the __chunk_len alias renders the same DIV arithmetic.
+#    - word_ngrams extraction: produces the IDENTICAL expression tree
+#      the three inlined copies built (distinct inside the when for
+#      shingles; occurrence transform for ngram_counts /
+#      repetition_scores) — checked by the helper-semantics test and
+#      the unchanged bench fingerprints.
+#  - every other query flagged below (relational/events set) shares
+#    only module-level imports with the changed code.
+#
+# Module-review hardening batch (fourth r14 package edit): graph
+# (candidate_pairs integer DIV + pagerank empty-graph guard — both
+# IN-window), asof (payload-name-clash guard), ordering (n_buckets
+# guard), multimodal (NULL-payload histogram, empty-Arrow-batch skip,
+# sample_frames param guards). The flagged out-of-window queries
+# (media_*, purchase_last_click_asof) are affected only by guards
+# that raise on arguments no registered query passes, or by
+# NULL-payload paths unreachable from build_media_table; the media
+# plans and values are unchanged.
 # Empirical backstop: both registry halves rehearsed 50/50
 # value-exact against their DuckDB oracles under a bare session at
 # sf0.01 after each batch landed (BENCHNOTES r14).
@@ -211,6 +243,17 @@ _ATTESTED_UNCHANGED: set[str] = {
     "streaming_hourly_counts", "streaming_minhash_dedup",
     "streaming_view_attribution", "triangle_count", "triangles",
     "value_band_range_join",
+    # deferred-text batch
+    "asia_market_share", "decontaminated_corpus",
+    "decontamination_external", "decontamination_pairs", "doc_chunks",
+    "monthly_retention_cohorts", "order_size_distribution",
+    "packed_sequence_fragments", "packed_sequences",
+    "quality_filtered_corpus", "repetition_scores",
+    "signup_to_purchase_funnel", "source_mixture_sample",
+    "top_parts_per_nation", "trigram_counts", "volume_shipping",
+    # module-review hardening batch
+    "media_byte_histograms", "media_frame_sample", "media_metadata",
+    "purchase_last_click_asof",
 }
 
 def _round_sorted(paths: list[str]) -> list[str]:
