@@ -83,25 +83,42 @@ SELECT event_type, n,
        mx / 100.0 AS max_value,
        floor(s * 10000.0 / (100 * n) + 0.5) / 10000.0 AS mean_value,
        CASE WHEN n > 1 THEN
-         floor((ss - s * 1.0 * s / n) * 10000.0 / ((n - 1) * 10000) + 0.5)
-           / 10000.0
+         floor(CAST(n * ss - s * s AS DOUBLE)
+               / (CAST(n AS DOUBLE) * (n - 1)) + 0.5) / 10000.0
        END AS variance
 FROM a
 """,
 )
 def q_value_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution stats with EXACT integer moments: sum and
-    sum-of-squares over cents are int64 (order-independent), so mean
-    and sample variance are bit-deterministic across engines — no
-    Welford-vs-naive or summation-order drift. Sample variance of a
+    sum-of-squares over cents accumulate exactly (order-independent),
+    so mean and sample variance are bit-deterministic across engines —
+    no Welford-vs-naive or summation-order drift. Sample variance of a
     single-row group is NULL on both sides (the n-1 denominator would
-    otherwise hit IEEE-vs-error divide-by-zero divergence)."""
+    otherwise hit IEEE-vs-error divide-by-zero divergence).
+
+    The variance numerator is the EXACT integer ``n*ss - s*s``
+    (decimal Spark-side, HUGEINT in DuckDB) converted to double ONCE,
+    then one mirrored division — the old ``ss - s*s/n`` form
+    subtracted two doubles of ~(n*mean²) magnitude whose cancellation
+    rounded DIFFERENTLY per engine once values were large (r14
+    review, reproduced at 2e9-cent values: 1.6384 vs 1.7067 for a
+    true ~1.6667)."""
     ev = load_table(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100, 0).cast("long")
+    # Moments accumulate in DECIMAL, not long (r14 review): a cents²
+    # term is ~1e14 for a 1e7-cent value, so the int64 sum overflows
+    # around 1e5 such rows per group — an ANSI ARITHMETIC_OVERFLOW
+    # that kills the query exactly at scale, while DuckDB's BIGINT
+    # sum silently promotes to HUGEINT (the engines would diverge on
+    # any data big enough to matter). decimal(19,0)² → decimal(38,0)
+    # sums are exact to 1e38, and every consumer below converts to
+    # double, so shipped-SF values are bit-identical.
+    cc = F.col("cents").cast("decimal(19,0)")
     a = ev.select("event_type", cents.alias("cents")).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("cents").alias("s"),
-        F.sum(F.col("cents") * F.col("cents")).alias("ss"),
+        F.sum(cc).alias("s"),
+        F.sum(cc * cc).alias("ss"),
         F.min("cents").alias("mn"),
         F.max("cents").alias("mx"),
     )
@@ -114,8 +131,9 @@ def q_value_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.col("n") > 1,
             F.floor(
-                (F.col("ss") - F.col("s") * 1.0 * F.col("s") / F.col("n"))
-                * 10000.0 / ((F.col("n") - 1) * 10000) + 0.5
+                (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+                .cast("double")
+                / (F.col("n").cast("double") * (F.col("n") - 1)) + 0.5
             ) / 10000.0,
         ).alias("variance"),
     )
@@ -153,15 +171,22 @@ def q_price_quantity_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     x = F.round(F.col("l_quantity") * 100, 0).cast("long")
     y = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    # DECIMAL moment accumulators for the same reason as
+    # value_distribution_stats above (r14 review): sum(y²) over
+    # price cents overflows int64 near ~1e5 rows per group at TPC-H
+    # price magnitudes — ANSI ARITHMETIC_OVERFLOW Spark-side while
+    # DuckDB promotes to HUGEINT. All consumers cast to double.
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
     m = (
         li.select("l_returnflag", x.alias("x"), y.alias("y"))
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("x").alias("sx"), F.sum("y").alias("sy"),
-            F.sum(F.col("x") * F.col("x")).alias("sxx"),
-            F.sum(F.col("y") * F.col("y")).alias("syy"),
-            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(xd).alias("sx"), F.sum(yd).alias("sy"),
+            F.sum(xd * xd).alias("sxx"),
+            F.sum(yd * yd).alias("syy"),
+            F.sum(xd * yd).alias("sxy"),
             F.median("x").alias("med_x"),
         )
     )

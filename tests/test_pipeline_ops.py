@@ -1521,6 +1521,63 @@ def test_word_ngrams_helper_semantics(spark):
     assert rows[1].occ == [] and rows[1].dis == []     # short-doc guard
 
 
+def test_moment_aggregates_survive_int64_overflow(spark, tmp_path):
+    """r14 review: value_distribution_stats and
+    price_quantity_correlation summed squared cents as int64 — a
+    1e7-cent value contributes ~1e14 per row, so the sum overflows
+    around 1e5 such rows per group (ANSI ARITHMETIC_OVERFLOW killing
+    the query exactly at scale) while DuckDB silently promotes BIGINT
+    sums to HUGEINT. The moments now accumulate in decimal; prove the
+    registered queries match their DuckDB oracles at magnitudes where
+    the long form THROWS."""
+    import pyspark.errors
+    import pytest
+
+    from mapreduce_experiment_spark.plans.registry import SPECS
+    from tests.oracle_util import assert_matches, run_oracle
+
+    import duckdb
+
+    sf = str(tmp_path)
+    # Single-file parquet like the shipped test dirs (a Spark write
+    # is a directory, which read_parquet('<name>.parquet') rejects).
+    # value cents = 2e9 → cents² = 4e18 (fits int64 per row — DuckDB's
+    # per-row INT64 multiply must not overflow either) but four rows
+    # sum to 1.6e19 > int64 max: exactly the window where DuckDB's
+    # HUGEINT sum succeeds and Spark's old long sum threw.
+    con = duckdb.connect()
+    con.execute(f"""
+        COPY (SELECT i AS event_id,
+                     TIMESTAMP '2024-01-01 00:00:00' AS ts,
+                     1::BIGINT AS user_id, 'click' AS event_type,
+                     2.0e7 + i AS value, '{{}}' AS props
+              FROM range(4) t(i))
+        TO '{sf}/events.parquet' (FORMAT parquet)""")
+    con.execute(f"""
+        COPY (SELECT 1::BIGINT AS l_orderkey, 1::BIGINT AS l_partkey,
+                     1::BIGINT AS l_suppkey, 1::INT AS l_linenumber,
+                     2.5e7 + i AS l_quantity, 2.0e7 + i AS l_extendedprice,
+                     0.0 AS l_discount, 0.0 AS l_tax,
+                     'N' AS l_returnflag, 'O' AS l_linestatus,
+                     TIMESTAMP '2024-01-01 00:00:00' AS l_shipdate
+              FROM range(4) t(i))
+        TO '{sf}/lineitem.parquet' (FORMAT parquet)""")
+
+    specs = SPECS()
+    for name in ("value_distribution_stats", "price_quantity_correlation"):
+        assert_matches(specs[name].fn(spark, sf),
+                       run_oracle(specs[name].oracle, sf), name)
+
+    # the defect, demonstrated: the old long-typed sum of squares
+    # throws at these magnitudes
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    with pytest.raises(pyspark.errors.PySparkException,
+                       match="OVERFLOW|overflow"):
+        spark.read.parquet(f"{sf}/events.parquet") \
+            .select(cents.alias("c")) \
+            .agg(F.sum(F.col("c") * F.col("c"))).collect()
+
+
 def test_dedup_survivors_one_per_cluster(spark):
     base = "the quick brown fox jumps over the lazy dog " * 8
     near = base.replace("lazy", "sleepy", 1)

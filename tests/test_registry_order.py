@@ -217,6 +217,24 @@ _ROUND_BASE = "6d16eec"  # r13 driver commit (verdict landed); bump each round
 #  - every other query flagged below (relational/events set) shares
 #    only module-level imports with the changed code.
 #
+# Profiling-review batch (fifth r14 package edit,
+# plans/queries_profiling.py): value_distribution_stats and
+# price_quantity_correlation accumulate moments in DECIMAL instead of
+# long (sum of squared cents overflows int64 exactly at scale while
+# DuckDB promotes to HUGEINT), and the variance numerator is the
+# exact integer n*ss - s*s converted to double once (the old
+# ss - s*s/n double cancellation rounded differently per engine at
+# large magnitudes). Both changes are value-identical at every
+# shipped SF (all intermediates < 2^53, so the decimal-vs-long →
+# double conversions agree bit-for-bit), proven by the adversarial-
+# magnitude oracle-parity test
+# (test_moment_aggregates_survive_int64_overflow) plus rehearsal.
+# Although these are plan+oracle changes to out-of-window queries,
+# the verification timing is unchanged: both rotate into the r15
+# window (they are r13-greens), which is exactly when an r15-landed
+# fix would first be driver-verified too. The other three flagged
+# queries share the module but none of the changed expressions.
+#
 # Module-review hardening batch (fourth r14 package edit): graph
 # (candidate_pairs integer DIV + pagerank empty-graph guard — both
 # IN-window), asof (payload-name-clash guard), ordering (n_buckets
@@ -254,6 +272,10 @@ _ATTESTED_UNCHANGED: set[str] = {
     # module-review hardening batch
     "media_byte_histograms", "media_frame_sample", "media_metadata",
     "purchase_last_click_asof",
+    # profiling-review batch
+    "value_distribution_stats", "price_quantity_correlation",
+    "event_type_counts_salted", "lineitem_profile",
+    "nation_participants_full_outer",
 }
 
 def _round_sorted(paths: list[str]) -> list[str]:
