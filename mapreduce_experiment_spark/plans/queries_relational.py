@@ -410,7 +410,13 @@ def q_order_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper("o_orderpriority").alias("priority_upper"),
         F.length("o_orderpriority").cast("long").alias("priority_len"),
         F.regexp_extract("o_orderpriority", r"^(\d)", 1).alias("priority_digit"),
-        F.split("o_orderpriority", "-").getItem(1).alias("priority_word"),
+        # Native split_part, NOT split().getItem(1): under ANSI (the
+        # Spark 4 default) getItem hard-fails INVALID_ARRAY_INDEX on
+        # delimiter-free input, and a non-ANSI NULL would still diverge
+        # from the oracle's split_part '' — Spark's split_part matches
+        # DuckDB exactly ('' out of range, NULL in → NULL out).
+        F.split_part("o_orderpriority", F.lit("-"), F.lit(2))
+         .alias("priority_word"),
         F.round(F.sqrt("o_totalprice"), 6).alias("price_sqrt"),
         F.round(F.log("o_totalprice"), 6).alias("price_ln"),
         F.floor("o_totalprice").cast("long").alias("price_floor"),

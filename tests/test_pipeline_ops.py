@@ -1578,6 +1578,45 @@ def test_moment_aggregates_survive_int64_overflow(spark, tmp_path):
             .agg(F.sum(F.col("c") * F.col("c"))).collect()
 
 
+def test_priority_word_survives_delimiter_free_input(spark, tmp_path):
+    """r14 plans review: order_scalar_functions extracted priority_word
+    with split('-').getItem(1), which under ANSI (the Spark 4 default)
+    hard-fails INVALID_ARRAY_INDEX on any o_orderpriority without a
+    '-' — and a non-ANSI NULL would still hash-diverge from the
+    oracle's split_part '' (DuckDB returns empty string out of range).
+    Now both sides use split_part; prove the registered query matches
+    its oracle on delimiter-free input, and that the old form threw."""
+    import pyspark.errors
+    import pytest
+
+    from mapreduce_experiment_spark.plans.registry import SPECS
+    from tests.oracle_util import assert_matches, run_oracle
+
+    import duckdb
+
+    sf = str(tmp_path)
+    con = duckdb.connect()
+    con.execute(f"""
+        COPY (SELECT i AS o_orderkey, 1::BIGINT AS o_custkey,
+                     'O' AS o_orderstatus, 100.0 + i AS o_totalprice,
+                     TIMESTAMP '2024-01-01 00:00:00' AS o_orderdate,
+                     CASE WHEN i = 0 THEN 'NODASH'
+                          ELSE '1-URGENT' END AS o_orderpriority
+              FROM range(3) t(i))
+        TO '{sf}/orders.parquet' (FORMAT parquet)""")
+
+    spec = SPECS()["order_scalar_functions"]
+    assert_matches(spec.fn(spark, sf), run_oracle(spec.oracle, sf),
+                   "order_scalar_functions")
+
+    # the defect, demonstrated: the old getItem(1) form throws under
+    # ANSI on the delimiter-free row
+    with pytest.raises(pyspark.errors.PySparkException,
+                       match="INVALID_ARRAY_INDEX"):
+        spark.read.parquet(f"{sf}/orders.parquet") \
+            .select(F.split("o_orderpriority", "-").getItem(1)).collect()
+
+
 def test_dedup_survivors_one_per_cluster(spark):
     base = "the quick brown fox jumps over the lazy dog " * 8
     near = base.replace("lazy", "sleepy", 1)
