@@ -27,6 +27,18 @@ def tokenize(col: Column) -> Column:
     the split, so no empty tokens arise and no (interpreted)
     higher-order filter is needed — the whole tokenizer stays in
     whole-stage codegen.
+
+    Cross-engine scope (r14 adversarial sweep, pinned by
+    test_tokenize_chain_cross_engine_property): token output is
+    byte-identical to the DuckDB mirror on arbitrary input —
+    including CJK, emoji, combining marks, NBSP, Unicode line
+    terminators, fullwidth digits, ß/Σ/ς — EXCEPT text containing
+    U+0130 ('İ'): Java's lower() follows Unicode SpecialCasing
+    ('İ' → 'i' + U+0307, and the combining dot then splits the
+    token) while DuckDB's simple-folds to a bare 'i' (merging it
+    with neighbors). The same known-divergence family the URL
+    canonicalization property documents; real pipelines normalize
+    such text upstream, and the driver corpus is ASCII.
     """
     return F.split(
         F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " ")), " ")
@@ -69,6 +81,15 @@ def shingles(tokens: Column, n: int = 3) -> Column:
 
 
 def shingles_sql(tokens_expr: str, n: int = 3) -> str:
+    """NOTE (r14 adversarial sweep): DuckDB's list_distinct does NOT
+    preserve first-occurrence order while Spark's array_distinct
+    does, so on inputs with repeated n-grams the two engines return
+    the same shingle SET in different ORDERS. Every consumer is
+    order-invariant (list_min / list_sum / list_intersect / explode →
+    group), which is what keeps the oracles exact — a query that ever
+    rendered the shingle array itself as a result column would
+    hash-diverge. Pinned by
+    test_tokenize_chain_cross_engine_property."""
     return (
         f"list_distinct(list_transform(range(1, len({tokens_expr}) - {n - 2}),"
         f" i -> array_to_string(list_slice({tokens_expr}, i, i + {n - 1}), ' ')))"

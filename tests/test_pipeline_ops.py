@@ -1750,6 +1750,81 @@ def test_canonical_url_cross_engine_property(spark):
         assert g == w, f"engines diverge on {u!r}: spark={g!r} duckdb={w!r}"
 
 
+def test_tokenize_chain_cross_engine_property(spark):
+    """Property form of the tokenize→shingle→hash60 identity claim —
+    the primitive chain EVERY dedup/text oracle builds on (r14
+    adversarial sweep; the $-vs-\\z URL find showed randomized input
+    is where engine divergences hide). For arbitrary text over an
+    adversarial alphabet (regex metacharacters, every whitespace trap
+    incl. U+0085/U+2028/U+2029/NBSP/vertical tab, CJK, an astral
+    emoji, combining marks, fullwidth digits, ß/Σ/ς, dotless ı) the
+    engines must agree EXACTLY on tokens and as a SET on shingle
+    hashes. Two scope caveats, each demonstrated below so the
+    exclusion is honest rather than silent:
+
+    - U+0130 ('İ') is excluded from the property alphabet: Java's
+      lower() emits 'i' + combining dot (SpecialCasing) which then
+      SPLITS the token, DuckDB's simple-folds to a bare 'i' which
+      MERGES it — the documented known-divergence family (see
+      tokenize docstring / the URL property's ASCII scoping).
+    - Shingle-hash ORDER may differ (DuckDB list_distinct is not
+      first-occurrence-ordered); every consumer is order-invariant,
+      and no registered query returns the array itself.
+    """
+    import random
+
+    import duckdb
+
+    from mapreduce_experiment_spark.functions.textfns import (
+        shingle_hashes, shingle_hashes_sql, tokenize, tokenize_sql)
+
+    rng = random.Random(7)
+    alphabet = ("abz09AZ" ".,!?#$^&*()[]{}|\\-_=+~`'\"" " \t\n\r\x0b\x0c"
+                "\xa0\x85  " "中文\U0001F600"
+                "\xe9́ı\xdfΣς" "０１")
+    cases = ["".join(rng.choice(alphabet)
+                     for _ in range(rng.randrange(0, 50)))
+             for _ in range(300)]
+    cases += ["", " ", "a", "A B  c", "\xdfẞ", "ΣΣ σς",
+              "\xe1b", "\U0001F600a\U0001F600", "a b a b a"]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)],
+                               "i long, text string")
+    got = {r.i: (list(r.t), list(r.h)) for r in df.select(
+        "i", tokenize(F.col("text")).alias("t"),
+        shingle_hashes(F.col("text"), 2).alias("h")).collect()}
+    con = duckdb.connect()
+    sqlt = (f"SELECT {tokenize_sql('text')}, {shingle_hashes_sql('text', 2)} "
+            "FROM (SELECT ? AS text) t")
+    for i, c in enumerate(cases):
+        wt, wh = con.execute(sqlt, [c]).fetchone()
+        gt, gh = got[i]
+        assert gt == list(wt), (
+            f"tokens diverge on {c!r}: spark={gt} duckdb={list(wt)}")
+        assert set(gh) == set(wh), (
+            f"shingle-hash SETS diverge on {c!r}")
+
+    # caveat 1, demonstrated: U+0130 genuinely diverges (this is WHY
+    # it is excluded above — if an engine upgrade ever aligns the
+    # case mappings, this documents the scope can widen)
+    div = "aİİ0b"
+    g = [r.t for r in spark.createDataFrame([(div,)], "text string")
+         .select(tokenize(F.col("text")).alias("t")).collect()][0]
+    w = con.execute(f"SELECT {tokenize_sql('text')} "
+                    "FROM (SELECT ? AS text) t", [div]).fetchone()[0]
+    assert list(g) != list(w), (
+        "U+0130 no longer diverges — widen the property alphabet")
+
+    # caveat 2, demonstrated: same shingle SET, different ORDER on a
+    # repeated-bigram input (the contract that keeps consumers
+    # order-invariant)
+    rep = "a b a b a"
+    gh = [list(r.h) for r in spark.createDataFrame([(rep,)], "text string")
+          .select(shingle_hashes(F.col("text"), 2).alias("h")).collect()][0]
+    wh = con.execute(f"SELECT {shingle_hashes_sql('text', 2)} "
+                     "FROM (SELECT ? AS text) t", [rep]).fetchone()[0]
+    assert set(gh) == set(list(wh)) and len(gh) == len(wh) == 2
+
+
 # --- span-level cross-document dedup ----------------------------------------
 _BOILER = ("this content is licensed under a creative "
            "commons attribution share alike license")  # 12 tokens
