@@ -1825,6 +1825,48 @@ def test_tokenize_chain_cross_engine_property(spark):
     assert set(gh) == set(list(wh)) and len(gh) == len(wh) == 2
 
 
+def test_vector_fold_cross_engine_bit_identical(spark):
+    """Upgrade canary (r14 adversarial sweep): Spark's sequential
+    aggregate() fold and DuckDB's list_sum currently produce
+    BIT-IDENTICAL raw doubles for the dot/cosine mirror (500 random
+    mixed-magnitude vectors, zero divergence even unquantized), so
+    the oracles do not depend on q6 absorbing summation-order drift.
+    If either engine ever switches to pairwise/Kahan summation this
+    fails first — at that point the mirrors still agree post-q6
+    except at quantization boundaries, and the fold order should be
+    re-pinned explicitly."""
+    import random
+
+    import duckdb
+
+    from mapreduce_experiment_spark.functions.vectors import (
+        as_double, cosine, cosine_sql)
+
+    rng = random.Random(11)
+    cases = []
+    for i in range(60):
+        d = rng.choice([4, 16, 64])
+        a = [rng.uniform(-1, 1) * 10 ** rng.randrange(-3, 4)
+             for _ in range(d)]
+        b = [rng.uniform(-1, 1) * 10 ** rng.randrange(-3, 4)
+             for _ in range(d)]
+        cases.append((i, a, b))
+    df = spark.createDataFrame(
+        cases, "i long, a array<double>, b array<double>")
+    got = {r.i: r.c for r in df.select(
+        "i", cosine(as_double(F.col("a")), as_double(F.col("b")))
+        .alias("c")).collect()}
+    con = duckdb.connect()
+    sql = (f"SELECT {cosine_sql('a', 'b')} "
+           "FROM (SELECT ?::DOUBLE[] AS a, ?::DOUBLE[] AS b) t")
+    for i, a, b in cases:
+        w = con.execute(sql, [a, b]).fetchone()[0]
+        assert got[i] == w, (
+            f"raw fold diverged (case {i}): spark={got[i]!r} "
+            f"duckdb={w!r} — an engine changed its summation order; "
+            "re-pin the fold contract")
+
+
 # --- span-level cross-document dedup ----------------------------------------
 _BOILER = ("this content is licensed under a creative "
            "commons attribution share alike license")  # 12 tokens
