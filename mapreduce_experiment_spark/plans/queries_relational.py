@@ -427,17 +427,44 @@ def q_order_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- JSON extraction ------------------------------------------------------------
 @register(
     "events_json_extract",
-    oracle="""
+    # Integer-gated lenient extraction, aligned expression-for-
+    # expression with the Spark plan (r14 adversarial sweep; both
+    # sides changed together, value-neutral on shipped props which
+    # are always {"k": int}):
+    # - json_valid gate: DuckDB's json_extract_string is a STRICT
+    #   parser that kills the whole oracle query on one malformed
+    #   props row, while Spark's get_json_object returns NULL.
+    # - regex gate + TRY_CAST: the old bare CAST crashed Spark-side
+    #   under ANSI on any non-integer k ('7.9', 'true', '[1,2]') and,
+    #   lenient-ified naively, still diverged (DuckDB CAST('7.9') = 8
+    #   rounds, Spark try_cast = NULL). Only exact integer renderings
+    #   pass; TRY_CAST keeps >int64 digits NULL on both engines.
+    # - \z anchor, not $: a string-valued k ending in '\n' passes
+    #   Java's $-before-final-newline but not RE2's — the same
+    #   engine trap URL_CANON_STEPS documents.
+    oracle=r"""
 SELECT event_id, event_type,
-       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+       CASE WHEN json_valid(props)
+             AND regexp_matches(json_extract_string(props, '$.k'),
+                                '^-?[0-9]+\z')
+            THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+       END AS k
 FROM events
 """,
 )
 def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction with the integer-gated lenient cast (see
+    the oracle comment): one bad row must yield NULL, not kill a
+    100 TB job — get_json_object is already lenient on malformed
+    JSON, the regex gate makes the integer conversion ANSI-safe and
+    cross-engine-exact (pinned by
+    test_events_json_extract_survives_dirty_props on malformed /
+    non-integer / overflow / newline-string props)."""
     ev = load_table(spark, sf_dir, "events")
+    s = F.get_json_object("props", "$.k")
     return ev.select(
         "event_id", "event_type",
-        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        F.when(s.rlike(r"^-?[0-9]+\z"), s.try_cast("long")).alias("k"),
     )
 
 

@@ -1617,6 +1617,59 @@ def test_priority_word_survives_delimiter_free_input(spark, tmp_path):
             .select(F.split("o_orderpriority", "-").getItem(1)).collect()
 
 
+def test_events_json_extract_survives_dirty_props(spark, tmp_path):
+    """r14 adversarial sweep: events_json_extract was three-ways
+    fragile at scale — (1) the bare ANSI cast killed the Spark job on
+    any non-integer k ('7.9', 'true'); (2) DuckDB's strict
+    json_extract_string killed the ORACLE on one malformed-JSON row
+    where get_json_object returns NULL; (3) lenient-ified naively the
+    engines still diverged (DuckDB CAST('7.9' AS BIGINT) rounds to 8,
+    Spark try_cast gives NULL). Both sides now use the integer-gated
+    lenient form; prove the registered query matches its oracle on a
+    fixture covering every failure class, and that both OLD forms
+    died."""
+    import pyspark.errors
+    import pytest
+
+    from mapreduce_experiment_spark.plans.registry import SPECS
+    from tests.oracle_util import assert_matches, run_oracle
+
+    import duckdb
+
+    sf = str(tmp_path)
+    props = ['{"k": 7}', '{"k": "7"}', '{"k": 7.9}', '{"k": true}',
+             'not json', '{"k": 7', None, '{}', '{"k": null}',
+             '{"k": 99999999999999999999}', '{"k": "7\n"}',
+             '{"k": -12}', '{"k": [1,2]}']
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p (event_id BIGINT, props VARCHAR)")
+    for i, pr in enumerate(props):
+        con.execute("INSERT INTO p VALUES (?, ?)", [i, pr])
+    con.execute(f"""
+        COPY (SELECT event_id, TIMESTAMP '2024-01-01 00:00:00' AS ts,
+                     1::BIGINT AS user_id, 'click' AS event_type,
+                     1.0 AS value, props
+              FROM p)
+        TO '{sf}/events.parquet' (FORMAT parquet)""")
+
+    spec = SPECS()["events_json_extract"]
+    assert_matches(spec.fn(spark, sf), run_oracle(spec.oracle, sf),
+                   "events_json_extract")
+
+    # defect (1): the old bare ANSI cast threw on the '7.9' row
+    with pytest.raises(pyspark.errors.PySparkException,
+                       match="CAST_INVALID_INPUT"):
+        spark.read.parquet(f"{sf}/events.parquet") \
+            .select(F.get_json_object("props", "$.k").cast("long")) \
+            .collect()
+
+    # defect (2): the old strict oracle died on the malformed row
+    with pytest.raises(duckdb.Error):
+        run_oracle(
+            "SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) "
+            "FROM events", sf)
+
+
 def test_dedup_survivors_one_per_cluster(spark):
     base = "the quick brown fox jumps over the lazy dog " * 8
     near = base.replace("lazy", "sleepy", 1)
