@@ -29,7 +29,14 @@ STOPWORDS = {
 }
 LANGS = tuple(STOPWORDS)  # fixed order = deterministic tie-break
 
-BPE_ISH = "[a-z0-9]+|[^a-z0-9\\s]"
+# Whitespace is spelled out instead of `\s` because the engines
+# disagree on it: Java's default `\s` is [ \t\n\x0B\f\r] while
+# DuckDB's RE2 `\s` is [ \t\n\f\r] — WITHOUT vertical tab — so a
+# U+000B in the text made the oracle count one extra segment (r14
+# adversarial rehearsal, reproduced live). The explicit class is
+# Java's set, so Spark-side values are unchanged and both engines
+# now agree. Pinned by test_token_counts_survive_dirty_text.
+BPE_ISH = "[a-z0-9]+|[^a-z0-9 \\t\\n\\r\\f\\x0b]"
 
 
 def _hits(tokens: Column, words: tuple[str, ...]) -> Column:

@@ -62,15 +62,28 @@ _ALPHA = "CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT)
 _NSTOP = _hits_sql("en")
 _TOKCHARS = "list_sum(list_transform(toks, x -> length(x)))"
 
+# quality_features' oracle needs its own CTE: the Spark side folds
+# NULL text into '' (r13 review) and floors alpha_ratio to 0.0 on an
+# empty doc, while _T_CTE's raw text let a NULL row emit NULL
+# features and DuckDB's x/0 emit NULL instead of 0.0 (r14
+# adversarial rehearsal, reproduced live — dormant on shipped data,
+# which has no NULL/empty text). Mirror both: coalesce in the CTE,
+# CASE-guard the one division whose denominator can be 0
+# (len(toks) >= 1 always — tokenize('') yields the phantom token).
+_QF_CTE = ("WITH t AS (SELECT doc_id, coalesce(text, '') AS text, "
+           + tokenize_sql("coalesce(text, '')") + " AS toks FROM documents)\n")
+_ALPHA_RATIO = (f"CASE WHEN length(text) = 0 THEN 0.0 "
+                f"ELSE {_ALPHA} * 1.0 / length(text) END")
+
 
 @register(
     "quality_scores",
-    oracle=_T_CTE + f"""
+    oracle=_QF_CTE + f"""
 , f AS (
   SELECT doc_id,
          CAST(length(text) AS BIGINT) AS n_chars,
          CAST(len(toks) AS BIGINT) AS n_tokens,
-         {_Q6.format(f"{_ALPHA} * 1.0 / length(text)")} AS alpha_ratio,
+         {_Q6.format(_ALPHA_RATIO)} AS alpha_ratio,
          {_Q6.format(f"{_NSTOP} * 1.0 / len(toks)")} AS stop_ratio,
          {_Q6.format(f"{_TOKCHARS} * 1.0 / len(toks)")} AS mean_tok_len
   FROM t

@@ -1670,6 +1670,56 @@ def test_events_json_extract_survives_dirty_props(spark, tmp_path):
             "FROM events", sf)
 
 
+def test_token_and_quality_survive_dirty_text(spark, tmp_path):
+    """r14 adversarial rehearsal over a hostile documents corpus:
+    (1) token_counts' BPE-ish class used `\\s`, which Java reads as
+    [ \\t\\n\\x0B\\f\\r] but DuckDB's RE2 as [ \\t\\n\\f\\r] — a
+    vertical tab (U+000B) in the text made the oracle count one
+    extra segment; the class now spells the whitespace out (Java's
+    set, so Spark values are unchanged). (2) quality_scores' oracle
+    did not mirror the Spark side's NULL→'' coalesce and 0-length
+    alpha_ratio floor, emitting NULL features for a NULL-text doc
+    and NULL (DuckDB x/0) instead of 0.0 for an empty one. Both
+    dormant on shipped data (no NULL text, no U+000B); prove the
+    registered queries match their oracles on a fixture covering
+    every class, and that the old `\\s` oracle form still diverges
+    (upgrade canary: if RE2 ever adds \\x0b to `\\s`, this fails
+    loudly and the explicit class can be simplified back)."""
+    import duckdb
+
+    from mapreduce_experiment_spark.plans.registry import SPECS
+    from tests.oracle_util import assert_matches, run_oracle
+
+    sf = str(tmp_path)
+    texts = [None, "", "   \t\n  ", "a\x0bb", ".,!?#",
+             "plain words here", "tab\tand\x0bvtab mix",
+             "naïve café ０１ Σ 中文"]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    for i, tx in enumerate(texts):
+        con.execute("INSERT INTO d VALUES (?, ?)", [i, tx])
+    con.execute(f"""
+        COPY (SELECT doc_id, text, 'en' AS lang, 'x' AS source,
+                     CAST(length(text) AS BIGINT) AS n_chars
+              FROM d)
+        TO '{sf}/documents.parquet' (FORMAT parquet)""")
+
+    specs = SPECS()
+    for name in ("token_counts", "quality_scores"):
+        assert_matches(specs[name].fn(spark, sf),
+                       run_oracle(specs[name].oracle, sf), name)
+
+    # the old `\s` oracle counts one extra segment on the U+000B row
+    old = run_oracle(
+        r"SELECT len(regexp_extract_all(lower(text),"
+        r" '[a-z0-9]+|[^a-z0-9\s]')) AS n FROM documents"
+        " WHERE doc_id = 3", sf)
+    new = run_oracle(
+        "SELECT len(regexp_extract_all(lower(text),"
+        f" '{TX.BPE_ISH}')) AS n FROM documents WHERE doc_id = 3", sf)
+    assert old["n"][0] == 3 and new["n"][0] == 2
+
+
 def test_dedup_survivors_one_per_cluster(spark):
     base = "the quick brown fox jumps over the lazy dog " * 8
     near = base.replace("lazy", "sleepy", 1)
