@@ -299,19 +299,35 @@ def knn_bruteforce_blas(embeddings: DataFrame, n_queries: int = 10,
 KMEANS_K = N_CENTROIDS
 KMEANS_ITER = 3
 QUANT_SCALE = 1_000_000
+# Saturation bound for quantized components (micro-units; |x| <= 16).
+# Without it a huge-magnitude vector (legal float32 — think corrupt
+# or unnormalized embeddings in a 100 TB corpus) made
+# `astype(np.int64)` overflow UNDEFINED numpy garbage on the engine
+# side while the oracle's strict BIGINT cast crashed (r14 adversarial
+# rehearsal, 1e18-component vector, reproduced live). Clamping is the
+# deterministic defined behavior (same family as the zero-norm
+# cos := -1 floor): out-of-range components saturate identically in
+# both engines, and the integer squared-L2 stays exact —
+# d * (2*QUANT_MAX)^2 <= int64max for any d <= 8,984. Shipped data
+# (|x| <= 0.58) never clamps. Pinned by
+# test_kmeans_survives_extreme_magnitudes.
+QUANT_MAX = 16_000_000
 
 
 def _quantize_mat(mat):
-    """float64 (n, d) -> int64 micro-units, mirroring the SQL
-    CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)."""
+    """float64 (n, d) -> saturating int64 micro-units, mirroring the
+    SQL CAST(least(greatest(floor(CAST(x AS DOUBLE) * 1e6 + 0.5),
+    -QUANT_MAX), QUANT_MAX) AS BIGINT)."""
     import numpy as np
 
-    return np.floor(mat * QUANT_SCALE + 0.5).astype(np.int64)
+    return np.clip(np.floor(mat * QUANT_SCALE + 0.5),
+                   -QUANT_MAX, QUANT_MAX).astype(np.int64)
 
 
 def _sqdist_int(mat, cents):
     """Exact integer squared-L2 distance matrix (n, k): numpy int64
-    matmul (no BLAS float path), magnitudes ~1e15 << 2^63."""
+    matmul (no BLAS float path), magnitudes bounded by the QUANT_MAX
+    clamp — d * (2*QUANT_MAX)^2 << 2^63."""
     return ((mat * mat).sum(axis=1)[:, None]
             - 2 * (mat @ cents.T)
             + (cents * cents).sum(axis=1)[None, :])

@@ -399,7 +399,9 @@ e AS MATERIALIZED (
   SELECT vec_id,
          unnest(range(1, len(embedding) + 1)) AS pos,
          unnest(list_transform(embedding,
-             x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)))
+             x -> CAST(least(greatest(
+                    floor(CAST(x AS DOUBLE) * {S.QUANT_SCALE} + 0.5),
+                    -{S.QUANT_MAX}.0), {S.QUANT_MAX}.0) AS BIGINT)))
            AS qval
   FROM embeddings),
 c0 AS MATERIALIZED (

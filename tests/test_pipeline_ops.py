@@ -317,6 +317,63 @@ def test_srp_lsh_recall_vs_allpairs(spark, sf_smoke):
     assert recall >= 0.5, f"borderline recall {recall}: {exact - lsh}"
 
 
+def test_kmeans_survives_extreme_magnitudes(spark, tmp_path):
+    """r14 adversarial rehearsal: a 1e18-component vector (legal
+    float32 — corrupt or unnormalized embeddings WILL appear in a
+    100 TB corpus) made the engine's int64 quantization overflow to
+    UNDEFINED numpy garbage while the oracle's strict BIGINT cast
+    crashed. Quantization now saturates at +/-QUANT_MAX identically
+    in both engines (the zero-norm-floor family of defined
+    behavior); shipped data (|x| <= 0.58) never clamps. Prove the
+    three registered kmeans queries match their oracles on a fixture
+    with huge/tiny/zero/duplicate-huge vectors, and that the old
+    unclamped oracle form still dies (upgrade canary)."""
+    import duckdb
+    import numpy as np
+    import pytest
+
+    from mapreduce_experiment_spark.operators import similarity as S
+    from mapreduce_experiment_spark.plans.registry import SPECS
+    from tests.oracle_util import assert_matches, run_oracle
+
+    rng = np.random.RandomState(7)
+    n, dim = 80, 8
+    vecs = rng.uniform(-1, 1, (n, dim))
+    vecs[20] = 0.0                                   # zero norm
+    vecs[21] = np.eye(dim)[0] * 1e18                 # huge magnitude
+    vecs[22] = vecs[21]                              # huge duplicate
+    vecs[23] = np.eye(dim)[1] * -1e18                # huge negative
+    vecs[24] = np.eye(dim)[2] * 1e-30                # tiny magnitude
+    vecs[25] = np.full(dim, 20.0)                    # just past QUANT_MAX
+    rows = [(i, [float(np.float32(x)) for x in v], 0)
+            for i, v in enumerate(vecs)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e (vec_id BIGINT, embedding FLOAT[],"
+                " label INT)")
+    for r in rows:
+        con.execute("INSERT INTO e VALUES (?, ?, ?)", list(r))
+    sf = str(tmp_path)
+    con.execute(f"COPY e TO '{sf}/embeddings.parquet' (FORMAT parquet)")
+
+    specs = SPECS()
+    for name in ("kmeans_centroids", "kmeans_ivf_assignments",
+                 "knn_ivf_trained"):
+        assert_matches(specs[name].fn(spark, sf),
+                       run_oracle(specs[name].oracle, sf), name)
+
+    # engine-side: the clamp saturates instead of overflowing
+    q = S._quantize_mat(np.array([[1e18, -1e18, 20.0, 0.5]]))
+    assert q.tolist() == [[S.QUANT_MAX, -S.QUANT_MAX, S.QUANT_MAX,
+                           500_000]]
+
+    # the old unclamped oracle form dies on the huge component
+    with pytest.raises(duckdb.Error, match="out of range"):
+        run_oracle(
+            "SELECT list_transform(embedding, x -> CAST(floor("
+            "CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) "
+            "FROM embeddings", sf)
+
+
 def test_kmeans_separates_planted_clusters(spark):
     """Lloyd training on two well-separated planted clusters: the two
     seed centroids must converge to the cluster means (exact integer
