@@ -81,15 +81,25 @@ def _batch_ts_cents(pdfs: Iterator[pd.DataFrame]):
         return None
     batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
     ts_us = batch["ts"].astype("int64") // 1000  # ns -> us, exact
-    # floor(+0.5), NOT pandas .round(): the batch oracle path rounds
-    # cents with Spark F.round = HALF_UP, while pandas rounds
-    # half-to-even, so a dyadic half-cent product (value*100 exactly
-    # .5, e.g. value=0.125) would diverge between the streaming and
-    # batch/oracle totals (r13 review). floor(x+0.5) is the repo-wide
-    # HALF_UP mirror; event values are non-negative by contract
-    # (where HALF_UP == floor(+0.5) exactly).
-    val_cents = np.floor(
-        batch["value"].to_numpy() * 100 + 0.5).astype("int64")
+    # sign * floor(|x|+0.5), NOT pandas .round(): the batch oracle
+    # path rounds cents with Spark F.round / DuckDB round() =
+    # HALF-AWAY-FROM-ZERO, while pandas rounds half-to-even, so a
+    # dyadic half-cent product (value*100 exactly .5, e.g.
+    # value=0.125) would diverge between the streaming and
+    # batch/oracle totals (r13 review). The sign-symmetric form
+    # extends the mirror to negative values — bare floor(x+0.5)
+    # rounds -0.5 UP to 0 where both engines give -1 (r14
+    # adversarial events rehearsal). A NULL value would quietly
+    # become int64-min garbage cents in the astype (reproduced:
+    # one NULL-value session summed to -1.8e17) — the events
+    # contract is value NON-NULL and finite, and the guard makes a
+    # violation loud instead of silently corrupting the session.
+    v = batch["value"].to_numpy()
+    if np.isnan(v).any():
+        raise ValueError(
+            "NULL/NaN event value: out of contract for the stateful "
+            "sessionizer (cents accumulate as exact int64)")
+    val_cents = (np.sign(v) * np.floor(np.abs(v) * 100 + 0.5)).astype("int64")
     val_cents = pd.Series(val_cents, index=batch.index)
     return ts_us, val_cents
 

@@ -22,9 +22,21 @@ In-contract means the documented engine contracts stay respected:
 - Embedding components are finite floats (NaN/Inf have no defined
   ranking contract); zero-norm vectors ARE in contract (cos := -1
   floor, r13).
-- ``events`` stays shipped-clean here: its ts contract is µs-aligned
-  nanos and its dirty-JSON surface is already pinned separately
-  (test_events_json_extract_survives_dirty_props).
+- ``events`` is rebuilt hostile too (part 3): ts collisions, gaps at
+  EXACTLY the 30-min session boundary, extreme µs-aligned dates
+  (1960 / epoch 0 / 2260 — all inside the nanos-int64 bound), shuffled
+  arrival order, half-cent and huge money values, NULL values,
+  NULL/''/unknown event types, dirty-JSON props. Its in-contract
+  bounds: ``event_id`` is UNIQUE (streaming_event_dedup's oracle IS
+  the batch table — a replayed row is the STREAM side's job to
+  simulate), ``ts`` is NON-NULL, µs-aligned, and STRICTLY AFTER
+  epoch (Spark initializes event-time watermarks at epoch, so any
+  watermarked operator drops ts <= 0 as late-from-birth; a NULL ts
+  additionally has no defined cross-engine window order — Spark
+  sorts NULLS FIRST, DuckDB NULLS LAST), ``value`` is NON-NULL and
+  finite (the stateful sessionizer accumulates exact int64 cents
+  and guards NULL loudly; negative values ARE in contract since the
+  sign-symmetric quantization fix).
 
 Usage:
 
@@ -165,6 +177,85 @@ def build_embeddings(rng: random.Random, dim: int = 64, n: int = 400):
     return rows
 
 
+_GAP_US = 30 * 60 * 1_000_000          # events.SESSION_GAP_MIN
+_US = 1_000_000
+_DAY = 86_400 * _US
+_T0 = 1_704_067_200 * _US              # 2024-01-01 00:00:00 UTC
+_TYPES = ("view", "click", "purchase", "signup", "error")
+_DIRTY_PROPS = ['{"k": 7}', '{"k": "7"}', '{"k": 7.9}', '{"k": true}',
+                'not json', '{"k": 7', None, '{}', '{"k": null}',
+                '{"k": -12}', '{"k": [1,2]}']
+
+
+def build_events(rng: random.Random):
+    """(event_id, ts_us, user_id, event_type, value, props) with
+    planted session-boundary, tie, extreme-date, and money-rounding
+    structure. All in-contract (see module docstring): unique ids,
+    non-null µs-aligned ts, finite values."""
+    rows = []
+
+    def add(us, user, etype="view", value=1.0, props=None):
+        i = len(rows)
+        rows.append((i, us,  user, etype,
+                     value, props if props is not None
+                     else f'{{"k": {i % 97}}}'))
+
+    # u1: gap EXACTLY at / around the 30-min session boundary
+    t = _T0
+    for gap in (0, 1, _GAP_US - 1, _GAP_US, _GAP_US + 1, _GAP_US,
+                2 * _GAP_US, 1, _GAP_US + 1):
+        t += gap
+        add(t, 1, rng.choice(_TYPES))
+    # u2: five events on ONE microsecond (order falls to event_id)
+    for _ in range(5):
+        add(_T0 + 3 * _DAY, 2, rng.choice(_TYPES), round(rng.uniform(0, 9), 2))
+    # u3: extreme µs-aligned dates — epoch+1µs, 1970-01-02, 2033,
+    # 2024, and two hours shy of the nanos-int64 cap
+    # (2262-04-11T23:47:16). Pre-/at-epoch ts are OUT of contract:
+    # Spark initializes event-time watermarks AT epoch, so any
+    # watermarked streaming operator drops ts <= 0 as late-from-birth
+    # (demonstrated live: a 1960 and an epoch-0 event were the exact
+    # two rows streaming_event_dedup lost). The 2-hour headroom below
+    # the cap is for DERIVED times — session/window ends (ts + 30 min,
+    # hourly buckets) must stay ns-representable for the pandas-side
+    # oracle compare (engine timestamps are µs and unaffected).
+    for us in (1, _DAY, 2_000_000_000 * _US, _T0 + 5 * _DAY,
+               (9_223_372_036 - 7_200) * _US):
+        add(us, 3, rng.choice(_TYPES))
+    # u4: a single lonely event
+    add(_T0 + 7 * _DAY, 4, "signup", 0.0)
+    # u5: money-rounding traps — exact .5 cents (0.125*100), the
+    # inexact x.xx5 family, negatives, zero, tiny
+    for v in (0.125, 2.675, 0.005, -0.005, -2.675, 0.0, 1e-7, -1e-7,
+              0.115, 327.535):
+        t += rng.randrange(1, _GAP_US)
+        add(t, 5, "purchase", v)
+    # u6: NULL / '' / unknown event types (value stays NON-NULL: the
+    # stateful sessionizer's exact-cents contract, loudly guarded)
+    base6 = _T0 + 9 * _DAY
+    add(base6, 6, None, 1.0)
+    add(base6 + 1, 6, "", 2.0)
+    add(base6 + 2, 6, "weird", 3.0)
+    # u7: huge magnitudes (cents stay far inside int64 sums)
+    for v in (1e13, -1e13, 9.9e12):
+        add(base6 + _GAP_US + rng.randrange(1, _GAP_US), 7, "click", v)
+    # negative user id
+    add(_T0 + 11 * _DAY, -5, "view", 1.23)
+    # u8: dense random day with view→purchase attribution pairs
+    for _ in range(200):
+        add(_T0 + 13 * _DAY + rng.randrange(0, _DAY), 8,
+            rng.choice(_TYPES), round(rng.uniform(-50, 350), 2),
+            rng.choice(_DIRTY_PROPS) if rng.random() < 0.3 else None)
+    # several mid-size users for the group-by surface
+    for u in range(9, 15):
+        for _ in range(30):
+            add(_T0 + rng.randrange(0, 20 * _DAY), u,
+                rng.choice(_TYPES), round(rng.uniform(0, 300), 2))
+    rng.shuffle(rows)                  # hostile arrival order on disk
+    return [(eid, us, u, et, v, p)
+            for eid, (_, us, u, et, v, p) in enumerate(rows)]
+
+
 def write_advdata(out_dir: str, base_dir: str, seed: int) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -174,7 +265,8 @@ def write_advdata(out_dir: str, base_dir: str, seed: int) -> None:
     os.makedirs(out_dir, exist_ok=True)
     for name in TABLE_NAMES:
         src = os.path.join(base_dir, f"{name}.parquet")
-        if name in ("documents", "embeddings") or not os.path.exists(src):
+        if (name in ("documents", "embeddings", "events")
+                or not os.path.exists(src)):
             continue
         shutil.copyfile(src, os.path.join(out_dir, f"{name}.parquet"))
 
@@ -196,6 +288,17 @@ def write_advdata(out_dir: str, base_dir: str, seed: int) -> None:
          "embedding": pa.array(e_vec, pa.list_(pa.float32())),
          "label": pa.array(e_lab, pa.int32())}),
         os.path.join(out_dir, "embeddings.parquet"))
+
+    evs = build_events(rng)
+    v_id, v_us, v_uid, v_et, v_val, v_pr = (list(c) for c in zip(*evs))
+    pq.write_table(pa.table(
+        {"event_id": pa.array(v_id, pa.int64()),
+         "ts": pa.array(v_us, pa.timestamp("us")),
+         "user_id": pa.array(v_uid, pa.int64()),
+         "event_type": pa.array(v_et, pa.string()),
+         "value": pa.array(v_val, pa.float64()),
+         "props": pa.array(v_pr, pa.string())}),
+        os.path.join(out_dir, "events.parquet"))
 
 
 def main() -> int:

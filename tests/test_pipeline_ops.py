@@ -2728,6 +2728,41 @@ def test_session_cents_round_half_up_like_batch():
     assert list(cents) == [13, 38]  # HALF_UP, not half-even (12, 38)
 
 
+def test_session_cents_negative_and_null_values():
+    """r14 adversarial events rehearsal, two defects in the same
+    quantization line: (1) floor(x+0.5) rounds a NEGATIVE half cent
+    UP (-0.5 -> 0) where Spark F.round and DuckDB round() both go
+    away from zero (-1) — reproduced as a 2-cent session-total
+    divergence; now sign-symmetric. (2) a NULL value sailed through
+    astype(int64) as int64-min garbage cents (one NULL-value session
+    summed to -1.8e17); NULL value is out of contract for the exact-
+    cents accumulator and must fail LOUDLY, not corrupt."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from mapreduce_experiment_spark.streaming.sessions import (
+        _batch_ts_cents,
+    )
+
+    pdf = pd.DataFrame({
+        "ts": pd.to_datetime(["2024-01-01", "2024-01-02", "2024-01-03",
+                              "2024-01-04"]),
+        "event_id": [1, 2, 3, 4],
+        "value": [-0.125, -0.375, -2.0, 0.0],  # halves exact in binary
+    })
+    _, cents = _batch_ts_cents(iter([pdf]))
+    assert list(cents) == [-13, -38, -200, 0]  # away from zero, not up
+
+    bad = pd.DataFrame({
+        "ts": pd.to_datetime(["2024-01-01"]),
+        "event_id": [1],
+        "value": [np.nan],
+    })
+    with pytest.raises(ValueError, match="out of contract"):
+        _batch_ts_cents(iter([bad]))
+
+
 def test_streaming_minhash_deadline_never_regresses(spark, tmp_path):
     """An older-but-admissible re-delivery must not move a signature
     group's eviction deadline BACKWARDS — the contract is (group's
