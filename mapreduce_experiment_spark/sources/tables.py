@@ -30,7 +30,16 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     was duplicated verbatim, so a third testdata generation would
     have had to land in two places or the paths silently diverge).
     Works on batch and streaming DataFrames alike — it only touches
-    the analyzed schema."""
+    the analyzed schema.
+
+    Data contract (r14 adversarial events rehearsal): ts is NON-NULL,
+    µs-aligned, and STRICTLY AFTER epoch. Spark initializes
+    event-time watermarks AT epoch, so a watermarked streaming
+    operator drops ts <= 1970-01-01T00:00:00 as late-from-birth
+    (demonstrated live — batch queries still see such rows, so the
+    streaming/batch equivalence the oracles check would break); a
+    NULL ts additionally has no defined cross-engine window order
+    (Spark sorts NULLS FIRST, DuckDB NULLS LAST)."""
     if dict(df.dtypes)["ts"] == "bigint":
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df.withColumn("ts", F.col("ts").cast("timestamp"))
