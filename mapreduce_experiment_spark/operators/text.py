@@ -35,7 +35,7 @@ LANGS = tuple(STOPWORDS)  # fixed order = deterministic tie-break
 # U+000B in the text made the oracle count one extra segment (r14
 # adversarial rehearsal, reproduced live). The explicit class is
 # Java's set, so Spark-side values are unchanged and both engines
-# now agree. Pinned by test_token_counts_survive_dirty_text.
+# now agree. Pinned by test_token_and_quality_survive_dirty_text.
 BPE_ISH = "[a-z0-9]+|[^a-z0-9 \\t\\n\\r\\f\\x0b]"
 
 
