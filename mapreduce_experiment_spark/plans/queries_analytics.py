@@ -74,8 +74,10 @@ WITH rev AS (
 SELECT order_year,
        sum(cents) FILTER (WHERE r_name = 'ASIA') * 1.0 AS asia_cents,
        sum(cents) * 1.0 AS total_cents,
-       floor((coalesce(sum(cents) FILTER (WHERE r_name = 'ASIA'), 0) * 1.0
-              / sum(cents)) * 1000000 + 0.5) / 1000000.0 AS asia_share
+       CASE WHEN sum(cents) <> 0 THEN
+         floor((coalesce(sum(cents) FILTER (WHERE r_name = 'ASIA'), 0) * 1.0
+                / sum(cents)) * 1000000 + 0.5) / 1000000.0
+       END AS asia_share
 FROM rev GROUP BY order_year
 """,
 )
@@ -101,11 +103,21 @@ def q_asia_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     asia = F.sum(F.when(F.col("r_name") == "ASIA", F.col("cents")))
     total = F.sum("cents")
+    # The share division is CASE-guarded on BOTH sides (r14
+    # adversarial TPC-H sweep): Spark 4's ANSI mode hard-fails
+    # DIVIDE_BY_ZERO even for DOUBLE division, so one year whose
+    # cents sum to zero (all-zero or cancelling positive/negative
+    # revenue) would kill the whole job, while DuckDB's double
+    # division yields NULL — a crash on one side and a value on the
+    # other. Guarded, a zero-revenue year is a NULL share on both.
     return rev.groupBy("order_year").agg(
         (asia * 1.0).alias("asia_cents"),
         (total * 1.0).alias("total_cents"),
-        (F.floor(F.coalesce(asia, F.lit(0)) * 1.0 / total * 1_000_000 + 0.5)
-         / 1_000_000.0).alias("asia_share"),
+        F.when(
+            total != 0,
+            F.floor(F.coalesce(asia, F.lit(0)) * 1.0 / total
+                    * 1_000_000 + 0.5) / 1_000_000.0,
+        ).alias("asia_share"),
     )
 
 

@@ -153,14 +153,21 @@ WITH q AS (
          sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy,
          median(x) AS med_x
   FROM q GROUP BY l_returnflag
+), v AS (
+  SELECT l_returnflag, n, med_x,
+         n * sxx - sx * sx AS varx,
+         n * syy - sy * sy AS vary,
+         n * sxy - sx * sy AS cov
+  FROM m
 )
 SELECT l_returnflag, n,
-       floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-             / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
-             * 1000000 + 0.5) / 1000000.0 AS corr_qty_price,
+       CASE WHEN varx > 0 AND vary > 0 THEN
+         floor(CAST(cov AS DOUBLE)
+               / (sqrt(CAST(varx AS DOUBLE)) * sqrt(CAST(vary AS DOUBLE)))
+               * 1000000 + 0.5) / 1000000.0
+       END AS corr_qty_price,
        med_x / 100.0 AS median_qty
-FROM m
+FROM v
 """,
 )
 def q_price_quantity_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -190,16 +197,29 @@ def q_price_quantity_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.median("x").alias("med_x"),
         )
     )
-    nd = F.col("n").cast("double")
-    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
-    den = (
-        F.sqrt(nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
-        * F.sqrt(nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
-    )
+    # The three second-moment terms are EXACT integers (decimal here,
+    # HUGEINT in DuckDB), converted to double once — the old
+    # per-engine double arithmetic (n*sxx as double, minus sx²) could
+    # round its cancellation to a tiny NEGATIVE where the exact value
+    # is ~0, feeding sqrt a negative (Spark NaN, DuckDB hard error).
+    # Exact integers make varx/vary provably >= 0 (Cauchy-Schwarz),
+    # and the CASE guard covers the zero-variance (constant-column)
+    # group: unguarded, Spark 4's ANSI mode hard-fails DIVIDE_BY_ZERO
+    # even for DOUBLE division while DuckDB yields NULL — one
+    # constant-quantity returnflag group would kill the whole job on
+    # one engine only (r14 adversarial TPC-H sweep).
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     return m.select(
         "l_returnflag", "n",
-        (F.floor(num / den * 1_000_000 + 0.5) / 1_000_000.0)
-            .alias("corr_qty_price"),
+        F.when(
+            (varx > 0) & (vary > 0),
+            F.floor(cov.cast("double")
+                    / (F.sqrt(varx.cast("double"))
+                       * F.sqrt(vary.cast("double")))
+                    * 1_000_000 + 0.5) / 1_000_000.0,
+        ).alias("corr_qty_price"),
         (F.col("med_x") / 100.0).alias("median_qty"),
     )
 

@@ -390,8 +390,10 @@ SELECT o_orderkey,
        CAST(length(o_orderpriority) AS BIGINT) AS priority_len,
        regexp_extract(o_orderpriority, '^(\\d)', 1) AS priority_digit,
        split_part(o_orderpriority, '-', 2)  AS priority_word,
-       round(sqrt(o_totalprice), 6)         AS price_sqrt,
-       round(ln(o_totalprice), 6)           AS price_ln,
+       CASE WHEN o_totalprice >= 0
+            THEN round(sqrt(o_totalprice), 6) END AS price_sqrt,
+       CASE WHEN o_totalprice > 0
+            THEN round(ln(o_totalprice), 6) END   AS price_ln,
        CAST(floor(o_totalprice) AS BIGINT)  AS price_floor,
        floor(abs(o_totalprice - 1000.0) * 100 + 0.5) / 100.0 AS price_abs_diff
 FROM orders
@@ -417,8 +419,17 @@ def q_order_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         # DuckDB exactly ('' out of range, NULL in → NULL out).
         F.split_part("o_orderpriority", F.lit("-"), F.lit(2))
          .alias("priority_word"),
-        F.round(F.sqrt("o_totalprice"), 6).alias("price_sqrt"),
-        F.round(F.log("o_totalprice"), 6).alias("price_ln"),
+        # Domain-guarded on BOTH sides (r14 adversarial TPC-H sweep):
+        # out of domain, Spark sqrt yields NaN and ln yields NULL,
+        # while DuckDB HARD-ERRORS ("cannot take square root of a
+        # negative number") — one bad row would kill the whole oracle
+        # query, and the NaN would hash-diverge anyway. CASE-guarding
+        # both engines makes a non-positive price a NULL stat instead
+        # of a dead 100 TB job.
+        F.when(F.col("o_totalprice") >= 0,
+               F.round(F.sqrt("o_totalprice"), 6)).alias("price_sqrt"),
+        F.when(F.col("o_totalprice") > 0,
+               F.round(F.log("o_totalprice"), 6)).alias("price_ln"),
         F.floor("o_totalprice").cast("long").alias("price_floor"),
         q2(F.abs(F.col("o_totalprice") - 1000.0)).alias("price_abs_diff"),
     )

@@ -3347,3 +3347,119 @@ def test_minhash_dedup_group_property(spark):
     list(_minhash_dedup_group(("sig",), iter([pdf]), state, DELAY_MS))
     assert state.armed == [DELAY_MS], \
         "epoch-0 ingest_ts must still arm the eviction deadline"
+
+
+def test_ratio_queries_survive_zero_denominator_groups(spark, tmp_path):
+    """r14 adversarial TPC-H sweep: three divide/domain holes where a
+    single in-contract hostile row killed one engine while the other
+    returned a value.
+
+    (1) order_scalar_functions ran sqrt/ln UNGUARDED: a negative or
+        zero o_totalprice hard-errors DuckDB ("cannot take square root
+        of a negative number" kills the WHOLE oracle query) while
+        Spark yields NaN/NULL — and the NaN would hash-diverge anyway.
+    (2) asia_market_share divided by sum(cents) with no guard: Spark
+        4's ANSI mode hard-fails DIVIDE_BY_ZERO even for DOUBLE
+        division, so one year whose revenues cancel to zero cents
+        kills the job; DuckDB's double division yields NULL.
+    (3) price_quantity_correlation's correlation denominator is zero
+        for any constant-column group (same crash class as 2), and
+        its old per-engine DOUBLE moment arithmetic could round the
+        n*sxx - sx² cancellation to a tiny NEGATIVE, feeding sqrt a
+        negative (Spark NaN vs DuckDB hard error). Moments are now
+        exact integers (decimal / HUGEINT) converted to double once,
+        with a CASE guard for zero variance.
+
+    All three are CASE-guarded identically in engine and oracle; all
+    dormant on shipped data (prices positive, no zero-revenue year,
+    no constant-column returnflag group — verified by query). Prove
+    the registered queries match their oracles on fixtures covering
+    each class, and demonstrate the old forms dying."""
+    import duckdb
+    import pyspark.errors
+    import pytest
+
+    from mapreduce_experiment_spark.plans.registry import SPECS
+    from tests.oracle_util import assert_matches, run_oracle
+
+    sf = str(tmp_path)
+    specs = SPECS()
+    con = duckdb.connect()
+
+    # (1) orders with negative / zero / tiny / huge prices
+    con.execute(f"""
+        COPY (SELECT i AS o_orderkey, 1::BIGINT AS o_custkey,
+                     'O' AS o_orderstatus,
+                     CASE i WHEN 0 THEN -55.5 WHEN 1 THEN 0.0
+                            WHEN 2 THEN 1e-9
+                            WHEN 3 THEN 123456789.12
+                            ELSE 100.0 + i END AS o_totalprice,
+                     TIMESTAMP '2024-01-01 00:00:00'
+                       + INTERVAL (i) DAY AS o_orderdate,
+                     '1-URGENT' AS o_orderpriority
+              FROM range(6) t(i))
+        TO '{sf}/orders.parquet' (FORMAT parquet)""")
+    spec = specs["order_scalar_functions"]
+    assert_matches(spec.fn(spark, sf), run_oracle(spec.oracle, sf),
+                   "order_scalar_functions")
+    # the defect: the unguarded oracle form dies on the negative row
+    with pytest.raises(duckdb.Error, match="square root"):
+        run_oracle("SELECT sqrt(o_totalprice) FROM orders", sf)
+
+    # (3) lineitem with a constant-quantity group next to a normal one
+    con.execute(f"""
+        COPY (SELECT 1::BIGINT AS l_orderkey, 1::BIGINT AS l_partkey,
+                     1::BIGINT AS l_suppkey, 1::INT AS l_linenumber,
+                     CASE WHEN i < 4 THEN 5.0
+                          ELSE 1.0 + i END AS l_quantity,
+                     10.0 + i AS l_extendedprice,
+                     0.0 AS l_discount, 0.0 AS l_tax,
+                     CASE WHEN i < 4 THEN 'C' ELSE 'N' END AS l_returnflag,
+                     'O' AS l_linestatus,
+                     TIMESTAMP '2024-01-01 00:00:00' AS l_shipdate
+              FROM range(8) t(i))
+        TO '{sf}/lineitem.parquet' (FORMAT parquet)""")
+    spec = specs["price_quantity_correlation"]
+    assert_matches(spec.fn(spark, sf), run_oracle(spec.oracle, sf),
+                   "price_quantity_correlation")
+
+    # (2) one ASIA year whose two line items cancel to zero cents
+    con.execute(f"""
+        COPY (SELECT i AS c_custkey, 'c' AS c_name, 0::INT AS c_nationkey,
+                     0.0 AS c_acctbal, 'BUILDING' AS c_mktsegment
+              FROM range(2) t(i))
+        TO '{sf}/customer.parquet' (FORMAT parquet)""")
+    con.execute(f"""
+        COPY (SELECT 0::INT AS n_nationkey, 'ZERONATION' AS n_name,
+                     0::INT AS n_regionkey)
+        TO '{sf}/nation.parquet' (FORMAT parquet)""")
+    con.execute(f"""
+        COPY (SELECT 0::INT AS r_regionkey, 'ASIA' AS r_name)
+        TO '{sf}/region.parquet' (FORMAT parquet)""")
+    con.execute(f"""
+        COPY (SELECT i AS o_orderkey, i % 2 AS o_custkey,
+                     'O' AS o_orderstatus, 1.0 AS o_totalprice,
+                     TIMESTAMP '1996-06-01 00:00:00' AS o_orderdate,
+                     '1-URGENT' AS o_orderpriority FROM range(2) t(i))
+        TO '{sf}/orders.parquet' (FORMAT parquet)""")
+    con.execute(f"""
+        COPY (SELECT i AS l_orderkey, 1::BIGINT AS l_partkey,
+                     1::BIGINT AS l_suppkey, 1::INT AS l_linenumber,
+                     1.0 AS l_quantity,
+                     CASE WHEN i = 0 THEN 42.0
+                          ELSE -42.0 END AS l_extendedprice,
+                     0.0 AS l_discount, 0.0 AS l_tax, 'N' AS l_returnflag,
+                     'O' AS l_linestatus,
+                     TIMESTAMP '1996-06-01 00:00:00' AS l_shipdate
+              FROM range(2) t(i))
+        TO '{sf}/lineitem.parquet' (FORMAT parquet)""")
+    spec = specs["asia_market_share"]
+    assert_matches(spec.fn(spark, sf), run_oracle(spec.oracle, sf),
+                   "asia_market_share")
+
+    # the crash class behind (2) and (3), demonstrated: ANSI Spark
+    # hard-fails DOUBLE division by zero where DuckDB returns NULL
+    with pytest.raises(pyspark.errors.PySparkException,
+                       match="DIVIDE_BY_ZERO"):
+        spark.range(1).select(
+            F.col("id").cast("double") / F.lit(0.0)).collect()

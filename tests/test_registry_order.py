@@ -235,6 +235,29 @@ _ROUND_BASE = "6d16eec"  # r13 driver commit (verdict landed); bump each round
 # fix would first be driver-verified too. The other three flagged
 # queries share the module but none of the changed expressions.
 #
+# Adversarial-TPC-H division/domain batch (r14, after the round-14
+# close): the hostile-TPC-H sweep found Spark 4's ANSI mode hard-fails
+# DIVIDE_BY_ZERO even for DOUBLE division (DuckDB yields NULL) and
+# that DuckDB sqrt/ln hard-error out of domain (Spark NaN/NULL).
+# Three queries changed, engine and oracle TOGETHER:
+#  - order_scalar_functions (IN-window): sqrt/ln CASE-guarded.
+#  - asia_market_share (out-of-window): the share division is
+#    CASE-guarded against a zero-cents year. Value-neutral on shipped
+#    data (zero zero-revenue years at every SF, checked by DuckDB
+#    query); rotates into the r15 window (r13-green), which is when
+#    an r15-landed fix would first be driver-verified anyway.
+#  - price_quantity_correlation (out-of-window): the correlation's
+#    moment terms are now EXACT integers (n*sxx - sx² in decimal /
+#    HUGEINT, one double conversion) and the zero-variance
+#    (constant-column) group is CASE-guarded. Value-neutral on
+#    shipped data (no constant-column returnflag group at any SF,
+#    checked; the exact-vs-double formula agrees bit-for-bit at
+#    shipped magnitudes, proven by the existing overflow-magnitude
+#    oracle-parity test passing unchanged); same r15-rotation timing.
+# All three pinned by test_ratio_queries_survive_zero_denominator_
+# groups (hostile fixtures through the registered queries + real
+# oracles, old forms demonstrated dying).
+#
 # Module-review hardening batch (fourth r14 package edit): graph
 # (candidate_pairs integer DIV + pagerank empty-graph guard — both
 # IN-window), asof (payload-name-clash guard), ordering (n_buckets
@@ -276,6 +299,12 @@ _ATTESTED_UNCHANGED: set[str] = {
     "value_distribution_stats", "price_quantity_correlation",
     "event_type_counts_salted", "lineitem_profile",
     "nation_participants_full_outer",
+    # ac5a3d6 added a data-contract DOCSTRING to sources/tables.py
+    # (no code line changed — verifiable by `git show ac5a3d6`); the
+    # text-based dep gate flags every tables.py consumer, and this is
+    # the one not already attested above. Nothing in its plan or
+    # oracle can have moved.
+    "approx_order_percentiles",
 }
 
 def _round_sorted(paths: list[str]) -> list[str]:
