@@ -389,7 +389,9 @@ SELECT o_orderkey,
        upper(o_orderpriority)               AS priority_upper,
        CAST(length(o_orderpriority) AS BIGINT) AS priority_len,
        regexp_extract(o_orderpriority, '^(\\d)', 1) AS priority_digit,
-       split_part(o_orderpriority, '-', 2)  AS priority_word,
+       CASE WHEN o_orderpriority IS NOT NULL
+            THEN split_part(o_orderpriority, '-', 2)
+       END                                  AS priority_word,
        CASE WHEN o_totalprice >= 0
             THEN round(sqrt(o_totalprice), 6) END AS price_sqrt,
        CASE WHEN o_totalprice > 0
@@ -416,7 +418,10 @@ def q_order_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Spark 4 default) getItem hard-fails INVALID_ARRAY_INDEX on
         # delimiter-free input, and a non-ANSI NULL would still diverge
         # from the oracle's split_part '' — Spark's split_part matches
-        # DuckDB exactly ('' out of range, NULL in → NULL out).
+        # DuckDB on every NON-NULL input ('' out of range). NULL input
+        # does diverge (Spark NULL, DuckDB '' — probed on the r14
+        # hostile-TPC-H sweep), so the ORACLE carries an explicit
+        # IS NOT NULL CASE to mirror Spark's NULL propagation.
         F.split_part("o_orderpriority", F.lit("-"), F.lit(2))
          .alias("priority_word"),
         # Domain-guarded on BOTH sides (r14 adversarial TPC-H sweep):

@@ -97,9 +97,16 @@ def q_approx_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PS = (0.5, 0.9, 0.99)
 _PCT = (50, 90, 99)  # the same fractions as exact hundredths
 # Rank window for the in-bounds check: the GK sketch at accuracy
-# 10_000 guarantees rank error <= n/10_000; the exact quantiles at
-# p ± 0.02 bound a rank slack of 0.02*n — 200× the guarantee.
-_BOUNDS = (0.48, 0.52, 0.88, 0.92, 0.97, 1.0)
+# 10_000 guarantees rank error <= n/10_000; the bound checked is the
+# ELEMENT at 0-based rank floor((n-1)*(p-0.02)) .. the element at
+# ceil((n-1)*(p+0.02)) (clamped to the max) — a 0.02*n rank slack,
+# 200× the guarantee. Elements, NOT interpolated quantile values
+# (the pre-r14 form): interpolation between two order statistics
+# separated by a large value gap produces a bound strictly between
+# the elements, which the sketch's returned element — rank-exact — can
+# legitimately violate (observed on hostile ±2e7 prices in tiny
+# groups). The rank guarantee is a statement about ranks; comparing
+# against elements at slack ranks is what it actually implies.
 
 
 def _interp_sql(pct: int) -> str:
@@ -140,14 +147,15 @@ def q_approx_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percentile_approx (GK sketch) of order value per priority,
     verified in-plan against exact quantiles.
 
-    The sketch value must lie between the exact continuous quantiles
-    at p−0.02 and p+0.02 (p99's upper bound clamps to the max) — the
-    rank-error statement a quantile sketch actually guarantees,
-    checked with 200× headroom over the accuracy-10k bound. The exact
-    p50/p90/p99 are interpolated IN INTEGER SPACE over cents (see the
-    module comment): both engines build the same int64, so equality
-    is structural, not a quantization accident. The band bounds stay
-    float `percentile` — they only feed booleans with 200× slack.
+    The sketch value must lie between the ELEMENTS at 0-based ranks
+    floor((n−1)(p−0.02)) and ceil((n−1)(p+0.02)) (p99's upper rank
+    clamps to the max) — the rank-error statement a quantile sketch
+    actually guarantees, checked with 200× headroom over the
+    accuracy-10k bound; see the module comment for why interpolated
+    band VALUES were the wrong check. The exact p50/p90/p99 are
+    interpolated IN INTEGER SPACE over cents (see the module
+    comment): both engines build the same int64, so equality is
+    structural, not a quantization accident.
     """
     from pyspark.sql import Window
 
@@ -165,12 +173,24 @@ def q_approx_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo = F.expr(f"((n - 1) * {pct}) DIV 100")
         return F.max(F.when(F.col("rn") == lo + off, F.col("cents")))
 
+    def band_val(pct: int, side: str) -> Column:
+        # Element at the slack rank (see the module comment): floor
+        # rank for the lower bound, ceil rank clamped to the max for
+        # the upper (p99 + 2 walks past the end). 0-based rank → the
+        # 1-based rn via + 1.
+        if side == "blo":
+            rk = F.expr(f"((n - 1) * {pct - 2}) DIV 100")
+        else:
+            rk = F.least(F.expr(f"((n - 1) * {pct + 2} + 99) DIV 100"),
+                         F.col("n") - 1)
+        return F.max(F.when(F.col("rn") == rk + 1, F.col("cents")))
+
     g = r.groupBy("o_orderpriority").agg(
         F.max("n").alias("n_orders"),
         *[rank_val(pct, off).alias(f"_{side}{pct}")
           for pct in _PCT for side, off in (("lo", 1), ("hi", 2))],
-        F.percentile("cents", F.array(*[F.lit(p) for p in _BOUNDS]))
-            .alias("_band"),
+        *[band_val(pct, side).alias(f"_{side}{pct}")
+          for pct in _PCT for side in ("blo", "bhi")],
         F.percentile_approx("cents", list(_PS), 10_000).alias("_approx"),
     )
 
@@ -180,9 +200,8 @@ def q_approx_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (100 * lo + rem * (F.coalesce(hi, lo) - lo)) / F.lit(10000.0)
 
     def in_bounds(i: int) -> Column:
-        ap = F.col("_approx").getItem(i)
-        return ((ap >= F.col("_band").getItem(2 * i))
-                & (ap <= F.col("_band").getItem(2 * i + 1)))
+        ap, pct = F.col("_approx").getItem(i), _PCT[i]
+        return ((ap >= F.col(f"_blo{pct}")) & (ap <= F.col(f"_bhi{pct}")))
 
     return g.select(
         "o_orderpriority", "n_orders",

@@ -37,6 +37,16 @@ In-contract means the documented engine contracts stay respected:
   finite (the stateful sessionizer accumulates exact int64 cents
   and guards NULL loudly; negative values ARE in contract since the
   sign-symmetric quantization fix).
+- The seven TPC-H tables are rebuilt hostile too (part 4, see
+  ``build_tpch``): unique non-null primary keys but dangling /
+  negative / extreme foreign keys, NULL and unicode group-key
+  strings, duplicate nation/region names, NULL measures, negative /
+  zero / half-cent / ±2e7 money, boundary order/ship dates with
+  µs-of-day from 1678 to 2261 (the pandas ns collection bound), a
+  co-purchase graph with a 25-part hub order, repeated parts,
+  NULL partkeys and duplicate part sets, and a constant-quantity
+  returnflag group (the corr zero-variance guard). Sort-column
+  contracts documented at build_tpch.
 
 Usage:
 
@@ -177,6 +187,201 @@ def build_embeddings(rng: random.Random, dim: int = 64, n: int = 400):
     return rows
 
 
+def _us(y, mo=1, d=1, h=0, mi=0, s=0, micro=0) -> int:
+    """Exact UTC µs-since-epoch, integer arithmetic (float timestamp()
+    truncation is wrong for pre-1970 instants)."""
+    import datetime as dt
+    delta = (dt.datetime(y, mo, d, h, mi, s, micro, tzinfo=dt.timezone.utc)
+             - dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc))
+    return ((delta.days * 86_400 + delta.seconds) * 1_000_000
+            + delta.microseconds)
+
+
+# Hostile string pools for the TPC-H tables. Group-key / filter
+# columns are BYTE-compared by both engines, so any unicode is in
+# contract there. o_orderpriority additionally flows through upper()
+# — the one full-vs-simple case-mapping surface (Java upper('ß') =
+# 'SS', 'ﬁ' = 'FI'; DuckDB 'ẞ' and 'ﬁ') — so the priority pool
+# excludes ß/ligatures/U+0130, the documented divergence family.
+_KEY_STRINGS = [None, "", " ", "ASIA", "ASIA ", "亚细亚😀", "naïve\n",
+                "A|B;C", "ß-sharp", "x" * 300]
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "NODASH", "5-LOW-EXTRA", "-LEAD",
+               "TRAIL-", "", None, "９-ＦＵＬＬ", "ürgent-mixed",
+               "1-URGENT\n", " 2-high", "中-文", "3-😀"]
+
+
+def build_tpch(rng: random.Random):
+    """Hostile-but-in-contract TPC-H tables (adversarial part 4).
+
+    In-contract bounds, each a DOCUMENTED engine contract:
+
+    - Primary keys UNIQUE + NON-NULL; foreign keys may DANGLE (inner
+      joins drop them on both engines) and may be negative or at the
+      int32/int64 extremes.
+    - o_orderdate / l_shipdate NON-NULL: they are ASC sort/window
+      columns, and Spark orders ASC NULLS FIRST while DuckDB orders
+      NULLS LAST (probed) — a NULL date has no defined cross-engine
+      window order. Dates span 1678..2261 (the pandas ns collection
+      bound) with full time-of-day microseconds.
+    - o_totalprice NON-NULL (percentile rank column, same NULL-order
+      reason); negative / zero / half-cent / huge values ARE in
+      contract (sqrt/ln/share/corr domain guards, r14).
+    - Money and quantity bounded to ±2e7 (±2e9 cents): the
+      correlation/moments ORACLES square per-row BIGINT cents, which
+      caps the verifiable domain at ~3e9 cents (the engine's decimal
+      path is exact far beyond — documented residual).
+    - Every other measure/string column may be NULL: aggregates skip
+      NULLs identically, and a NULL group key groups NULLs together
+      on both engines.
+    """
+    # --- region / nation: duplicate names, dangling refs ---------------
+    region = [(0, "ASIA"), (1, "EUROPE"), (2, None), (3, ""),
+              (4, "亚细亚 😀"), (-5, "ASIA "), (6, "ASIA"),
+              (2147483647, "MIDDLE EAST\n")]
+    nation = []
+    asia_keys = (0, 6, -5)
+    for i in range(14):
+        if i < 6:       # nations in an ASIA-named region
+            rk = asia_keys[i % len(asia_keys)]
+        elif i < 10:
+            rk = 1
+        elif i == 10:
+            rk = 99                           # dangling region
+        elif i == 11:
+            rk = None
+        else:
+            rk = rng.choice((2, 3, 4))
+        name = ["NIPPON", "NIPPON", None, "", "中国", "FRANCE\n",
+                "GERMANY", "ROMANIA", "x" * 200, "EGYPT😀", "KENYA",
+                "PERU", "ARGENTINA", "BRAZIL"][i]
+        nation.append((i - 3, name, rk))      # keys -3..10, non-null unique
+
+    nation_keys = [n[0] for n in nation]
+
+    # --- customer / supplier: shared nationkeys so the ASIA
+    # c_nationkey = s_nationkey chains exist; hostile balances -------
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+            "MACHINERY", None, "", "MACHINERY ", "机械"]
+    customer = []
+    for i in range(60):
+        ck = (9_000_000_000_000_000_000 if i == 0
+              else -7 if i == 1 else i)
+        nk = (None if i % 17 == 0
+              else 555 if i % 13 == 0          # dangling
+              else nation_keys[i % len(nation_keys)])
+        bal = [None, 0.0, 0.125, -0.125, 2.675, -2.675, 1e12, -1e12,
+               1e-300, 327.535][i % 10]
+        if i >= 40:
+            bal = round(rng.uniform(-6000, 6000), 2)
+        customer.append((ck, _KEY_STRINGS[i % len(_KEY_STRINGS)], nk,
+                         bal, segs[i % len(segs)]))
+    supplier = []
+    for i in range(24):
+        sk = -11 if i == 0 else i
+        nk = (None if i == 23
+              else 777 if i == 22                # dangling
+              else nation_keys[i % len(nation_keys)])
+        supplier.append((sk, _KEY_STRINGS[(i + 3) % len(_KEY_STRINGS)],
+                         nk, rng.choice([None, 0.0, -1.5e7,
+                                         round(rng.uniform(-1e4, 1e4), 2)])))
+    cust_keys = [c[0] for c in customer]
+    supp_keys = [s[0] for s in supplier]
+
+    # --- orders: boundary dates, hostile prices/priorities -----------
+    orders = []
+    prices = [-55.5, 0.0, 1e-9, 0.125, 2.675, -2.675, 327.535,
+              2e7, -2e7, 123456789.0 / 100.0]
+    bdates = [_us(1678, 1, 1), _us(2261, 12, 31, 23, 59, 59, 999999),
+              _us(1996, 2, 29, 12, 30, 15, 123456),
+              _us(1996, 1, 1), _us(1995, 12, 31, 23, 59, 59, 999999),
+              _us(1997, 1, 1), _us(1996, 12, 31, 23, 59, 59, 999999),
+              _us(1995, 1, 1), _us(1994, 12, 31, 23, 59, 59, 999999)]
+    statuses = ["O", "F", "P", None, "", "Ø"]
+    n_orders = 300
+    for i in range(n_orders):
+        ok = i if i > 2 else (-13, 8_000_000_000_000_000_000, -2)[i]
+        ck = (999_999 if i % 19 == 0             # dangling customer
+              else cust_keys[i % len(cust_keys)])
+        price = (prices[i % len(prices)] if i < 80
+                 else round(rng.uniform(1.0, 450_000.0), 2))
+        date = (bdates[i % len(bdates)] if i < 36
+                else _us(1994 + (i % 5), 1 + (i % 12), 1 + (i % 28),
+                         i % 24, i % 60, i % 60, i * 101 % 1_000_000))
+        orders.append((ok, ck, statuses[i % len(statuses)], price,
+                       date, _PRIORITIES[i % len(_PRIORITIES)]))
+    order_keys = [o[0] for o in orders]
+
+    # --- lineitem: co-purchase graph structure + hostile measures ----
+    lineitem = []
+    part_pool = ([-17, 9_000_000_000_000_00] +      # negative + huge
+                 list(range(100, 180)))
+
+    def add_li(ok, pk, qty, price, disc, tax, rf, ls, ship):
+        lineitem.append((ok, pk, supp_keys[len(lineitem) % len(supp_keys)]
+                         if len(lineitem) % 23 else 31337,   # dangling supp
+                         len(lineitem) % 7, qty, price, disc, tax,
+                         rf, ls, ship))
+
+    flags = ["A", "N", "R", None, "", "返"]
+    stats = ["O", "F", "�", None]
+    ship_pool = [_us(1998, 9, 2),                    # <= boundary, kept
+                 _us(1998, 9, 2, 0, 0, 0, 1),        # +1µs, dropped
+                 _us(1678, 1, 2), _us(2261, 6, 1),
+                 _us(1996, 2, 29, 6, 0, 0, 500000)]
+    qtys = [None, -4.0, 0.0, 0.125, 2.675, 49.5, 2e7, -2e7, 1.0, 17.25]
+    discs = [0.0, 0.05, 0.1, -0.1, 1.5, None, 0.04999999999]
+    for i, ok in enumerate(order_keys):
+        if i == 0:                     # hub order: 25 distinct parts
+            for j in range(25):
+                add_li(ok, part_pool[j], 1.0 + j, 100.0 + j, 0.05, 0.02,
+                       "N", "O", ship_pool[j % len(ship_pool)])
+            continue
+        if i == 1:                     # same part repeated + NULL part
+            for pk in (150, 150, 150, None, None, 151):
+                add_li(ok, pk, 5.0, 50.0, 0.0, 0.0, "A", "F", ship_pool[2])
+            continue
+        if i in (2, 3):                # identical part sets → dup edges
+            for pk in (160, 161, 162):
+                add_li(ok, pk, 7.0, 70.0, 0.1, 0.05, "R", "O", ship_pool[0])
+            continue
+        n_items = 1 + (i * 7 + 3) % 6
+        for j in range(n_items):
+            pk = part_pool[(i * (j + 2) + j) % len(part_pool)]
+            add_li(ok, pk,
+                   qtys[(i + j) % len(qtys)],
+                   [None, -90.0, 0.005, 1.9e7, round(rng.uniform(1, 9e4), 2)
+                    ][(i * 3 + j) % 5],
+                   discs[(i + 2 * j) % len(discs)],
+                   discs[(i + j + 1) % len(discs)],
+                   flags[(i + j) % len(flags)], stats[(i + j) % len(stats)],
+                   ship_pool[(i + j) % len(ship_pool)]
+                   if (i + j) % 3 else _us(1992 + i % 7, 1 + i % 12,
+                                           1 + (i + j) % 28, j % 24))
+    # dangling l_orderkey (order row absent) still contributes edges
+    for pk in (170, 171, 172):
+        add_li(777_777, pk, 3.0, 30.0, 0.0, 0.0, "N", "O", ship_pool[3])
+    # constant-quantity flag group exercises the corr zero-variance
+    # guard through the live oracle (flag 'Z' never collides: the
+    # flags pool has no 'Z')
+    for k in range(3):
+        add_li(888_000 + k, 140 + k, 5.0, 10.0 + k, 0.0, 0.0,
+               "Z", "O", ship_pool[0])
+
+    # --- part: ordered + never-ordered keys, hostile names ----------
+    part = []
+    for i in range(40):
+        pk = (part_pool[i % len(part_pool)] if i < 25
+              else 50_000 + i)                    # never ordered
+        if any(p[0] == pk for p in part):
+            pk = 60_000 + i
+        part.append((pk, _KEY_STRINGS[(i + 5) % len(_KEY_STRINGS)],
+                     f"Brand#{i % 5}", None if i % 9 == 0 else "TYPE",
+                     (-2147483648, 2147483647, None, i)[i % 4],
+                     rng.choice([None, 0.0, round(rng.uniform(1, 2000), 2)])))
+    return region, nation, customer, supplier, part, orders, lineitem
+
+
 _GAP_US = 30 * 60 * 1_000_000          # events.SESSION_GAP_MIN
 _US = 1_000_000
 _DAY = 86_400 * _US
@@ -268,14 +473,52 @@ def write_advdata(out_dir: str, base_dir: str, seed: int) -> None:
     from mapreduce_experiment_spark.schemas import TABLE_NAMES
 
     os.makedirs(out_dir, exist_ok=True)
+    hostile = ("documents", "embeddings", "events", "region", "nation",
+               "customer", "supplier", "part", "orders", "lineitem")
     for name in TABLE_NAMES:
         src = os.path.join(base_dir, f"{name}.parquet")
-        if (name in ("documents", "embeddings", "events")
-                or not os.path.exists(src)):
+        if name in hostile or not os.path.exists(src):
             continue
         shutil.copyfile(src, os.path.join(out_dir, f"{name}.parquet"))
 
     rng = random.Random(seed)
+    region, nation, customer, supplier, part, orders, lineitem = \
+        build_tpch(rng)
+
+    def w(name, cols, schema):
+        arrays = {c: pa.array(vals, t)
+                  for (c, t), vals in zip(schema, zip(*cols))}
+        pq.write_table(pa.table(arrays),
+                       os.path.join(out_dir, f"{name}.parquet"))
+
+    US = pa.timestamp("us")
+    w("region", region,
+      [("r_regionkey", pa.int32()), ("r_name", pa.string())])
+    w("nation", nation,
+      [("n_nationkey", pa.int32()), ("n_name", pa.string()),
+       ("n_regionkey", pa.int32())])
+    w("customer", customer,
+      [("c_custkey", pa.int64()), ("c_name", pa.string()),
+       ("c_nationkey", pa.int32()), ("c_acctbal", pa.float64()),
+       ("c_mktsegment", pa.string())])
+    w("supplier", supplier,
+      [("s_suppkey", pa.int64()), ("s_name", pa.string()),
+       ("s_nationkey", pa.int32()), ("s_acctbal", pa.float64())])
+    w("part", part,
+      [("p_partkey", pa.int64()), ("p_name", pa.string()),
+       ("p_brand", pa.string()), ("p_type", pa.string()),
+       ("p_size", pa.int32()), ("p_retailprice", pa.float64())])
+    w("orders", orders,
+      [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+       ("o_orderstatus", pa.string()), ("o_totalprice", pa.float64()),
+       ("o_orderdate", US), ("o_orderpriority", pa.string())])
+    w("lineitem", lineitem,
+      [("l_orderkey", pa.int64()), ("l_partkey", pa.int64()),
+       ("l_suppkey", pa.int64()), ("l_linenumber", pa.int32()),
+       ("l_quantity", pa.float64()), ("l_extendedprice", pa.float64()),
+       ("l_discount", pa.float64()), ("l_tax", pa.float64()),
+       ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+       ("l_shipdate", US)])
     docs = build_documents(rng)
     d_ids, d_text, d_lang, d_src, d_n = (list(c) for c in zip(*docs))
     pq.write_table(pa.table(

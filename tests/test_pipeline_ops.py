@@ -3463,3 +3463,69 @@ def test_ratio_queries_survive_zero_denominator_groups(spark, tmp_path):
                        match="DIVIDE_BY_ZERO"):
         spark.range(1).select(
             F.col("id").cast("double") / F.lit(0.0)).collect()
+
+
+def test_percentile_bounds_and_null_priority_cross_engine(spark, tmp_path):
+    """r14 adversarial TPC-H sweep, findings on hostile orders:
+
+    (1) approx_order_percentiles' in-bounds booleans compared the
+        sketch's returned ELEMENT against INTERPOLATED quantile
+        values at p±0.02 — but the sketch guarantee is about RANKS:
+        with a large value gap between adjacent order statistics the
+        interpolated band lies strictly between elements, and the
+        rank-exact element legitimately falls outside it (the
+        booleans went False against the oracle's literal TRUE).
+        The check now bounds by the elements at the slack ranks.
+    (2) order_scalar_functions' priority_word: DuckDB's
+        split_part(NULL, '-', 2) returns '' while Spark propagates
+        NULL — the oracle now carries an explicit IS NOT NULL CASE.
+
+    Prove both registered queries match their oracles on a fixture
+    with a huge-gap tiny group and NULL priorities, and demonstrate
+    both old behaviors."""
+    import duckdb
+
+    from mapreduce_experiment_spark.plans.registry import SPECS
+    from tests.oracle_util import assert_matches, run_oracle
+
+    sf = str(tmp_path)
+    con = duckdb.connect()
+    # one 4-row priority group with a ~1e7 gap mid-distribution, plus
+    # NULL-priority rows (their own window partition / scalar rows)
+    con.execute(f"""
+        COPY (SELECT i AS o_orderkey, 1::BIGINT AS o_custkey,
+                     'O' AS o_orderstatus,
+                     CASE i WHEN 0 THEN 0.00 WHEN 1 THEN 0.01
+                            WHEN 2 THEN 10000000.00
+                            WHEN 3 THEN 10000000.01
+                            ELSE 500.0 + i END AS o_totalprice,
+                     TIMESTAMP '2024-01-01 00:00:00' AS o_orderdate,
+                     CASE WHEN i >= 4 THEN NULL
+                          ELSE '1-URGENT' END AS o_orderpriority
+              FROM range(6) t(i))
+        TO '{sf}/orders.parquet' (FORMAT parquet)""")
+
+    specs = SPECS()
+    for name in ("approx_order_percentiles", "order_scalar_functions"):
+        assert_matches(specs[name].fn(spark, sf),
+                       run_oracle(specs[name].oracle, sf), name)
+
+    # defect (1), demonstrated: the OLD interpolated-band check fails
+    # on the gap group even though the sketch element is rank-exact
+    row = (spark.read.parquet(f"{sf}/orders.parquet")
+           .where(F.col("o_orderpriority").isNotNull())
+           .select(F.round(F.col("o_totalprice") * 100, 0)
+                    .cast("long").alias("cents"))
+           .agg(F.expr("percentile(cents, array(0.48, 0.52))").alias("band"),
+                F.percentile_approx("cents", 0.5, 10_000).alias("ap"))
+           ).collect()[0]
+    assert not (row.band[0] <= row.ap <= row.band[1]), \
+        "expected the old interpolated check to fail on the gap group"
+
+    # defect (2), demonstrated: the engines disagree on NULL input
+    duck = con.execute(
+        "SELECT split_part(NULL::VARCHAR, '-', 2)").fetchone()[0]
+    spark_val = spark.range(1).select(
+        F.split_part(F.lit(None).cast("string"), F.lit("-"), F.lit(2))
+    ).collect()[0][0]
+    assert duck == "" and spark_val is None

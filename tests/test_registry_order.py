@@ -299,11 +299,16 @@ _ATTESTED_UNCHANGED: set[str] = {
     "value_distribution_stats", "price_quantity_correlation",
     "event_type_counts_salted", "lineitem_profile",
     "nation_participants_full_outer",
-    # ac5a3d6 added a data-contract DOCSTRING to sources/tables.py
-    # (no code line changed — verifiable by `git show ac5a3d6`); the
-    # text-based dep gate flags every tables.py consumer, and this is
-    # the one not already attested above. Nothing in its plan or
-    # oracle can have moved.
+    # approx_order_percentiles (out-of-window, r13-green → rotates
+    # into r15): the in-bounds booleans now compare the sketch
+    # element against the ELEMENTS at the ±0.02 slack ranks instead
+    # of interpolated quantile VALUES (engine-side plan change only —
+    # the oracle's literal TRUEs are untouched). Value-neutral on
+    # shipped data: the booleans were already TRUE at every SF and
+    # the rank-window bound is strictly WEAKER than the interpolated
+    # one (floor/ceil only widen the band), so no TRUE can flip.
+    # Pinned by test_percentile_bounds_and_null_priority_cross_engine
+    # with the old check demonstrated failing on a hostile gap group.
     "approx_order_percentiles",
 }
 
