@@ -95,9 +95,9 @@ def _batch_ts_cents(pdfs: Iterator[pd.DataFrame]):
     # contract is value NON-NULL and finite, and the guard makes a
     # violation loud instead of silently corrupting the session.
     v = batch["value"].to_numpy()
-    if np.isnan(v).any():
+    if not np.isfinite(v).all():
         raise ValueError(
-            "NULL/NaN event value: out of contract for the stateful "
+            "NULL/NaN/Inf event value: out of contract for the stateful "
             "sessionizer (cents accumulate as exact int64)")
     val_cents = (np.sign(v) * np.floor(np.abs(v) * 100 + 0.5)).astype("int64")
     val_cents = pd.Series(val_cents, index=batch.index)

@@ -2754,13 +2754,17 @@ def test_session_cents_negative_and_null_values():
     _, cents = _batch_ts_cents(iter([pdf]))
     assert list(cents) == [-13, -38, -200, 0]  # away from zero, not up
 
-    bad = pd.DataFrame({
-        "ts": pd.to_datetime(["2024-01-01"]),
-        "event_id": [1],
-        "value": [np.nan],
-    })
-    with pytest.raises(ValueError, match="out of contract"):
-        _batch_ts_cents(iter([bad]))
+    # NaN covers the NULL case; ±Inf is the same silent-garbage class
+    # (np.floor(inf).astype(int64) is int64-min) — the guard is
+    # isfinite, not just isnan (fix-on-fix review of the r14 guard).
+    for hostile in (np.nan, np.inf, -np.inf):
+        bad = pd.DataFrame({
+            "ts": pd.to_datetime(["2024-01-01"]),
+            "event_id": [1],
+            "value": [hostile],
+        })
+        with pytest.raises(ValueError, match="out of contract"):
+            _batch_ts_cents(iter([bad]))
 
 
 def test_streaming_minhash_deadline_never_regresses(spark, tmp_path):
