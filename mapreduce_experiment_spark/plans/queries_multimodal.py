@@ -43,8 +43,16 @@ _HIST_COLS = ",\n       ".join(
 
 @register(
     "media_byte_histograms",
+    # coalesce to '' (r14 adversarial rehearsal): the engine folds a
+    # NULL payload (encode of NULL text) to an ALL-ZERO histogram —
+    # the defined-behavior choice pinned in extract_features — while
+    # the raw _CLEAN let a NULL-text doc emit NULL b0..b15 here. The
+    # metadata/frame oracles keep raw _CLEAN deliberately: there the
+    # engine also yields NULL n_bytes / drops the frameless row, so
+    # NULL-in-NULL-out already matches.
     oracle=f"""
-WITH c AS (SELECT doc_id AS media_id, {_CLEAN} AS s FROM documents),
+WITH c AS (SELECT doc_id AS media_id, coalesce({_CLEAN}, '') AS s
+           FROM documents),
 h AS (SELECT media_id,
              list_transform(range(1, length(s) + 1),
                             i -> ascii(substr(s, i, 1)) % {MM.N_BUCKETS})

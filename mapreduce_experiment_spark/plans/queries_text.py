@@ -460,11 +460,17 @@ _QF_REASON = f"""CASE
 
 @register(
     "quality_filtered_corpus",
-    oracle=_T_CTE + f"""
+    # _QF_CTE + the guarded alpha_ratio, NOT raw _T_CTE (r14
+    # adversarial rehearsal): the engine folds NULL text to '' and
+    # floors alpha_ratio to 0.0 on an empty doc (r13 review), while
+    # the raw CTE emitted NULL features for a NULL-text doc and NULL
+    # (DuckDB x/0) for an empty one — same class quality_scores'
+    # oracle already fixed; this one lagged a round out-of-window.
+    oracle=_QF_CTE + f"""
 , f AS (
   SELECT doc_id,
          CAST(len(toks) AS BIGINT) AS n_tokens,
-         {_Q6.format(f"{_ALPHA} * 1.0 / length(text)")} AS alpha_ratio,
+         {_Q6.format(_ALPHA_RATIO)} AS alpha_ratio,
          {_Q6.format(f"{_NSTOP} * 1.0 / len(toks)")} AS stop_ratio,
          {_Q6.format(f"{_TOKCHARS} * 1.0 / len(toks)")} AS mean_tok_len
   FROM t),

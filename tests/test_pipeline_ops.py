@@ -1762,7 +1762,13 @@ def test_token_and_quality_survive_dirty_text(spark, tmp_path):
         TO '{sf}/documents.parquet' (FORMAT parquet)""")
 
     specs = SPECS()
-    for name in ("token_counts", "quality_scores"):
+    # quality_filtered_corpus and media_byte_histograms carried the
+    # SAME raw-text oracle hole one round longer (out-of-window when
+    # quality_scores was fixed): NULL text emitted NULL features /
+    # NULL b0..b15 where the engine folds to '' / an all-zero
+    # histogram. Same fixture pins all four.
+    for name in ("token_counts", "quality_scores",
+                 "quality_filtered_corpus", "media_byte_histograms"):
         assert_matches(specs[name].fn(spark, sf),
                        run_oracle(specs[name].oracle, sf), name)
 

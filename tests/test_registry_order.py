@@ -258,6 +258,21 @@ _ROUND_BASE = "6d16eec"  # r13 driver commit (verdict landed); bump each round
 # groups (hostile fixtures through the registered queries + real
 # oracles, old forms demonstrated dying).
 #
+# Deferred-oracle batch (r14, same session): the two r15-queued
+# adversarial-rehearsal oracle fixes landed early under the same
+# precedent — both ORACLE-ONLY, both out-of-window r13-greens that
+# rotate into r15 (identical driver-verification timing either way),
+# both value-neutral on shipped data (no NULL/empty text at any SF;
+# re-proven by running both queries oracle-exact at sf0.001/0.01/0.1
+# post-change):
+#  - quality_filtered_corpus: oracle moved to _QF_CTE + the guarded
+#    alpha_ratio (NULL text folds to '', empty doc floors to 0.0 —
+#    mirroring the engine's r13 behavior).
+#  - media_byte_histograms: oracle coalesces the cleaned text to ''
+#    so a NULL-text doc yields the engine's all-zero histogram.
+# Pinned inside test_token_and_quality_survive_dirty_text; the full
+# hostile sweep is 100/100 with these.
+#
 # Module-review hardening batch (fourth r14 package edit): graph
 # (candidate_pairs integer DIV + pagerank empty-graph guard — both
 # IN-window), asof (payload-name-clash guard), ordering (n_buckets
