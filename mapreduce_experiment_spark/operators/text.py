@@ -601,6 +601,17 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k1: float = BM25_K1,
     final top-k is a per-query TakeOrdered window over only matched
     docs. The 100 TB side never shuffles text.
     """
+    # Parameter domain guards (r14 second-pass review — the
+    # chunk_documents guard class): b > 1 makes the length-norm term
+    # 1-b+b·dl/avgdl cross zero for short docs, so the per-term
+    # weight divides by zero (ANSI hard-fail mid-job) or flips sign;
+    # k1 < 0 the same. The BM25 contract is b ∈ [0, 1], k1 >= 0.
+    if not 0.0 <= float(b) <= 1.0:
+        raise ValueError("b must be in [0, 1] (BM25 length-normalization "
+                         "slope; outside it the score denominator can "
+                         "reach zero)")
+    if float(k1) < 0.0:
+        raise ValueError("k1 must be >= 0")
     k1p1 = float(k1) + 1.0
     one_minus_b = 1.0 - float(b)
     # Zero-length terms are filtered on BOTH sides (r13 text review,

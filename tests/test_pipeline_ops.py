@@ -3539,3 +3539,19 @@ def test_percentile_bounds_and_null_priority_cross_engine(spark, tmp_path):
         F.split_part(F.lit(None).cast("string"), F.lit("-"), F.lit(2))
     ).collect()[0][0]
     assert duck == "" and spark_val is None
+
+
+def test_bm25_rejects_out_of_domain_params(spark):
+    """r14 second-pass text review: b > 1 makes the BM25 length-norm
+    term 1-b+b*dl/avgdl cross zero for docs shorter than average, so
+    the per-term weight divides by zero — an ANSI hard-fail in the
+    middle of a 100 TB job for a parameter mistake detectable at call
+    time (the chunk_documents guard class)."""
+    import pytest
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    qs = spark.createDataFrame([(1, "a")], "query_id long, qtext string")
+    with pytest.raises(ValueError, match="b must be in"):
+        TX.bm25_topk(docs, qs, b=1.5)
+    with pytest.raises(ValueError, match="k1 must be"):
+        TX.bm25_topk(docs, qs, k1=-0.1)
