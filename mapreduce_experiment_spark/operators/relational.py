@@ -100,6 +100,13 @@ def range_join(facts: DataFrame, value_col: str, intervals: DataFrame,
     interval width. The fact side stays one row per fact, so shuffle
     volume is unchanged and a small expanded dimension broadcasts.
     """
+    # Guard (r14 second-pass review): granule = 0 is an ANSI
+    # DIVIDE_BY_ZERO at runtime, and granule < 0 makes the covering
+    # `sequence(floor(lo/g), floor(hi/g))` count DOWN (default step
+    # -1) through garbage granule keys — silently WRONG join results,
+    # the word_ngrams short-doc hazard class. NaN fails both.
+    if not float(granule) > 0:
+        raise ValueError("granule must be > 0")
     g = F.lit(float(granule))
     expanded = intervals.withColumn(
         "_granule",

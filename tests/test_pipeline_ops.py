@@ -108,6 +108,15 @@ def test_range_join_boundaries(spark):
            for r in range_join(facts, "v", bands, granule=7.0).collect()}
     assert got == {(1, "a"), (2, "a"), (3, "b"), (4, "b"), (5, "b")}
 
+    # r14 second-pass review: granule = 0 is an ANSI divide-by-zero
+    # at runtime and granule < 0 makes the covering sequence count
+    # DOWN through garbage granule keys — silently wrong results, so
+    # both are rejected at call time (NaN too).
+    import pytest
+    for bad in (0.0, -7.0, float("nan")):
+        with pytest.raises(ValueError, match="granule"):
+            range_join(facts, "v", bands, granule=bad)
+
 
 def test_exact_dedup_groups(spark):
     docs = _docs(spark, [(1, "same text"), (2, "same text"), (3, "other")])
