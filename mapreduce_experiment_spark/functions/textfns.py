@@ -65,6 +65,11 @@ def word_ngrams(tokens: Column, n: int, distinct: bool = False) -> Column:
     review): the three copies could silently drift on the guard or
     the slice arithmetic.
     """
+    # n < 1 would produce zero-length slices (every gram '') or an
+    # up-counting sequence past the token count — silently meaningless
+    # grams for every consumer (r14 second-pass review).
+    if int(n) < 1:
+        raise ValueError("n must be >= 1")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),

@@ -175,6 +175,9 @@ def pack_sequences(docs: DataFrame, capacity: int = PACK_CAPACITY,
     cross-engine hash-exactness claim holds for the full int64 range,
     not just below 2^53.
     """
+    if int(capacity) < 1:
+        raise ValueError("capacity must be >= 1 (token budget per "
+                         "sequence; DIV 0 is an ANSI hard-fail)")
     return _pack_starts(docs, n_shards, id_col, text_col).select(
         id_col, "n_tokens", "shard",
         F.expr(f"_start DIV {int(capacity)}").alias("seq_id"),
@@ -190,6 +193,10 @@ def _pack_starts(docs: DataFrame, n_shards: int, id_col: str,
 
     from ..functions.textfns import hash60
 
+    # n_shards < 1: `% 0` is an ANSI hard-fail, negative shards a
+    # nonsensical partitioning (r14 second-pass review).
+    if int(n_shards) < 1:
+        raise ValueError("n_shards must be >= 1")
     h = hash60(F.col(id_col).cast("string"))
     # NULL text folds into the empty-string case (one phantom ''
     # token), the repo-wide convention: unguarded, pack_sequences
@@ -237,6 +244,9 @@ def pack_sequence_fragments(docs: DataFrame, capacity: int = PACK_CAPACITY,
     arithmetic integer (``DIV`` both sides).
     """
     c = int(capacity)
+    if c < 1:
+        raise ValueError("capacity must be >= 1 (token budget per "
+                         "sequence; DIV 0 is an ANSI hard-fail)")
     t = _pack_starts(docs, n_shards, id_col, text_col).where(
         F.col("n_tokens") > 0)
     f = t.select(
@@ -277,6 +287,10 @@ def contamination_pairs(docs: DataFrame, eval_mod: int = 50,
     """
     from ..functions.textfns import hash60, shingles, tokenize as tok
 
+    # eval_mod < 1: `% 0` is an ANSI hard-fail mid-scan (r14
+    # second-pass review).
+    if int(eval_mod) < 1:
+        raise ValueError("eval_mod must be >= 1")
     # Token array materialized BELOW the explode: the shingle
     # expression references it three times (guard size, sequence
     # size, slice) and Generate inlines its generator — without the

@@ -3564,3 +3564,27 @@ def test_bm25_rejects_out_of_domain_params(spark):
         TX.bm25_topk(docs, qs, b=1.5)
     with pytest.raises(ValueError, match="k1 must be"):
         TX.bm25_topk(docs, qs, k1=-0.1)
+
+
+def test_param_guards_reject_degenerate_divisors(spark):
+    """r14 second-pass review, the chunk_documents guard class swept
+    across the remaining operator entry points: capacity/eval_mod/
+    n_shards < 1 are ANSI DIV-or-MOD-by-zero hard-fails mid-job (or
+    nonsensical partitionings), and word_ngrams n < 1 produces
+    silently meaningless grams. All rejected at call time."""
+    import pytest
+
+    from mapreduce_experiment_spark.functions.textfns import word_ngrams
+
+    docs = spark.createDataFrame([(1, "a b c d e")],
+                                 "doc_id long, text string")
+    with pytest.raises(ValueError, match="capacity"):
+        TX.pack_sequences(docs, capacity=0)
+    with pytest.raises(ValueError, match="capacity"):
+        TX.pack_sequence_fragments(docs, capacity=-5)
+    with pytest.raises(ValueError, match="n_shards"):
+        TX.pack_sequences(docs, n_shards=0)
+    with pytest.raises(ValueError, match="eval_mod"):
+        TX.contamination_pairs(docs, eval_mod=0)
+    with pytest.raises(ValueError, match="n must be"):
+        word_ngrams(F.col("x"), 0)
