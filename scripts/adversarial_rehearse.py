@@ -235,6 +235,20 @@ def build_tpch(rng: random.Random):
       NULLs identically, and a NULL group key groups NULLs together
       on both engines.
     """
+    # Per-seed pool shuffles: the hostile values are pattern-indexed
+    # (i % len(pool)), so without this every seed would place the
+    # same hostile value on the same row — shuffling the pools makes
+    # each seed explore DIFFERENT alignments (which rows are NULL,
+    # which orders carry the half-cent, which flag meets which
+    # status) while cyclic indexing still covers every pool value.
+    def shuffled(pool):
+        p = list(pool)
+        rng.shuffle(p)
+        return p
+
+    key_strings = shuffled(_KEY_STRINGS)
+    priorities = shuffled(_PRIORITIES)
+
     # --- region / nation: duplicate names, dangling refs ---------------
     region = [(0, "ASIA"), (1, "EUROPE"), (2, None), (3, ""),
               (4, "亚细亚 😀"), (-5, "ASIA "), (6, "ASIA"),
@@ -261,8 +275,8 @@ def build_tpch(rng: random.Random):
 
     # --- customer / supplier: shared nationkeys so the ASIA
     # c_nationkey = s_nationkey chains exist; hostile balances -------
-    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
-            "MACHINERY", None, "", "MACHINERY ", "机械"]
+    segs = shuffled(["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+                     "MACHINERY", None, "", "MACHINERY ", "机械"])
     customer = []
     for i in range(60):
         ck = (9_000_000_000_000_000_000 if i == 0
@@ -274,7 +288,7 @@ def build_tpch(rng: random.Random):
                1e-300, 327.535][i % 10]
         if i >= 40:
             bal = round(rng.uniform(-6000, 6000), 2)
-        customer.append((ck, _KEY_STRINGS[i % len(_KEY_STRINGS)], nk,
+        customer.append((ck, key_strings[i % len(key_strings)], nk,
                          bal, segs[i % len(segs)]))
     supplier = []
     for i in range(24):
@@ -282,7 +296,7 @@ def build_tpch(rng: random.Random):
         nk = (None if i == 23
               else 777 if i == 22                # dangling
               else nation_keys[i % len(nation_keys)])
-        supplier.append((sk, _KEY_STRINGS[(i + 3) % len(_KEY_STRINGS)],
+        supplier.append((sk, key_strings[(i + 3) % len(key_strings)],
                          nk, rng.choice([None, 0.0, -1.5e7,
                                          round(rng.uniform(-1e4, 1e4), 2)])))
     cust_keys = [c[0] for c in customer]
@@ -290,14 +304,14 @@ def build_tpch(rng: random.Random):
 
     # --- orders: boundary dates, hostile prices/priorities -----------
     orders = []
-    prices = [-55.5, 0.0, 1e-9, 0.125, 2.675, -2.675, 327.535,
-              2e7, -2e7, 123456789.0 / 100.0]
+    prices = shuffled([-55.5, 0.0, 1e-9, 0.125, 2.675, -2.675, 327.535,
+                       2e7, -2e7, 123456789.0 / 100.0])
     bdates = [_us(1678, 1, 1), _us(2261, 12, 31, 23, 59, 59, 999999),
               _us(1996, 2, 29, 12, 30, 15, 123456),
               _us(1996, 1, 1), _us(1995, 12, 31, 23, 59, 59, 999999),
               _us(1997, 1, 1), _us(1996, 12, 31, 23, 59, 59, 999999),
               _us(1995, 1, 1), _us(1994, 12, 31, 23, 59, 59, 999999)]
-    statuses = ["O", "F", "P", None, "", "Ø"]
+    statuses = shuffled(["O", "F", "P", None, "", "Ø"])
     n_orders = 300
     for i in range(n_orders):
         ok = i if i > 2 else (-13, 8_000_000_000_000_000_000, -2)[i]
@@ -309,7 +323,7 @@ def build_tpch(rng: random.Random):
                 else _us(1994 + (i % 5), 1 + (i % 12), 1 + (i % 28),
                          i % 24, i % 60, i % 60, i * 101 % 1_000_000))
         orders.append((ok, ck, statuses[i % len(statuses)], price,
-                       date, _PRIORITIES[i % len(_PRIORITIES)]))
+                       date, priorities[i % len(priorities)]))
     order_keys = [o[0] for o in orders]
 
     # --- lineitem: co-purchase graph structure + hostile measures ----
@@ -323,14 +337,15 @@ def build_tpch(rng: random.Random):
                          len(lineitem) % 7, qty, price, disc, tax,
                          rf, ls, ship))
 
-    flags = ["A", "N", "R", None, "", "返"]
-    stats = ["O", "F", "�", None]
+    flags = shuffled(["A", "N", "R", None, "", "返"])
+    stats = shuffled(["O", "F", "�", None])
     ship_pool = [_us(1998, 9, 2),                    # <= boundary, kept
                  _us(1998, 9, 2, 0, 0, 0, 1),        # +1µs, dropped
                  _us(1678, 1, 2), _us(2261, 6, 1),
                  _us(1996, 2, 29, 6, 0, 0, 500000)]
-    qtys = [None, -4.0, 0.0, 0.125, 2.675, 49.5, 2e7, -2e7, 1.0, 17.25]
-    discs = [0.0, 0.05, 0.1, -0.1, 1.5, None, 0.04999999999]
+    qtys = shuffled([None, -4.0, 0.0, 0.125, 2.675, 49.5, 2e7, -2e7,
+                     1.0, 17.25])
+    discs = shuffled([0.0, 0.05, 0.1, -0.1, 1.5, None, 0.04999999999])
     for i, ok in enumerate(order_keys):
         if i == 0:                     # hub order: 25 distinct parts
             for j in range(25):
@@ -375,7 +390,7 @@ def build_tpch(rng: random.Random):
               else 50_000 + i)                    # never ordered
         if any(p[0] == pk for p in part):
             pk = 60_000 + i
-        part.append((pk, _KEY_STRINGS[(i + 5) % len(_KEY_STRINGS)],
+        part.append((pk, key_strings[(i + 5) % len(key_strings)],
                      f"Brand#{i % 5}", None if i % 9 == 0 else "TYPE",
                      (-2147483648, 2147483647, None, i)[i % 4],
                      rng.choice([None, 0.0, round(rng.uniform(1, 2000), 2)])))
