@@ -75,7 +75,8 @@ def q_nation_participants_full_outer(spark: SparkSession, sf_dir: str) -> DataFr
     oracle="""
 WITH q AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
            FROM events),
-a AS (SELECT event_type, count(*) AS n, sum(cents) AS s, sum(cents * cents) AS ss,
+a AS (SELECT event_type, count(*) AS n, sum(cents) AS s,
+             sum(CAST(cents AS HUGEINT) * cents) AS ss,
              min(cents) AS mn, max(cents) AS mx
       FROM q GROUP BY event_type)
 SELECT event_type, n,
@@ -83,8 +84,14 @@ SELECT event_type, n,
        mx / 100.0 AS max_value,
        floor(s * 10000.0 / (100 * n) + 0.5) / 10000.0 AS mean_value,
        CASE WHEN n > 1 THEN
-         floor(CAST(n * ss - s * s AS DOUBLE)
-               / (CAST(n AS DOUBLE) * (n - 1)) + 0.5) / 10000.0
+         CASE WHEN CAST(n * ss - s * s AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * (n - 1)) < 9.0e18 THEN
+           floor(CAST(n * ss - s * s AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * (n - 1)) + 0.5) / 10000.0
+         ELSE
+           CAST(n * ss - s * s AS DOUBLE)
+           / (CAST(n AS DOUBLE) * (n - 1)) / 10000.0
+         END
        END AS variance
 FROM a
 """,
@@ -122,6 +129,21 @@ def q_value_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cents").alias("mn"),
         F.max("cents").alias("mx"),
     )
+    # The cents² variance is floor(+0.5)-quantized only while the
+    # quantization is REPRESENTABLE: Spark's floor(double) returns
+    # LONG and silently SATURATES at int64 max (observed live:
+    # variance 2.3e19 came back as exactly 2^63/1e4) while DuckDB's
+    # floor stays DOUBLE — a silent cross-engine divergence for any
+    # group whose value spread exceeds ~3e9 cents (r14 widened-domain
+    # sweep). Past the 9.0e18 branch point the +0.5 is far below the
+    # double ulp anyway, and the unquantized double is already
+    # bit-deterministic (exact integer numerator, one conversion, one
+    # division — same value both engines), so both engines emit it
+    # raw. The branch compares the SAME double on both sides, so the
+    # chosen arm can never differ.
+    vc2 = ((F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+           .cast("double")
+           / (F.col("n").cast("double") * (F.col("n") - 1)))
     return a.select(
         "event_type", "n",
         (F.col("mn") / 100.0).alias("min_value"),
@@ -130,11 +152,8 @@ def q_value_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mean_value"),
         F.when(
             F.col("n") > 1,
-            F.floor(
-                (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
-                .cast("double")
-                / (F.col("n").cast("double") * (F.col("n") - 1)) + 0.5
-            ) / 10000.0,
+            F.when(vc2 < 9.0e18, F.floor(vc2 + 0.5) / 10000.0)
+             .otherwise(vc2 / 10000.0),
         ).alias("variance"),
     )
 
@@ -150,7 +169,9 @@ WITH q AS (
 ), m AS (
   SELECT l_returnflag, count(*) AS n,
          sum(x) AS sx, sum(y) AS sy,
-         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(y AS HUGEINT) * y) AS syy,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
          median(x) AS med_x
   FROM q GROUP BY l_returnflag
 ), v AS (

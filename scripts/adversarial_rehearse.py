@@ -41,7 +41,7 @@ In-contract means the documented engine contracts stay respected:
   ``build_tpch``): unique non-null primary keys but dangling /
   negative / extreme foreign keys, NULL and unicode group-key
   strings, duplicate nation/region names, NULL measures, negative /
-  zero / half-cent / ±2e7 money, boundary order/ship dates with
+  zero / half-cent / ±2e10 money, boundary order/ship dates with
   µs-of-day from 1678 to 2261 (the pandas ns collection bound), a
   co-purchase graph with a 25-part hub order, repeated parts,
   NULL partkeys and duplicate part sets, and a constant-quantity
@@ -227,10 +227,11 @@ def build_tpch(rng: random.Random):
     - o_totalprice NON-NULL (percentile rank column, same NULL-order
       reason); negative / zero / half-cent / huge values ARE in
       contract (sqrt/ln/share/corr domain guards, r14).
-    - Money and quantity bounded to ±2e7 (±2e9 cents): the
-      correlation/moments ORACLES square per-row BIGINT cents, which
-      caps the verifiable domain at ~3e9 cents (the engine's decimal
-      path is exact far beyond — documented residual).
+    - Money and quantity bounded to ±2e10 (±2e12 cents): exact in
+      double (< 2^53 even after the revenue multipliers) and well
+      inside the moment oracles' HUGEINT / the engine's decimal(38)
+      domain (the old ~3e9-cent cap fell when the oracles'
+      squared/cross products were HUGEINT-ified).
     - Every other measure/string column may be NULL: aggregates skip
       NULLs identically, and a NULL group key groups NULLs together
       on both engines.
@@ -305,7 +306,7 @@ def build_tpch(rng: random.Random):
     # --- orders: boundary dates, hostile prices/priorities -----------
     orders = []
     prices = shuffled([-55.5, 0.0, 1e-9, 0.125, 2.675, -2.675, 327.535,
-                       2e7, -2e7, 123456789.0 / 100.0])
+                       2e10, -2e10, 123456789.0 / 100.0])
     bdates = [_us(1678, 1, 1), _us(2261, 12, 31, 23, 59, 59, 999999),
               _us(1996, 2, 29, 12, 30, 15, 123456),
               _us(1996, 1, 1), _us(1995, 12, 31, 23, 59, 59, 999999),
@@ -343,7 +344,7 @@ def build_tpch(rng: random.Random):
                  _us(1998, 9, 2, 0, 0, 0, 1),        # +1µs, dropped
                  _us(1678, 1, 2), _us(2261, 6, 1),
                  _us(1996, 2, 29, 6, 0, 0, 500000)]
-    qtys = shuffled([None, -4.0, 0.0, 0.125, 2.675, 49.5, 2e7, -2e7,
+    qtys = shuffled([None, -4.0, 0.0, 0.125, 2.675, 49.5, 2e10, -2e10,
                      1.0, 17.25])
     discs = shuffled([0.0, 0.05, 0.1, -0.1, 1.5, None, 0.04999999999])
     for i, ok in enumerate(order_keys):
@@ -365,7 +366,7 @@ def build_tpch(rng: random.Random):
             pk = part_pool[(i * (j + 2) + j) % len(part_pool)]
             add_li(ok, pk,
                    qtys[(i + j) % len(qtys)],
-                   [None, -90.0, 0.005, 1.9e7, round(rng.uniform(1, 9e4), 2)
+                   [None, -90.0, 0.005, 1.9e10, round(rng.uniform(1, 9e4), 2)
                     ][(i * 3 + j) % 5],
                    discs[(i + 2 * j) % len(discs)],
                    discs[(i + j + 1) % len(discs)],
@@ -456,13 +457,11 @@ def build_events(rng: random.Random):
     add(base6, 6, None, 1.0)
     add(base6 + 1, 6, "", 2.0)
     add(base6 + 2, 6, "weird", 3.0)
-    # u7: huge magnitudes. Bounded by the VERIFICATION domain, not
-    # the engine's: the profiling-moments oracle multiplies per-row
-    # BIGINT cents (overflow beyond ~3e9 cents — the documented
-    # residual in test_moment_aggregates_survive_int64_overflow;
-    # the ENGINE is exact decimal(38) far beyond). 2e7 = 2e9 cents,
-    # just inside; r15 may HUGEINT-ify the oracle and raise this.
-    for v in (2e7, -2e7, 1.9e7):
+    # u7: huge magnitudes — 3e10 = 3e12 cents, far past the old
+    # ~3e9-cent cap (the moments oracle's per-row BIGINT multiply,
+    # HUGEINT-ified late r14); still exact in double and inside the
+    # engine's decimal(38) moment domain.
+    for v in (3e10, -3e10, 1.9e7):
         add(base6 + _GAP_US + rng.randrange(1, _GAP_US), 7, "click", v)
     # negative user id
     add(_T0 + 11 * _DAY, -5, "view", 1.23)

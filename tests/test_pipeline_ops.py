@@ -1607,22 +1607,24 @@ def test_moment_aggregates_survive_int64_overflow(spark, tmp_path):
     sf = str(tmp_path)
     # Single-file parquet like the shipped test dirs (a Spark write
     # is a directory, which read_parquet('<name>.parquet') rejects).
-    # value cents = 2e9 → cents² = 4e18 (fits int64 per row — DuckDB's
-    # per-row INT64 multiply must not overflow either) but four rows
-    # sum to 1.6e19 > int64 max: exactly the window where DuckDB's
-    # HUGEINT sum succeeds and Spark's old long sum threw.
+    # value cents = 4.5e9 → cents² ≈ 2e19 > int64 max PER ROW: past
+    # both the old Spark long-sum overflow AND the old oracle's
+    # per-row BIGINT multiply (the ~3e9-cent verification cap the r14
+    # close documented — removed by HUGEINT-ifying the oracle's
+    # squared/cross products, so engine decimal and oracle HUGEINT
+    # now bound the domain together at ~1e38).
     con = duckdb.connect()
     con.execute(f"""
         COPY (SELECT i AS event_id,
                      TIMESTAMP '2024-01-01 00:00:00' AS ts,
                      1::BIGINT AS user_id, 'click' AS event_type,
-                     2.0e7 + i AS value, '{{}}' AS props
+                     4.5e7 + i AS value, '{{}}' AS props
               FROM range(4) t(i))
         TO '{sf}/events.parquet' (FORMAT parquet)""")
     con.execute(f"""
         COPY (SELECT 1::BIGINT AS l_orderkey, 1::BIGINT AS l_partkey,
                      1::BIGINT AS l_suppkey, 1::INT AS l_linenumber,
-                     2.5e7 + i AS l_quantity, 2.0e7 + i AS l_extendedprice,
+                     4.0e7 + i AS l_quantity, 4.5e7 + i AS l_extendedprice,
                      0.0 AS l_discount, 0.0 AS l_tax,
                      'N' AS l_returnflag, 'O' AS l_linestatus,
                      TIMESTAMP '2024-01-01 00:00:00' AS l_shipdate
@@ -1634,7 +1636,7 @@ def test_moment_aggregates_survive_int64_overflow(spark, tmp_path):
         assert_matches(specs[name].fn(spark, sf),
                        run_oracle(specs[name].oracle, sf), name)
 
-    # the defect, demonstrated: the old long-typed sum of squares
+    # defect 1, demonstrated: the old long-typed sum of squares
     # throws at these magnitudes
     cents = F.round(F.col("value") * 100, 0).cast("long")
     with pytest.raises(pyspark.errors.PySparkException,
@@ -1642,6 +1644,36 @@ def test_moment_aggregates_survive_int64_overflow(spark, tmp_path):
         spark.read.parquet(f"{sf}/events.parquet") \
             .select(cents.alias("c")) \
             .agg(F.sum(F.col("c") * F.col("c"))).collect()
+
+    # defect 2, demonstrated: the old ORACLE's bare BIGINT product
+    # (no HUGEINT cast) dies per-row at these magnitudes — the cap
+    # that used to bound the verifiable money domain at ~3e9 cents
+    with pytest.raises(duckdb.Error, match="[Oo]ut of [Rr]ange"):
+        run_oracle(
+            "SELECT sum(cents * cents) FROM (SELECT CAST(round(value "
+            "* 100) AS BIGINT) AS cents FROM events)", sf)
+
+    # defect 3 (r14 widened-domain sweep): Spark's floor(double)
+    # returns LONG and silently SATURATES at int64 max while DuckDB's
+    # floor stays DOUBLE — so the variance quantization diverged
+    # silently once the cents² variance passed ~9.2e18 (a value
+    # spread of ~3e9 cents). Both engines now branch to the raw
+    # (bit-deterministic) double past 9.0e18. Fixture: one group
+    # whose spread of ±4e10 dollars puts the variance ~3e25.
+    con.execute(f"""
+        COPY (SELECT i AS event_id,
+                     TIMESTAMP '2024-01-01 00:00:00' AS ts,
+                     1::BIGINT AS user_id, 'click' AS event_type,
+                     CASE WHEN i % 2 = 0 THEN 4.0e10 + i
+                          ELSE -4.0e10 - i END AS value, '{{}}' AS props
+              FROM range(4) t(i))
+        TO '{sf}/events.parquet' (FORMAT parquet)""")
+    spec = specs["value_distribution_stats"]
+    assert_matches(spec.fn(spark, sf), run_oracle(spec.oracle, sf),
+                   "value_distribution_stats")
+    # the saturation itself, demonstrated
+    sat = spark.range(1).select(F.floor(F.lit(2.3e19))).collect()[0][0]
+    assert sat == 9223372036854775807
 
 
 def test_priority_word_survives_delimiter_free_input(spark, tmp_path):

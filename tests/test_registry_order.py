@@ -258,6 +258,24 @@ _ROUND_BASE = "6d16eec"  # r13 driver commit (verdict landed); bump each round
 # groups (hostile fixtures through the registered queries + real
 # oracles, old forms demonstrated dying).
 #
+# Widened-money-domain batch (r14, same session, closing the r15
+# queue's optional item): the moments ORACLES' per-row cents
+# products are HUGEINT-ified (removing the old ~3e9-cent
+# verification cap), and the sweep at the widened domain immediately
+# found that Spark's floor(double) returns LONG and silently
+# SATURATES at int64 max (DuckDB floor stays DOUBLE) — so
+# value_distribution_stats' variance quantization now branches to
+# the raw bit-deterministic double past 9.0e18 on BOTH sides (the
+# branch compares the same double, so the arm can never differ).
+# Out-of-window targets value_distribution_stats and
+# price_quantity_correlation again: value-neutral at every shipped
+# SF (re-proven post-change by running both oracle-exact at
+# sf0.001/0.01/0.1 — shipped variances are nowhere near the branch
+# point), same r15-rotation timing. Pinned by the extended
+# test_moment_aggregates_survive_int64_overflow (HUGEINT fixture,
+# old BIGINT-product oracle demonstrated dying, floor saturation
+# demonstrated, saturation-magnitude fixture oracle-exact).
+#
 # Deferred-oracle batch (r14, same session): the two r15-queued
 # adversarial-rehearsal oracle fixes landed early under the same
 # precedent — both ORACLE-ONLY, both out-of-window r13-greens that
