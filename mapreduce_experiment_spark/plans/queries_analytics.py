@@ -75,8 +75,14 @@ SELECT order_year,
        sum(cents) FILTER (WHERE r_name = 'ASIA') * 1.0 AS asia_cents,
        sum(cents) * 1.0 AS total_cents,
        CASE WHEN sum(cents) <> 0 THEN
-         floor((coalesce(sum(cents) FILTER (WHERE r_name = 'ASIA'), 0) * 1.0
-                / sum(cents)) * 1000000 + 0.5) / 1000000.0
+         CASE WHEN abs(coalesce(sum(cents) FILTER (WHERE r_name = 'ASIA'), 0)
+                       * 1.0 / sum(cents)) < 9.0e12 THEN
+           floor((coalesce(sum(cents) FILTER (WHERE r_name = 'ASIA'), 0) * 1.0
+                  / sum(cents)) * 1000000 + 0.5) / 1000000.0
+         ELSE
+           coalesce(sum(cents) FILTER (WHERE r_name = 'ASIA'), 0) * 1.0
+           / sum(cents)
+         END
        END AS asia_share
 FROM rev GROUP BY order_year
 """,
@@ -110,13 +116,23 @@ def q_asia_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     # revenue) would kill the whole job, while DuckDB's double
     # division yields NULL — a crash on one side and a value on the
     # other. Guarded, a zero-revenue year is a NULL share on both.
+    # The quantization additionally branches to the raw double when
+    # |share| >= 9e12: a NEAR-cancelling total under a large
+    # numerator pushes share*1e6 past int64, where Spark's
+    # floor(double) silently SATURATES at 2^63-1 while DuckDB's
+    # floor stays double (the value_distribution_stats variance
+    # class). The raw share is bit-deterministic (exact integer
+    # sums, one conversion, one division) and both engines branch on
+    # the SAME double.
+    share = F.coalesce(asia, F.lit(0)) * 1.0 / total
     return rev.groupBy("order_year").agg(
         (asia * 1.0).alias("asia_cents"),
         (total * 1.0).alias("total_cents"),
         F.when(
             total != 0,
-            F.floor(F.coalesce(asia, F.lit(0)) * 1.0 / total
-                    * 1_000_000 + 0.5) / 1_000_000.0,
+            F.when(F.abs(share) < 9.0e12,
+                   F.floor(share * 1_000_000 + 0.5) / 1_000_000.0)
+             .otherwise(share),
         ).alias("asia_share"),
     )
 

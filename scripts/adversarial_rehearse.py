@@ -384,6 +384,25 @@ def build_tpch(rng: random.Random):
         add_li(888_000 + k, 140 + k, 5.0, 10.0 + k, 0.0, 0.0,
                "Z", "O", ship_pool[0])
 
+    # Planted share-saturation year (1993, otherwise unused): ASIA
+    # revenue 1.6e13 cents over a total of exactly +1 cent (the
+    # non-ASIA side cancels it), so |asia_share| > 9e12 — exercising
+    # the floor-saturation branch (Spark floor(double) saturates at
+    # int64 max, DuckDB does not) through the live oracle.
+    customer.append((700_001, "asia-sat", -3, 0.0, "BUILDING"))   # ASIA
+    customer.append((700_002, "eur-sat", 5, 0.0, "BUILDING"))     # EUROPE
+    sat_date = _us(1993, 6, 1)
+    for k in range(8):
+        orders.append((900_000 + k, 700_001, "O", 1.0, sat_date, "1-URGENT"))
+        orders.append((900_100 + k, 700_002, "O", 1.0, sat_date, "1-URGENT"))
+        lineitem.append((900_000 + k, 100, 1, 0, 1.0, 2e10, 0.0, 0.0,
+                         "N", "O", sat_date))
+        lineitem.append((900_100 + k, 100, 1, 0, 1.0, -2e10, 0.0, 0.0,
+                         "N", "O", sat_date))
+    orders.append((900_200, 700_002, "O", 1.0, sat_date, "1-URGENT"))
+    lineitem.append((900_200, 100, 1, 0, 1.0, 0.01, 0.0, 0.0,
+                     "N", "O", sat_date))
+
     # --- part: ordered + never-ordered keys, hostile names ----------
     part = []
     for i in range(40):

@@ -3515,6 +3515,49 @@ def test_ratio_queries_survive_zero_denominator_groups(spark, tmp_path):
         spark.range(1).select(
             F.col("id").cast("double") / F.lit(0.0)).collect()
 
+    # (2b) share SATURATION (r14 widened-domain sweep): ASIA revenue
+    # 1.6e13 cents over a NEAR-cancelling +1-cent total puts
+    # |share|*1e6 past int64, where Spark's floor(double) silently
+    # saturates at 2^63-1 while DuckDB's floor stays double; the
+    # quantization now branches to the raw double on both sides.
+    con.execute(f"""
+        COPY (SELECT * FROM (VALUES (0, 'ASIA'), (1, 'EUROPE'))
+              t(r_regionkey, r_name))
+        TO '{sf}/region.parquet' (FORMAT parquet)""")
+    con.execute(f"""
+        COPY (SELECT * FROM (VALUES (0, 'ANATION', 0), (1, 'ENATION', 1))
+              t(n_nationkey, n_name, n_regionkey))
+        TO '{sf}/nation.parquet' (FORMAT parquet)""")
+    con.execute(f"""
+        COPY (SELECT * FROM (VALUES
+                (0::BIGINT, 'a', 0, 0.0, 'BUILDING'),
+                (1::BIGINT, 'e', 1, 0.0, 'BUILDING'))
+              t(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment))
+        TO '{sf}/customer.parquet' (FORMAT parquet)""")
+    con.execute(f"""
+        COPY (SELECT i AS o_orderkey, i % 2 AS o_custkey,
+                     'O' AS o_orderstatus, 1.0 AS o_totalprice,
+                     TIMESTAMP '1993-06-01 00:00:00' AS o_orderdate,
+                     '1-URGENT' AS o_orderpriority FROM range(17) t(i))
+        TO '{sf}/orders.parquet' (FORMAT parquet)""")
+    con.execute(f"""
+        COPY (SELECT i AS l_orderkey, 1::BIGINT AS l_partkey,
+                     1::BIGINT AS l_suppkey, 1::INT AS l_linenumber,
+                     1.0 AS l_quantity,
+                     CASE WHEN i = 16 THEN 0.01
+                          WHEN i % 2 = 0 THEN 2.0e10
+                          ELSE -2.0e10 END AS l_extendedprice,
+                     0.0 AS l_discount, 0.0 AS l_tax, 'N' AS l_returnflag,
+                     'O' AS l_linestatus,
+                     TIMESTAMP '1993-06-01 00:00:00' AS l_shipdate
+              FROM range(17) t(i))
+        TO '{sf}/lineitem.parquet' (FORMAT parquet)""")
+    spec = specs["asia_market_share"]
+    assert_matches(spec.fn(spark, sf), run_oracle(spec.oracle, sf),
+                   "asia_market_share")
+    row = spec.fn(spark, sf).collect()[0]
+    assert row.asia_share > 9e12, "fixture must exercise the raw branch"
+
 
 def test_percentile_bounds_and_null_priority_cross_engine(spark, tmp_path):
     """r14 adversarial TPC-H sweep, findings on hostile orders:

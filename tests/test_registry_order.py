@@ -267,14 +267,20 @@ _ROUND_BASE = "6d16eec"  # r13 driver commit (verdict landed); bump each round
 # value_distribution_stats' variance quantization now branches to
 # the raw bit-deterministic double past 9.0e18 on BOTH sides (the
 # branch compares the same double, so the arm can never differ).
-# Out-of-window targets value_distribution_stats and
-# price_quantity_correlation again: value-neutral at every shipped
-# SF (re-proven post-change by running both oracle-exact at
-# sf0.001/0.01/0.1 — shipped variances are nowhere near the branch
-# point), same r15-rotation timing. Pinned by the extended
+# The same saturation class applies to asia_market_share: a
+# near-cancelling total under a large numerator pushes share*1e6
+# past int64, so its quantization also branches to the raw double
+# past |share| 9e12, both sides together. Out-of-window targets
+# value_distribution_stats, price_quantity_correlation, and
+# asia_market_share: value-neutral at every shipped SF (re-proven
+# post-change by running each oracle-exact at sf0.001/0.01/0.1 —
+# shipped variances/shares are nowhere near the branch points),
+# same r15-rotation timing. Pinned by the extended
 # test_moment_aggregates_survive_int64_overflow (HUGEINT fixture,
 # old BIGINT-product oracle demonstrated dying, floor saturation
-# demonstrated, saturation-magnitude fixture oracle-exact).
+# demonstrated, saturation-magnitude fixture oracle-exact) and the
+# (2b) share-saturation fixture in
+# test_ratio_queries_survive_zero_denominator_groups.
 #
 # Deferred-oracle batch (r14, same session): the two r15-queued
 # adversarial-rehearsal oracle fixes landed early under the same
