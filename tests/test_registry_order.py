@@ -12,34 +12,39 @@ import os
 
 from mapreduce_experiment_spark.plans.registry import _ORDER, SPECS, WINDOW
 
-# Round 14 contract: steady-state alternate-round cadence, fourth
-# full cycle. The r13 driver verdict landed (CORRECTNESS_r13.json
-# 50/50 green, keys == WINDOW_r13.json), so the r13 window rotates
+# Round 15 contract: steady-state alternate-round cadence, fifth
+# full cycle. The r14 driver verdict landed (CORRECTNESS_r14.json
+# 50/50 green, keys == WINDOW_r14.json), so the r14 window rotates
 # out and the new window is the registry's stalest set: exactly the
-# 50 r12-greens (WINDOW_r12.json keys verbatim — nothing retired or
-# deferred in r13). 50 = 50, zero slack. The seven r13-deferred
-# review fixes all target queries inside this window.
+# 50 r13-greens (WINDOW_r13.json keys verbatim — nothing retired or
+# deferred in r14). 50 = 50, zero slack. The nine queries that
+# changed late in r14 out-of-window (saturation/guard/oracle fixes)
+# all sit inside this window — r15 is their first post-change
+# driver verdict.
 _MUST_BE_IN_WINDOW = {
-    # last driver verdict r12
-    "stateful_streaming_sessions_evicting",
-    "embedding_near_dups_maintained", "account_balance_union",
-    "adjacency", "approx_distinct_counts", "bm25_topk",
-    "candidate_pairs", "canonical_url_groups", "corpus_shuffle",
-    "customer_running_spend", "customers_churned",
-    "customers_retained", "degrees", "edges_derive",
-    "events_json_extract", "exact_dedup_groups", "fingerprints",
-    "grouping_sets_sql", "kmeans_centroids", "kmeans_ivf_assignments",
-    "knn_ivf_trained", "lang_id", "minhash_dedup_pairs",
-    "mktsegment_pivot", "nation_order_stats", "ngram_jaccard_pairs",
-    "order_gap_days", "order_priority_rollup",
-    "order_scalar_functions", "orders_above_customer_average",
-    "pagerank", "parts_never_ordered", "pii_redaction",
-    "pricing_summary", "quality_scores", "repeated_spans",
-    "returnflag_status_cube", "revenue_by_nation",
-    "sessionize_events", "simhash_near_dups", "span_deduped_corpus",
-    "suppliers_with_orders", "symmetrize", "tfidf_doc_pairs",
-    "token_counts", "token_frequencies", "top_customers_per_nation",
-    "top_orders_global", "triangles_faithful", "user_value_scd2",
+    # last driver verdict r13
+    "knn_ivf_maintained", "streaming_minhash_dedup",
+    "stateful_streaming_sessions", "streaming_view_attribution",
+    "knn_ivf_pruned", "embedding_near_dups_indexed",
+    "streaming_event_dedup", "embedding_near_dups_probe",
+    "approx_order_percentiles", "asia_market_share", "clean_corpus",
+    "connected_components", "decontaminated_corpus",
+    "decontamination_external", "decontamination_pairs",
+    "dedup_clusters", "dedup_survivors", "doc_chunks",
+    "event_type_counts_salted", "hourly_event_counts",
+    "ivf_assignments", "knn_bruteforce", "knn_ivf",
+    "lineitem_profile", "media_byte_histograms", "media_frame_sample",
+    "media_metadata", "monthly_retention_cohorts",
+    "nation_participants_full_outer", "order_size_distribution",
+    "packed_sequence_fragments", "packed_sequences",
+    "price_quantity_correlation", "purchase_last_click_asof",
+    "quality_filtered_corpus", "repetition_scores", "session_stats",
+    "session_window_stats", "signup_to_purchase_funnel",
+    "source_mixture_sample", "stratified_event_sample",
+    "streaming_hourly_counts", "streaming_triangle_count",
+    "top_parts_per_nation", "triangle_count", "triangles",
+    "trigram_counts", "value_band_range_join",
+    "value_distribution_stats", "volume_shipping",
 }
 
 # WINDOW is imported from the registry — the single source of truth
@@ -62,14 +67,15 @@ _RETIRED_AFTER_VERDICT: set[str] = set()
 # plans/queries_similarity.py / test_retired_srp_bucket_stats_oracle_still_holds.
 # r12: nothing retired — CORRECTNESS_r11.json keys all remain registered.
 # r13: nothing retired — CORRECTNESS_r12.json keys all remain registered.
-# r14: nothing retired — CORRECTNESS_r13.json keys all remain registered.)
+# r14: nothing retired — CORRECTNESS_r13.json keys all remain registered.
+# r15: nothing retired — CORRECTNESS_r14.json keys all remain registered.)
 
 # New queries that could NOT fit this round's 50-slot window and whose
 # driver verification is therefore deferred EXACTLY one round: they
 # must sit immediately after the window boundary so the next rotation
 # picks them up first, and they carry local oracle gating
 # (test_registry_oracle, sf0.001 + sf0.01) in the meantime.
-# Round 14: nothing new registered (registry at the 100-query
+# Round 15: nothing new registered (registry at the 100-query
 # ceiling; growth requires a funded retirement), so nothing defers.
 _DEFERRED_TO_NEXT_WINDOW: list[str] = []
 
@@ -143,213 +149,19 @@ def test_registry_has_expected_size():
 # either sit inside the window or be explicitly attested unchanged
 # below (a conscious, reviewable act in the diff).
 
-_ROUND_BASE = "6d16eec"  # r13 driver commit (verdict landed); bump each round
+_ROUND_BASE = "c969f1a"  # r14 driver commit (verdict landed); bump each round
 
 # Queries living in touched modules whose own plan + oracle are
 # attested unchanged this round (measured against _ROUND_BASE = the
-# r13 driver commit).
+# r14 driver commit).
 #
-# Round 14 plan: the seven r13-deferred review fixes (operators/
-# dedup.py minhash localCheckpoint + URL-canon `$`→`\z`; operators/
-# text.py bm25 phantom token, lang_id NULL bucket, pack_sequences
-# NULL row, chunk guards, n-gram helper extraction) all target
-# queries that rotated INTO this window, so their closure's
-# out-of-window queries need attestation below as edits land.
-#
-# ADVICE-r13 closure batch (first r14 package edit):
-#  - streaming/triangles.py: the except-narrowing (_is_missing_path)
-#    is unreachable on a healthy run — the state/output roots either
-#    read cleanly or raise PATH_NOT_FOUND, which keeps the old
-#    behavior; any other condition now propagates instead of being
-#    silently treated as empty state. The final-read .distinct() is
-#    value-neutral by construction: batch partitions are pairwise
-#    disjoint on every non-crashed run (the anti-join guarantees it),
-#    so the set union equals the old bag union; only the orphaned
-#    cross-run half-commit case (new test) differs — and there the
-#    old output was WRONG (duplicates). Affects out-of-window
-#    streaming_triangle_count only.
-#  - operators/similarity.py: the probe coverage guard's shape
-#    changed from when(assert_true(..).isNull(), cos) to
-#    when(covered, cos).otherwise(raise_error) — identical value on
-#    every covered pair, and the registered probe query passes the
-#    full corpus∪batch vector set, so the throwing branch stays
-#    unreached. No other function in the module changed; the flagged
-#    out-of-window queries (knn_* / ivf_assignments /
-#    embedding_near_dups_indexed|probe) share only unchanged code.
-# Deferred-dedup batch (second r14 package edit, operators/dedup.py):
-#  - minhash_dedup_pairs' shingle-set persist → localCheckpoint: an
-#    eager materialization of the SAME intermediate rows feeding the
-#    identical downstream plan — value-neutral by construction for
-#    minhash_dedup_pairs (in-window) and its out-of-window consumers
-#    dedup_clusters / dedup_survivors / clean_corpus (the bench
-#    fingerprints re-pinned in this commit record the physical-plan
-#    change honestly).
-#  - URL_CANON_STEPS trailing strip `$` → `\z`: value-identical on
-#    every input without a final Unicode line terminator; shipped
-#    data has ZERO source values containing U+0085/U+2028/U+2029 at
-#    any SF (checked by DuckDB query this round), and the affected
-#    query (canonical_url_groups) is IN-window anyway — the oracle
-#    renders from the same constant, so both engines changed
-#    together (cross-engine tests + new terminator cases pass).
-#  - every other query flagged below (events/graph/sessions set)
-#    shares only module-level imports with the changed code, none of
-#    its own expressions.
-# Deferred-text batch (third r14 package edit, operators/text.py +
-# functions/textfns.py + plans/queries_text.py):
-#  - the r13 queue said all five text fixes target r14-window
-#    queries; that was true only for bm25_topk and lang_id. The
-#    pack/chunk/n-gram fixes touch queries that sat in the R13
-#    window (packed_sequences, packed_sequence_fragments, doc_chunks,
-#    repetition_scores, trigram_counts) — freshly driver-verified
-#    LAST round, re-verified by the driver next round when they
-#    rotate back in. Attestation basis, per fix:
-#    - pack NULL→'' coalesce + lang oracle coalesce: value-neutral on
-#      shipped data (zero NULL/empty text at every SF, r13 check);
-#      Spark plan and DuckDB oracle changed TOGETHER from the same
-#      convention.
-#    - chunk_documents guards: raise on arguments no registered query
-#      passes; the __chunk_len alias renders the same DIV arithmetic.
-#    - word_ngrams extraction: produces the IDENTICAL expression tree
-#      the three inlined copies built (distinct inside the when for
-#      shingles; occurrence transform for ngram_counts /
-#      repetition_scores) — checked by the helper-semantics test and
-#      the unchanged bench fingerprints.
-#  - every other query flagged below (relational/events set) shares
-#    only module-level imports with the changed code.
-#
-# Profiling-review batch (fifth r14 package edit,
-# plans/queries_profiling.py): value_distribution_stats and
-# price_quantity_correlation accumulate moments in DECIMAL instead of
-# long (sum of squared cents overflows int64 exactly at scale while
-# DuckDB promotes to HUGEINT), and the variance numerator is the
-# exact integer n*ss - s*s converted to double once (the old
-# ss - s*s/n double cancellation rounded differently per engine at
-# large magnitudes). Both changes are value-identical at every
-# shipped SF (all intermediates < 2^53, so the decimal-vs-long →
-# double conversions agree bit-for-bit), proven by the adversarial-
-# magnitude oracle-parity test
-# (test_moment_aggregates_survive_int64_overflow) plus rehearsal.
-# Although these are plan+oracle changes to out-of-window queries,
-# the verification timing is unchanged: both rotate into the r15
-# window (they are r13-greens), which is exactly when an r15-landed
-# fix would first be driver-verified too. The other three flagged
-# queries share the module but none of the changed expressions.
-#
-# Adversarial-TPC-H division/domain batch (r14, after the round-14
-# close): the hostile-TPC-H sweep found Spark 4's ANSI mode hard-fails
-# DIVIDE_BY_ZERO even for DOUBLE division (DuckDB yields NULL) and
-# that DuckDB sqrt/ln hard-error out of domain (Spark NaN/NULL).
-# Three queries changed, engine and oracle TOGETHER:
-#  - order_scalar_functions (IN-window): sqrt/ln CASE-guarded.
-#  - asia_market_share (out-of-window): the share division is
-#    CASE-guarded against a zero-cents year. Value-neutral on shipped
-#    data (zero zero-revenue years at every SF, checked by DuckDB
-#    query); rotates into the r15 window (r13-green), which is when
-#    an r15-landed fix would first be driver-verified anyway.
-#  - price_quantity_correlation (out-of-window): the correlation's
-#    moment terms are now EXACT integers (n*sxx - sx² in decimal /
-#    HUGEINT, one double conversion) and the zero-variance
-#    (constant-column) group is CASE-guarded. Value-neutral on
-#    shipped data (no constant-column returnflag group at any SF,
-#    checked; the exact-vs-double formula agrees bit-for-bit at
-#    shipped magnitudes, proven by the existing overflow-magnitude
-#    oracle-parity test passing unchanged); same r15-rotation timing.
-# All three pinned by test_ratio_queries_survive_zero_denominator_
-# groups (hostile fixtures through the registered queries + real
-# oracles, old forms demonstrated dying).
-#
-# Widened-money-domain batch (r14, same session, closing the r15
-# queue's optional item): the moments ORACLES' per-row cents
-# products are HUGEINT-ified (removing the old ~3e9-cent
-# verification cap), and the sweep at the widened domain immediately
-# found that Spark's floor(double) returns LONG and silently
-# SATURATES at int64 max (DuckDB floor stays DOUBLE) — so
-# value_distribution_stats' variance quantization now branches to
-# the raw bit-deterministic double past 9.0e18 on BOTH sides (the
-# branch compares the same double, so the arm can never differ).
-# The same saturation class applies to asia_market_share: a
-# near-cancelling total under a large numerator pushes share*1e6
-# past int64, so its quantization also branches to the raw double
-# past |share| 9e12, both sides together. Out-of-window targets
-# value_distribution_stats, price_quantity_correlation, and
-# asia_market_share: value-neutral at every shipped SF (re-proven
-# post-change by running each oracle-exact at sf0.001/0.01/0.1 —
-# shipped variances/shares are nowhere near the branch points),
-# same r15-rotation timing. Pinned by the extended
-# test_moment_aggregates_survive_int64_overflow (HUGEINT fixture,
-# old BIGINT-product oracle demonstrated dying, floor saturation
-# demonstrated, saturation-magnitude fixture oracle-exact) and the
-# (2b) share-saturation fixture in
-# test_ratio_queries_survive_zero_denominator_groups.
-#
-# Deferred-oracle batch (r14, same session): the two r15-queued
-# adversarial-rehearsal oracle fixes landed early under the same
-# precedent — both ORACLE-ONLY, both out-of-window r13-greens that
-# rotate into r15 (identical driver-verification timing either way),
-# both value-neutral on shipped data (no NULL/empty text at any SF;
-# re-proven by running both queries oracle-exact at sf0.001/0.01/0.1
-# post-change):
-#  - quality_filtered_corpus: oracle moved to _QF_CTE + the guarded
-#    alpha_ratio (NULL text folds to '', empty doc floors to 0.0 —
-#    mirroring the engine's r13 behavior).
-#  - media_byte_histograms: oracle coalesces the cleaned text to ''
-#    so a NULL-text doc yields the engine's all-zero histogram.
-# Pinned inside test_token_and_quality_survive_dirty_text; the full
-# hostile sweep is 100/100 with these.
-#
-# Module-review hardening batch (fourth r14 package edit): graph
-# (candidate_pairs integer DIV + pagerank empty-graph guard — both
-# IN-window), asof (payload-name-clash guard), ordering (n_buckets
-# guard), multimodal (NULL-payload histogram, empty-Arrow-batch skip,
-# sample_frames param guards). The flagged out-of-window queries
-# (media_*, purchase_last_click_asof) are affected only by guards
-# that raise on arguments no registered query passes, or by
-# NULL-payload paths unreachable from build_media_table; the media
-# plans and values are unchanged.
-# Empirical backstop: both registry halves rehearsed 50/50
-# value-exact against their DuckDB oracles under a bare session at
-# sf0.01 after each batch landed (BENCHNOTES r14).
-_ATTESTED_UNCHANGED: set[str] = {
-    # ADVICE-closure batch
-    "streaming_triangle_count",
-    "knn_ivf_maintained", "knn_ivf_pruned", "knn_bruteforce",
-    "knn_ivf", "ivf_assignments", "embedding_near_dups_indexed",
-    "embedding_near_dups_probe",
-    # deferred-dedup batch
-    "clean_corpus", "dedup_clusters", "dedup_survivors",
-    "connected_components", "hourly_event_counts", "session_stats",
-    "session_window_stats", "stateful_streaming_sessions",
-    "stratified_event_sample", "streaming_event_dedup",
-    "streaming_hourly_counts", "streaming_minhash_dedup",
-    "streaming_view_attribution", "triangle_count", "triangles",
-    "value_band_range_join",
-    # deferred-text batch
-    "asia_market_share", "decontaminated_corpus",
-    "decontamination_external", "decontamination_pairs", "doc_chunks",
-    "monthly_retention_cohorts", "order_size_distribution",
-    "packed_sequence_fragments", "packed_sequences",
-    "quality_filtered_corpus", "repetition_scores",
-    "signup_to_purchase_funnel", "source_mixture_sample",
-    "top_parts_per_nation", "trigram_counts", "volume_shipping",
-    # module-review hardening batch
-    "media_byte_histograms", "media_frame_sample", "media_metadata",
-    "purchase_last_click_asof",
-    # profiling-review batch
-    "value_distribution_stats", "price_quantity_correlation",
-    "event_type_counts_salted", "lineitem_profile",
-    "nation_participants_full_outer",
-    # approx_order_percentiles (out-of-window, r13-green → rotates
-    # into r15): the in-bounds booleans now compare the sketch
-    # element against the ELEMENTS at the ±0.02 slack ranks instead
-    # of interpolated quantile VALUES (engine-side plan change only —
-    # the oracle's literal TRUEs are untouched). Value-neutral on
-    # shipped data: the booleans were already TRUE at every SF and
-    # the rank-window bound is strictly WEAKER than the interpolated
-    # one (floor/ceil only widen the band), so no TRUE can flip.
-    # Pinned by test_percentile_bounds_and_null_priority_cross_engine
-    # with the old check demonstrated failing on a hostile gap group.
-    "approx_order_percentiles",
-}
+# Round 15 plan: the rotation brings every late-r14-changed query
+# (saturation/guard/oracle fixes) INTO the window, so nothing starts
+# the round needing attestation. Any r15 package edit that touches
+# out-of-window queries must either rotate them in or attest them
+# here with a value-neutrality argument, as in prior rounds.
+_ATTESTED_UNCHANGED: set[str] = set()
+
 
 def _round_sorted(paths: list[str]) -> list[str]:
     """Sort round-stamped artifact files by NUMERIC round: plain
