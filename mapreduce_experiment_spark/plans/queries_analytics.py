@@ -41,9 +41,17 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("n_name").alias("cust_nation"))
     sn = n.select(F.col("n_nationkey").alias("snk"),
                   F.col("n_name").alias("supp_nation"))
+    # Revenue cents accumulate in DECIMAL, not long (ADVICE r14): at
+    # the contracted ±2e12-cent per-row magnitudes a single
+    # (nation, nation, year) group of ~4.6M rows pushes the int64 sum
+    # past 2^63, an ANSI ARITHMETIC_OVERFLOW that kills the job while
+    # DuckDB's BIGINT sum silently promotes to HUGEINT — a crash on
+    # one side, a value on the other. decimal(19,0) sums are exact to
+    # 1e38, and the /100.0 converts to double either way, so shipped
+    # SFs are bit-identical.
     cents = F.round(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
-    ).cast("long")
+    ).cast("decimal(19,0)")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -96,9 +104,14 @@ def q_asia_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
+    # decimal(19,0), not long, for the same reason as volume_shipping
+    # (ADVICE r14): a year group of ~4.6M contract-extreme rows would
+    # ANSI-overflow an int64 revenue sum Spark-side while DuckDB
+    # silently promotes to HUGEINT. Exact integer either way; every
+    # consumer converts to double once.
     cents = F.round(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
-    ).cast("long")
+    ).cast("decimal(19,0)")
     rev = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -252,9 +265,12 @@ def q_top_parts_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
+    # decimal(19,0) accumulation (ADVICE r14, same int64-overflow
+    # class as volume_shipping); ranking on the decimal sum is still
+    # exact-integer, so ties remain impossible cross-engine.
     cents = F.round(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
-    ).cast("long")
+    ).cast("decimal(19,0)")
     rev = (
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))

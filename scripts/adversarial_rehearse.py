@@ -118,12 +118,20 @@ def build_documents(rng: random.Random, n: int = 400):
     emoji/combining-mark soup, one very long doc)."""
     rows = []
     langs = ["en", "es", "de", "zh", None, "xx", ""]
+    # Per-seed pool shuffle (the r14 TPC-H fix, applied here too):
+    # positional i % len indexing placed the SAME dirty URL on the
+    # same row every seed — shuffling makes each seed explore
+    # different URL-on-document alignments (which near-dup pair
+    # shares a canonical URL, which degenerate doc carries the
+    # \z-trap) while cyclic indexing still covers every pool value.
+    urls = list(_DIRTY_URLS)
+    rng.shuffle(urls)
 
     def add(text, source=None):
         i = len(rows)
         rows.append((i, text, rng.choice(langs),
                      source if source is not None
-                     else _DIRTY_URLS[i % len(_DIRTY_URLS)],
+                     else urls[i % len(urls)],
                      len(text) if text is not None else None))
 
     # plain word-soup base corpus
@@ -172,16 +180,24 @@ def build_embeddings(rng: random.Random, dim: int = 64, n: int = 400):
         v = np.array([rng.uniform(-1, 1) for _ in range(dim)],
                      dtype=np.float64)
         vecs.append(v)
-    # planted structure in the corpus range (ids >= 16)
-    vecs[20] = np.zeros(dim)                          # zero norm
-    vecs[21] = np.zeros(dim)                          # zero-norm pair
-    vecs[22] = vecs[30].copy()                        # exact duplicate
-    vecs[23] = vecs[30] + 1e-7                        # near duplicate
-    vecs[24] = -vecs[30]                              # antiparallel
-    vecs[25] = np.eye(dim)[0]                         # one-hot
-    vecs[26] = np.eye(dim)[0] * 1e18                  # huge magnitude
-    vecs[27] = np.eye(dim)[0] * 1e-30                 # tiny magnitude
-    vecs[28] = vecs[26].copy()                        # huge duplicate
+    # Planted structure in the corpus range (ids >= 16). The slots
+    # and the one-hot axis are drawn per seed (r15, extending the r14
+    # pool-shuffle fix): fixed ids 20-28/base-30/axis-0 meant every
+    # seed planted the same hostile vector on the same id, so an
+    # id-or-axis-dependent defect (bucketing, partition pruning)
+    # could hide behind one fixed alignment forever.
+    slots = rng.sample(range(16, n), 10)
+    base = vecs[slots[9]]
+    axis = np.eye(dim)[rng.randrange(dim)]
+    vecs[slots[0]] = np.zeros(dim)                    # zero norm
+    vecs[slots[1]] = np.zeros(dim)                    # zero-norm pair
+    vecs[slots[2]] = base.copy()                      # exact duplicate
+    vecs[slots[3]] = base + 1e-7                      # near duplicate
+    vecs[slots[4]] = -base                            # antiparallel
+    vecs[slots[5]] = axis                             # one-hot
+    vecs[slots[6]] = axis * 1e18                      # huge magnitude
+    vecs[slots[7]] = axis * 1e-30                     # tiny magnitude
+    vecs[slots[8]] = axis * 1e18                      # huge duplicate
     rows = [(i, [float(np.float32(x)) for x in v], rng.randrange(8))
             for i, v in enumerate(vecs)]
     return rows
@@ -231,7 +247,20 @@ def build_tpch(rng: random.Random):
       double (< 2^53 even after the revenue multipliers) and well
       inside the moment oracles' HUGEINT / the engine's decimal(38)
       domain (the old ~3e9-cent cap fell when the oracles'
-      squared/cross products were HUGEINT-ified).
+      squared/cross products were HUGEINT-ified). The revenue-sum
+      queries (volume_shipping, asia_market_share,
+      top_parts_per_nation) accumulate cents in decimal(19,0) as the
+      moment queries do (ADVICE r14 — an int64 sum would ANSI-
+      overflow at ~4.6M contract-extreme rows per group while DuckDB
+      silently promotes to HUGEINT). Residual int64 accumulation
+      sites, each bounded far above any fixture this generator
+      emits: orders_above_customer_average's per-customer window sum
+      and cents*n product (o_totalprice cents × group size — safe
+      below ~4.6M extreme orders per customer), and the events-value
+      session sums in queries_events/operators.events/streaming
+      (events u7 is ±3e12 cents — safe below ~3M extreme events per
+      session/window group); queued for decimal when those queries
+      next rotate into a verification window.
     - Every other measure/string column may be NULL: aggregates skip
       NULLs identically, and a NULL group key groups NULLs together
       on both engines.
@@ -519,8 +548,18 @@ def write_advdata(out_dir: str, base_dir: str, seed: int) -> None:
         build_tpch(rng)
 
     def w(name, cols, schema):
+        # strict zips (ADVICE r14): a row tuple with the wrong arity
+        # would otherwise silently truncate EVERY row to the shortest
+        # and drop trailing schema columns — a malformed-but-readable
+        # parquet instead of a loud generator error.
+        for row in cols:
+            if len(row) != len(schema):
+                raise ValueError(
+                    f"{name}: row arity {len(row)} != schema "
+                    f"{len(schema)}: {row!r}")
         arrays = {c: pa.array(vals, t)
-                  for (c, t), vals in zip(schema, zip(*cols))}
+                  for (c, t), vals in zip(schema, zip(*cols, strict=True),
+                                          strict=True)}
         pq.write_table(pa.table(arrays),
                        os.path.join(out_dir, f"{name}.parquet"))
 

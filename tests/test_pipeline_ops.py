@@ -1676,6 +1676,88 @@ def test_moment_aggregates_survive_int64_overflow(spark, tmp_path):
     assert sat == 9223372036854775807
 
 
+def test_revenue_sums_survive_int64_overflow(spark, tmp_path):
+    """ADVICE r14: the moment queries got decimal accumulators, but
+    the revenue-sum queries (volume_shipping, asia_market_share,
+    top_parts_per_nation) still summed cents as int64 — at the
+    contracted ±2e12-cent per-row magnitude a single group of ~4.6M
+    rows pushes the sum past 2^63, an ANSI ARITHMETIC_OVERFLOW that
+    kills the job Spark-side while DuckDB's BIGINT sum silently
+    promotes to HUGEINT (crash on one engine, value on the other).
+    Revenue cents now accumulate in decimal(19,0); prove all three
+    registered queries match their oracles on a 5M-row group whose
+    revenue sum is 1e19 cents, and demonstrate the old long form
+    dying there."""
+    import duckdb
+    import pyspark.errors
+    import pytest
+
+    from mapreduce_experiment_spark.plans.registry import SPECS
+    from tests.oracle_util import assert_matches, run_oracle
+
+    sf = str(tmp_path)
+    con = duckdb.connect()
+    # One order/customer/supplier; customer in ASIA, supplier in a
+    # different nation (volume_shipping's <> filter must keep the
+    # rows). 5M line items of +2e10 dollars = 2e12 cents each →
+    # group sum 1e19 > int64 max, inside decimal(19)/HUGEINT.
+    con.execute(f"""
+        COPY (SELECT * FROM (VALUES (0, 'ASIA'), (1, 'EUROPE'))
+              t(r_regionkey, r_name))
+        TO '{sf}/region.parquet' (FORMAT parquet)""")
+    con.execute(f"""
+        COPY (SELECT * FROM (VALUES (0, 'ANATION', 0), (1, 'SNATION', 1))
+              t(n_nationkey, n_name, n_regionkey))
+        TO '{sf}/nation.parquet' (FORMAT parquet)""")
+    con.execute(f"""
+        COPY (SELECT 0::BIGINT AS c_custkey, 'c' AS c_name,
+                     0::INT AS c_nationkey, 0.0 AS c_acctbal,
+                     'BUILDING' AS c_mktsegment)
+        TO '{sf}/customer.parquet' (FORMAT parquet)""")
+    con.execute(f"""
+        COPY (SELECT 1::BIGINT AS s_suppkey, 's' AS s_name,
+                     1::INT AS s_nationkey, 0.0 AS s_acctbal)
+        TO '{sf}/supplier.parquet' (FORMAT parquet)""")
+    con.execute(f"""
+        COPY (SELECT 0::BIGINT AS o_orderkey, 0::BIGINT AS o_custkey,
+                     'O' AS o_orderstatus, 1.0 AS o_totalprice,
+                     TIMESTAMP '1995-06-01 00:00:00' AS o_orderdate,
+                     '1-URGENT' AS o_orderpriority)
+        TO '{sf}/orders.parquet' (FORMAT parquet)""")
+    con.execute(f"""
+        COPY (SELECT 0::BIGINT AS l_orderkey, 7::BIGINT AS l_partkey,
+                     1::BIGINT AS l_suppkey, i::INT AS l_linenumber,
+                     1.0 AS l_quantity, 2.0e10 AS l_extendedprice,
+                     0.0 AS l_discount, 0.0 AS l_tax,
+                     'N' AS l_returnflag, 'O' AS l_linestatus,
+                     TIMESTAMP '1995-06-01 00:00:00' AS l_shipdate
+              FROM range(5000000) t(i))
+        TO '{sf}/lineitem.parquet' (FORMAT parquet)""")
+
+    specs = SPECS()
+    for name in ("volume_shipping", "asia_market_share",
+                 "top_parts_per_nation"):
+        assert_matches(specs[name].fn(spark, sf),
+                       run_oracle(specs[name].oracle, sf), name)
+    # the group really is past int64: 5e6 rows × 2e12 cents
+    row = specs["asia_market_share"].fn(spark, sf).collect()[0]
+    assert row.total_cents == 1e19 and row.asia_share == 1.0
+
+    # the defect, demonstrated: the old long-typed revenue sum
+    # ANSI-overflows on this group while the DuckDB oracle's BIGINT
+    # sum silently promotes to HUGEINT
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    with pytest.raises(pyspark.errors.PySparkException,
+                       match="OVERFLOW|overflow"):
+        spark.read.parquet(f"{sf}/lineitem.parquet") \
+            .agg(F.sum(cents)).collect()
+    assert run_oracle(
+        "SELECT sum(CAST(round(l_extendedprice * (1 - l_discount) "
+        "* 100) AS BIGINT)) AS s FROM lineitem", sf).s[0] == 10**19
+
+
 def test_priority_word_survives_delimiter_free_input(spark, tmp_path):
     """r14 plans review: order_scalar_functions extracted priority_word
     with split('-').getItem(1), which under ANSI (the Spark 4 default)
