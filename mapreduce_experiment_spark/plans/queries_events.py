@@ -127,8 +127,9 @@ def q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
         )
         .agg(F.count(F.lit(1)).alias("n_events"),
-             (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0)
-                 .alias("total_value"))
+             # decimal cents accumulation (r15, ADVICE-r14 class)
+             (F.sum(F.round(F.col("value") * 100, 0).cast("decimal(19,0)"))
+              / 100.0).alias("total_value"))
         .select("user_id",
                 F.col("session_window.start").alias("window_start"),
                 F.col("session_window.end").alias("window_end"),
@@ -255,8 +256,9 @@ def q_value_band_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = range_join(ev, "value", bands, granule=25.0)
     return joined.groupBy("band_label", "lo").agg(
         F.count(F.lit(1)).alias("n_events"),
-        (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0)
-            .alias("total_value"),
+        # decimal cents accumulation (r15, ADVICE-r14 class)
+        (F.sum(F.round(F.col("value") * 100, 0).cast("decimal(19,0)"))
+         / 100.0).alias("total_value"),
     )
 
 

@@ -176,8 +176,12 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0)
-                .alias("total_value"),
+            # decimal cents accumulation (r15, ADVICE-r14 class);
+            # the streaming agg state holds the decimal sum — every
+            # run here starts from a fresh checkpoint, so no state
+            # schema migration is implied.
+            (F.sum(F.round(F.col("value") * 100, 0).cast("decimal(19,0)"))
+             / 100.0).alias("total_value"),
         )
     )
     name = f"stream_hourly_{next(_COUNTER)}"

@@ -3,7 +3,12 @@
 A custom per-user session operator the built-in aggregations can't
 express: arbitrary per-session accumulators (exact integer cents,
 event counts, bounds) with explicit keyed state that survives across
-micro-batches. State schema holds the trailing open session; each
+micro-batches. The Python-side accumulation is arbitrary-precision
+(plain ints), but the persisted state column is ``cents long`` —
+the documented per-SESSION cap is int64 (~9.2e18 cents, i.e. ~3M
+contract-extreme ±3e12-cent events in ONE session); the batch-side
+group sums moved to decimal(19,0) in r15, and widening this state
+column to decimal is the queued follow-up if that cap ever binds. State schema holds the trailing open session; each
 batch emits every session touched in that batch (emit-on-batch-close
 with amendment — downstream consumers keep the latest row per
 (user_id, session_id)).

@@ -160,7 +160,33 @@ _ROUND_BASE = "c969f1a"  # r14 driver commit (verdict landed); bump each round
 # the round needing attestation. Any r15 package edit that touches
 # out-of-window queries must either rotate them in or attest them
 # here with a value-neutrality argument, as in prior rounds.
-_ATTESTED_UNCHANGED: set[str] = set()
+#
+# Decimal-cents batch (first r15 package edit, closing the ADVICE-r14
+# int64-money class for the events surface): the five value-sum
+# sites in operators/events.py (session_stats, hourly_event_counts),
+# plans/queries_events.py (session_window_stats,
+# value_band_range_join), and streaming/pipeline.py
+# (streaming_hourly_counts) accumulate cents in decimal(19,0)
+# instead of long — all five consuming queries are IN the r15
+# window, so the change gets its driver verdict this round. Every
+# query attested below shares only module-level imports with the
+# changed files (the edits are five specific agg expressions inside
+# named functions none of them call): the graph/dedup set reaches
+# streaming.pipeline only transitively through plans-module imports,
+# and sessionize_events / user_value_scd2 /
+# stateful_streaming_sessions_evicting consume sessionize /
+# sessions.py paths whose expressions are untouched (sessions.py
+# gained only a docstring cap note). Empirical backstop: complement
+# half re-rehearsed 50/50 at sf0.01 post-change, full suite green,
+# hostile seed swept (BENCHNOTES r15).
+_ATTESTED_UNCHANGED: set[str] = {
+    "edges_derive", "symmetrize", "adjacency", "degrees",
+    "candidate_pairs", "pagerank", "triangles_faithful",
+    "exact_dedup_groups", "minhash_dedup_pairs", "ngram_jaccard_pairs",
+    "simhash_near_dups", "repeated_spans", "span_deduped_corpus",
+    "canonical_url_groups", "sessionize_events", "user_value_scd2",
+    "stateful_streaming_sessions_evicting",
+}
 
 
 def _round_sorted(paths: list[str]) -> list[str]:
