@@ -46,9 +46,10 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (nation, nation, year) group of ~4.6M rows pushes the int64 sum
     # past 2^63, an ANSI ARITHMETIC_OVERFLOW that kills the job while
     # DuckDB's BIGINT sum silently promotes to HUGEINT — a crash on
-    # one side, a value on the other. decimal(19,0) sums are exact to
-    # 1e38, and the /100.0 converts to double either way, so shipped
-    # SFs are bit-identical.
+    # one side, a value on the other. A decimal(19,0) input sums as
+    # decimal(29,0) — exact to 1e29 (Spark widens sum precision by
+    # 10, not to 38) — and the /100.0 converts to double either way,
+    # so shipped SFs are bit-identical.
     cents = F.round(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
     ).cast("decimal(19,0)")

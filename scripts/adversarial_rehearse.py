@@ -252,15 +252,19 @@ def build_tpch(rng: random.Random):
       top_parts_per_nation) accumulate cents in decimal(19,0) as the
       moment queries do (ADVICE r14 — an int64 sum would ANSI-
       overflow at ~4.6M contract-extreme rows per group while DuckDB
-      silently promotes to HUGEINT). Residual int64 accumulation
-      sites, each bounded far above any fixture this generator
-      emits: orders_above_customer_average's per-customer window sum
-      and cents*n product (o_totalprice cents × group size — safe
-      below ~4.6M extreme orders per customer), and the events-value
-      session sums in queries_events/operators.events/streaming
-      (events u7 is ±3e12 cents — safe below ~3M extreme events per
-      session/window group); queued for decimal when those queries
-      next rotate into a verification window.
+      silently promotes to HUGEINT), and the events-value session
+      sums moved to decimal the same round. Residual int64
+      accumulation sites, each bounded far above any fixture this
+      generator emits and queued for decimal when their queries
+      next hold a verification window (r16): the shared qsum/qavg
+      helpers (functions/compare.py — pricing_summary,
+      revenue_by_nation, order_priority_rollup,
+      returnflag_status_cube, nation_order_stats),
+      orders_above_customer_average's per-customer window sum and
+      cents*n product (safe below ~4.6M extreme orders per
+      customer), and the stateful sessionizer's `cents long` state
+      column (safe below ~3M extreme events in ONE session; cap
+      documented in streaming/sessions.py).
     - Every other measure/string column may be NULL: aggregates skip
       NULLs identically, and a NULL group key groups NULLs together
       on both engines.
@@ -548,18 +552,21 @@ def write_advdata(out_dir: str, base_dir: str, seed: int) -> None:
         build_tpch(rng)
 
     def w(name, cols, schema):
-        # strict zips (ADVICE r14): a row tuple with the wrong arity
-        # would otherwise silently truncate EVERY row to the shortest
-        # and drop trailing schema columns — a malformed-but-readable
-        # parquet instead of a loud generator error.
+        # Loud arity guard (ADVICE r14): a row tuple with the wrong
+        # arity would otherwise silently truncate EVERY row to the
+        # shortest and drop trailing schema columns — a malformed-
+        # but-readable parquet instead of a generator error. The
+        # explicit check names the table and row; a zero-row table
+        # still writes every schema column (zip(*[]) would silently
+        # produce an EMPTY-schema table).
         for row in cols:
             if len(row) != len(schema):
                 raise ValueError(
                     f"{name}: row arity {len(row)} != schema "
                     f"{len(schema)}: {row!r}")
+        columns = list(zip(*cols)) if cols else [[] for _ in schema]
         arrays = {c: pa.array(vals, t)
-                  for (c, t), vals in zip(schema, zip(*cols, strict=True),
-                                          strict=True)}
+                  for (c, t), vals in zip(schema, columns)}
         pq.write_table(pa.table(arrays),
                        os.path.join(out_dir, f"{name}.parquet"))
 
