@@ -1758,6 +1758,58 @@ def test_revenue_sums_survive_int64_overflow(spark, tmp_path):
         "* 100) AS BIGINT)) AS s FROM lineitem", sf).s[0] == 10**19
 
 
+def test_event_value_sums_survive_int64_overflow(spark, tmp_path):
+    """r15 companion to the revenue test above, for the events
+    surface: the session/window value sums accumulated cents as
+    int64, overflowing at ~3M contract-extreme (±3e12-cent) events
+    per group — ANSI crash Spark-side, silent HUGEINT promotion in
+    DuckDB. Now decimal(19,0); prove hourly_event_counts (the
+    cheapest registered consumer — one group-by over the raw table)
+    matches its oracle on a 3.2M-row single-bucket group whose sum
+    is past 2^63, and demonstrate the old long form dying there."""
+    import duckdb
+    import pyspark.errors
+    import pytest
+
+    from mapreduce_experiment_spark.plans.registry import SPECS
+    from tests.oracle_util import assert_matches, run_oracle
+
+    sf = str(tmp_path)
+    con = duckdb.connect()
+    # 3.2M 'click' events in ONE hour at +3e10 dollars (3e12 cents)
+    # each: group sum 9.6e18 cents > int64 max, inside
+    # decimal(29)/HUGEINT. A second small group keeps the group-by
+    # honest.
+    con.execute(f"""
+        COPY (SELECT i AS event_id,
+                     TIMESTAMP '2024-01-01 00:00:00'
+                       + INTERVAL (i % 3000) SECOND AS ts,
+                     1::BIGINT AS user_id,
+                     CASE WHEN i < 3200000 THEN 'click' ELSE 'view' END
+                       AS event_type,
+                     CASE WHEN i < 3200000 THEN 3.0e10 ELSE 1.25 END
+                       AS value,
+                     '{{}}' AS props
+              FROM range(3200004) t(i))
+        TO '{sf}/events.parquet' (FORMAT parquet)""")
+
+    specs = SPECS()
+    spec = specs["hourly_event_counts"]
+    assert_matches(spec.fn(spark, sf), run_oracle(spec.oracle, sf),
+                   "hourly_event_counts")
+    rows = {r.event_type: r for r in spec.fn(spark, sf).collect()}
+    assert rows["click"].total_value == 9.6e16  # 9.6e18 cents / 100
+
+    # the defect, demonstrated: the old long-typed value sum
+    # ANSI-overflows on the hot bucket
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    with pytest.raises(pyspark.errors.PySparkException,
+                       match="OVERFLOW|overflow"):
+        spark.read.parquet(f"{sf}/events.parquet") \
+            .where(F.col("event_type") == "click") \
+            .agg(F.sum(cents)).collect()
+
+
 def test_priority_word_survives_delimiter_free_input(spark, tmp_path):
     """r14 plans review: order_scalar_functions extracted priority_word
     with split('-').getItem(1), which under ANSI (the Spark 4 default)
