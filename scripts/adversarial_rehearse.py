@@ -260,11 +260,15 @@ def build_tpch(rng: random.Random):
       helpers (functions/compare.py — pricing_summary,
       revenue_by_nation, order_priority_rollup,
       returnflag_status_cube, nation_order_stats),
+      customer_running_spend's per-customer running window sum,
       orders_above_customer_average's per-customer window sum and
       cents*n product (safe below ~4.6M extreme orders per
-      customer), and the stateful sessionizer's `cents long` state
-      column (safe below ~3M extreme events in ONE session; cap
-      documented in streaming/sessions.py).
+      customer; its ORACLE's BIGINT sum/product needs HUGEINT casts
+      in the same change — DuckDB BIGINT multiply hard-errors on
+      overflow rather than promoting), and the stateful
+      sessionizer's `cents long` state column (safe below ~3M
+      extreme events in ONE session; cap documented in
+      streaming/sessions.py).
     - Every other measure/string column may be NULL: aggregates skip
       NULLs identically, and a NULL group key groups NULLs together
       on both engines.
