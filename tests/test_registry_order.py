@@ -12,39 +12,35 @@ import os
 
 from mapreduce_experiment_spark.plans.registry import _ORDER, SPECS, WINDOW
 
-# Round 15 contract: steady-state alternate-round cadence, fifth
-# full cycle. The r14 driver verdict landed (CORRECTNESS_r14.json
-# 50/50 green, keys == WINDOW_r14.json), so the r14 window rotates
+# Round 16 contract: steady-state alternate-round cadence, sixth
+# full cycle. The r15 driver verdict landed (CORRECTNESS_r15.json
+# 50/50 green, keys == WINDOW_r15.json), so the r15 window rotates
 # out and the new window is the registry's stalest set: exactly the
-# 50 r13-greens (WINDOW_r13.json keys verbatim — nothing retired or
-# deferred in r14). 50 = 50, zero slack. The nine queries that
-# changed late in r14 out-of-window (saturation/guard/oracle fixes)
-# all sit inside this window — r15 is their first post-change
-# driver verdict.
+# 50 r14-greens (WINDOW_r14.json keys verbatim — nothing retired or
+# deferred in r15). 50 = 50, zero slack. Every query the r16 money
+# migration touches (qsum/qavg consumers, the two window-sum
+# relational queries, the sessionizer-state consumers) sits inside
+# this window — r16 is their first post-change driver verdict.
 _MUST_BE_IN_WINDOW = {
-    # last driver verdict r13
-    "knn_ivf_maintained", "streaming_minhash_dedup",
-    "stateful_streaming_sessions", "streaming_view_attribution",
-    "knn_ivf_pruned", "embedding_near_dups_indexed",
-    "streaming_event_dedup", "embedding_near_dups_probe",
-    "approx_order_percentiles", "asia_market_share", "clean_corpus",
-    "connected_components", "decontaminated_corpus",
-    "decontamination_external", "decontamination_pairs",
-    "dedup_clusters", "dedup_survivors", "doc_chunks",
-    "event_type_counts_salted", "hourly_event_counts",
-    "ivf_assignments", "knn_bruteforce", "knn_ivf",
-    "lineitem_profile", "media_byte_histograms", "media_frame_sample",
-    "media_metadata", "monthly_retention_cohorts",
-    "nation_participants_full_outer", "order_size_distribution",
-    "packed_sequence_fragments", "packed_sequences",
-    "price_quantity_correlation", "purchase_last_click_asof",
-    "quality_filtered_corpus", "repetition_scores", "session_stats",
-    "session_window_stats", "signup_to_purchase_funnel",
-    "source_mixture_sample", "stratified_event_sample",
-    "streaming_hourly_counts", "streaming_triangle_count",
-    "top_parts_per_nation", "triangle_count", "triangles",
-    "trigram_counts", "value_band_range_join",
-    "value_distribution_stats", "volume_shipping",
+    # last driver verdict r14
+    "stateful_streaming_sessions_evicting",
+    "embedding_near_dups_maintained", "account_balance_union",
+    "adjacency", "approx_distinct_counts", "bm25_topk",
+    "candidate_pairs", "canonical_url_groups", "corpus_shuffle",
+    "customer_running_spend", "customers_churned", "customers_retained",
+    "degrees", "edges_derive", "events_json_extract",
+    "exact_dedup_groups", "fingerprints", "grouping_sets_sql",
+    "kmeans_centroids", "kmeans_ivf_assignments", "knn_ivf_trained",
+    "lang_id", "minhash_dedup_pairs", "mktsegment_pivot",
+    "nation_order_stats", "ngram_jaccard_pairs", "order_gap_days",
+    "order_priority_rollup", "order_scalar_functions",
+    "orders_above_customer_average", "pagerank", "parts_never_ordered",
+    "pii_redaction", "pricing_summary", "quality_scores",
+    "repeated_spans", "returnflag_status_cube", "revenue_by_nation",
+    "sessionize_events", "simhash_near_dups", "span_deduped_corpus",
+    "suppliers_with_orders", "symmetrize", "tfidf_doc_pairs",
+    "token_counts", "token_frequencies", "top_customers_per_nation",
+    "top_orders_global", "triangles_faithful", "user_value_scd2",
 }
 
 # WINDOW is imported from the registry — the single source of truth
@@ -68,14 +64,15 @@ _RETIRED_AFTER_VERDICT: set[str] = set()
 # r12: nothing retired — CORRECTNESS_r11.json keys all remain registered.
 # r13: nothing retired — CORRECTNESS_r12.json keys all remain registered.
 # r14: nothing retired — CORRECTNESS_r13.json keys all remain registered.
-# r15: nothing retired — CORRECTNESS_r14.json keys all remain registered.)
+# r15: nothing retired — CORRECTNESS_r14.json keys all remain registered.
+# r16: nothing retired — CORRECTNESS_r15.json keys all remain registered.)
 
 # New queries that could NOT fit this round's 50-slot window and whose
 # driver verification is therefore deferred EXACTLY one round: they
 # must sit immediately after the window boundary so the next rotation
 # picks them up first, and they carry local oracle gating
 # (test_registry_oracle, sf0.001 + sf0.01) in the meantime.
-# Round 15: nothing new registered (registry at the 100-query
+# Round 16: nothing new registered (registry at the 100-query
 # ceiling; growth requires a funded retirement), so nothing defers.
 _DEFERRED_TO_NEXT_WINDOW: list[str] = []
 
@@ -149,44 +146,23 @@ def test_registry_has_expected_size():
 # either sit inside the window or be explicitly attested unchanged
 # below (a conscious, reviewable act in the diff).
 
-_ROUND_BASE = "c969f1a"  # r14 driver commit (verdict landed); bump each round
+_ROUND_BASE = "d41aa2e"  # r15 driver commit (verdict landed); bump each round
 
 # Queries living in touched modules whose own plan + oracle are
 # attested unchanged this round (measured against _ROUND_BASE = the
-# r14 driver commit).
+# r15 driver commit).
 #
-# Round 15 plan: the rotation brings every late-r14-changed query
-# (saturation/guard/oracle fixes) INTO the window, so nothing starts
-# the round needing attestation. Any r15 package edit that touches
-# out-of-window queries must either rotate them in or attest them
-# here with a value-neutrality argument, as in prior rounds.
+# Round 16 plan: the money migration's every target (qsum/qavg
+# consumers in queries_relational/queries_analytics, the two
+# window-sum queries, the sessionizer-state consumers) sits IN the
+# r16 window, so the changes get their driver verdicts this round.
+# Out-of-window queries that merely share a touched MODULE with an
+# in-window change are attested here with a value-neutrality
+# argument, as in prior rounds.
 #
-# Decimal-cents batch (first r15 package edit, closing the ADVICE-r14
-# int64-money class for the events surface): the five value-sum
-# sites in operators/events.py (session_stats, hourly_event_counts),
-# plans/queries_events.py (session_window_stats,
-# value_band_range_join), and streaming/pipeline.py
-# (streaming_hourly_counts) accumulate cents in decimal(19,0)
-# instead of long — all five consuming queries are IN the r15
-# window, so the change gets its driver verdict this round. Every
-# query attested below shares only module-level imports with the
-# changed files (the edits are five specific agg expressions inside
-# named functions none of them call): the graph/dedup set reaches
-# streaming.pipeline only transitively through plans-module imports,
-# and sessionize_events / user_value_scd2 /
-# stateful_streaming_sessions_evicting consume sessionize /
-# sessions.py paths whose expressions are untouched (sessions.py
-# gained only a docstring cap note). Empirical backstop: complement
-# half re-rehearsed 50/50 at sf0.01 post-change, full suite green,
-# hostile seed swept (BENCHNOTES r15).
-_ATTESTED_UNCHANGED: set[str] = {
-    "edges_derive", "symmetrize", "adjacency", "degrees",
-    "candidate_pairs", "pagerank", "triangles_faithful",
-    "exact_dedup_groups", "minhash_dedup_pairs", "ngram_jaccard_pairs",
-    "simhash_near_dups", "repeated_spans", "span_deduped_corpus",
-    "canonical_url_groups", "sessionize_events", "user_value_scd2",
-    "stateful_streaming_sessions_evicting",
-}
+# Populated as r16 edits land, with a value-neutrality argument per
+# entry; empty at rotation time.
+_ATTESTED_UNCHANGED: set[str] = set()
 
 
 def _round_sorted(paths: list[str]) -> list[str]:
