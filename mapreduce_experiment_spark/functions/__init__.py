@@ -1,5 +1,15 @@
 """Scalar/aggregate function helpers shared across operators."""
 
-from .compare import q2, q2_sql, qavg, qavg_sql, qsum, qsum_sql
+from .compare import (
+    cents,
+    cents_sql,
+    q2,
+    q2_sql,
+    qavg,
+    qavg_sql,
+    qsum,
+    qsum_sql,
+)
 
-__all__ = ["q2", "q2_sql", "qavg", "qavg_sql", "qsum", "qsum_sql"]
+__all__ = ["cents", "cents_sql", "q2", "q2_sql", "qavg", "qavg_sql",
+           "qsum", "qsum_sql"]

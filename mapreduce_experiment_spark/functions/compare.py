@@ -13,6 +13,18 @@ multiply/divide, floor) is deterministic on identical inputs. Each
 helper has a Spark form and a mirrored DuckDB-SQL form; keep them in
 lockstep.
 
+Cents accumulate in DECIMAL, not long (the ADVICE-r14 int64-money
+class, closed surface-by-surface in r15/r16 — the authoritative
+migration ledger is SCALING.md's money section): at the contracted
+±2e12-cent per-row magnitude a single group of ~4.6M rows pushes a
+long sum past 2^63 — an ANSI ARITHMETIC_OVERFLOW that kills the job
+Spark-side while DuckDB's BIGINT sum silently promotes to HUGEINT
+(a crash on one engine, a value on the other). A decimal(19,0)
+input sums as decimal(29,0) — exact to 1e29 (Spark widens sum
+precision by 10, not to 38), ~10 orders above any realistic 100 TB
+group — and every consumer converts to double exactly once, so
+non-overflow values are bit-identical to the old long form.
+
 This also matches 100 TB reality: money-like measures should be
 fixed-point (DECIMAL / integer cents) at scale anyway — float sums
 over 10^12 rows lose pennies.
@@ -24,28 +36,52 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def cents(col: Column, scale: int = 100) -> Column:
+    """Exact integer cents as decimal(19,0): ``round(x*scale)``.
+
+    The shared quantization step behind qsum/qavg and every inline
+    money aggregation (events values, revenue sums, window spends) —
+    one definition so the decimal width and rounding rule can never
+    drift between surfaces. See the module docstring for why decimal
+    and not long.
+    """
+    return F.round(col * scale, 0).cast("decimal(19,0)")
+
+
+def cents_sql(expr: str, scale: int = 100) -> str:
+    """DuckDB mirror of :func:`cents`. BIGINT, not HUGEINT: per-row
+    cents are bounded by the money domain (±2e12), and DuckDB's
+    ``sum(BIGINT)`` already returns HUGEINT — the promotion Spark's
+    decimal accumulation mirrors. Only expressions that MULTIPLY
+    cents by a count before DuckDB can widen them need an explicit
+    HUGEINT cast (BIGINT*BIGINT hard-errors on overflow there)."""
+    return f"CAST(round(({expr}) * {scale}) AS BIGINT)"
+
+
 def qsum(col: Column, scale: int = 100) -> Column:
-    """Exact quantized sum: ``sum(round(x*scale)::long) / scale``."""
-    cents = F.sum(F.round(col * scale, 0).cast("long"))
-    return cents / float(scale)
+    """Exact quantized sum: ``sum(cents(x)) / scale`` (double out)."""
+    return F.sum(cents(col, scale)) / float(scale)
 
 
 def qsum_sql(expr: str, scale: int = 100) -> str:
-    return f"sum(CAST(round(({expr}) * {scale}) AS BIGINT)) / {scale}.0"
+    return f"sum({cents_sql(expr, scale)}) / {scale}.0"
 
 
 def qavg(col: Column, p: int = 4, scale: int = 100) -> Column:
     """Average rounded to ``p`` decimals via exact integer arithmetic:
-    ``floor(cents * 10^p / (scale*n) + 0.5) / 10^p``."""
-    cents = F.sum(F.round(col * scale, 0).cast("long"))
+    ``floor(cents * 10^p / (scale*n) + 0.5) / 10^p``. The decimal sum
+    converts to double at the ``* 10^p`` step — the same point the
+    oracle's HUGEINT sum does — so both engines floor the same IEEE
+    double."""
+    c = F.sum(cents(col, scale))
     mult = float(10 ** p)
-    return F.floor(cents * mult / (scale * F.count(F.lit(1))) + 0.5) / mult
+    return F.floor(c * mult / (scale * F.count(F.lit(1))) + 0.5) / mult
 
 
 def qavg_sql(expr: str, p: int = 4, scale: int = 100) -> str:
     mult = 10 ** p
     return (
-        f"floor(sum(CAST(round(({expr}) * {scale}) AS BIGINT)) * {mult}.0"
+        f"floor(sum({cents_sql(expr, scale)}) * {mult}.0"
         f" / ({scale} * count(*)) + 0.5) / {mult}.0"
     )
 

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import cents
+
 SESSION_GAP_MIN = 30
 
 
@@ -48,13 +50,9 @@ def session_stats(events: DataFrame,
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         ((F.max(us) - F.min(us)) / F.lit(1_000_000.0)).alias("duration_s"),
-        # decimal(19,0) accumulation (r15, the ADVICE-r14 revenue
-        # class): an int64 cents sum ANSI-overflows at ~3M
-        # contract-extreme (±3e12-cent) events per group while
-        # DuckDB's BIGINT sum silently promotes to HUGEINT; the
-        # /100.0 converts to double either way.
-        (F.sum(F.round(F.col("value") * 100, 0).cast("decimal(19,0)"))
-         / 100.0).alias("total_value"),
+        # decimal cents accumulation (r15, ADVICE-r14 class; the
+        # shared helper carries the overflow analysis)
+        (F.sum(cents(F.col("value"))) / 100.0).alias("total_value"),
     )
 
 
@@ -67,7 +65,6 @@ def hourly_event_counts(events: DataFrame) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_events"),
              # decimal for the same int64-overflow reason as
-             # session_stats above (r15)
-             (F.sum(F.round(F.col("value") * 100, 0).cast("decimal(19,0)"))
-              / 100.0).alias("total_value"))
+             # session_stats above (r15; shared helper)
+             (F.sum(cents(F.col("value"))) / 100.0).alias("total_value"))
     )

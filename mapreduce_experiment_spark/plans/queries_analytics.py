@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import cents
 from ..sources.tables import load_table
 from .registry import register
 
@@ -43,16 +44,10 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("n_name").alias("supp_nation"))
     # Revenue cents accumulate in DECIMAL, not long (ADVICE r14): at
     # the contracted ±2e12-cent per-row magnitudes a single
-    # (nation, nation, year) group of ~4.6M rows pushes the int64 sum
-    # past 2^63, an ANSI ARITHMETIC_OVERFLOW that kills the job while
-    # DuckDB's BIGINT sum silently promotes to HUGEINT — a crash on
-    # one side, a value on the other. A decimal(19,0) input sums as
-    # decimal(29,0) — exact to 1e29 (Spark widens sum precision by
-    # 10, not to 38) — and the /100.0 converts to double either way,
-    # so shipped SFs are bit-identical.
-    cents = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
-    ).cast("decimal(19,0)")
+    # (nation, nation, year) group of ~4.6M rows pushes an int64 sum
+    # past 2^63 — the shared ``cents`` helper carries the full
+    # analysis (functions/compare.py; migration ledger: SCALING.md).
+    rev_cents = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -62,7 +57,7 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cust_nation") != F.col("supp_nation"))
         .groupBy("cust_nation", "supp_nation",
                  F.year("o_orderdate").cast("long").alias("order_year"))
-        .agg((F.sum(cents) / 100.0).alias("revenue"))
+        .agg((F.sum(rev_cents) / 100.0).alias("revenue"))
     )
 
 
@@ -105,21 +100,17 @@ def q_asia_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
-    # decimal(19,0), not long, for the same reason as volume_shipping
-    # (ADVICE r14): a year group of ~4.6M contract-extreme rows would
-    # ANSI-overflow an int64 revenue sum Spark-side while DuckDB
-    # silently promotes to HUGEINT. Exact integer either way; every
-    # consumer converts to double once.
-    cents = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
-    ).cast("decimal(19,0)")
+    # decimal cents for the same reason as volume_shipping (ADVICE
+    # r14; shared helper carries the analysis). Exact integer either
+    # way; every consumer converts to double once.
     rev = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .select(F.year("o_orderdate").cast("long").alias("order_year"),
-                cents.alias("cents"), "r_name")
+                cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .alias("cents"), "r_name")
     )
     asia = F.sum(F.when(F.col("r_name") == "ASIA", F.col("cents")))
     total = F.sum("cents")
@@ -266,17 +257,16 @@ def q_top_parts_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
-    # decimal(19,0) accumulation (ADVICE r14, same int64-overflow
-    # class as volume_shipping); ranking on the decimal sum is still
-    # exact-integer, so ties remain impossible cross-engine.
-    cents = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
-    ).cast("decimal(19,0)")
+    # decimal cents accumulation (ADVICE r14, same int64-overflow
+    # class as volume_shipping; shared helper); ranking on the
+    # decimal sum is still exact-integer, so ties remain impossible
+    # cross-engine.
+    rev_cents = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     rev = (
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name", "l_partkey")
-        .agg(F.sum(cents).alias("cents"))
+        .agg(F.sum(rev_cents).alias("cents"))
     )
     top = top_k_per_group(
         rev, ["n_name"], [F.col("cents").desc(), F.col("l_partkey")], k=3)

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..functions import cents
 from ..operators import events as EV
 from ..sources.tables import load_table
 from .registry import register
@@ -127,9 +128,8 @@ def q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
         )
         .agg(F.count(F.lit(1)).alias("n_events"),
-             # decimal cents accumulation (r15, ADVICE-r14 class)
-             (F.sum(F.round(F.col("value") * 100, 0).cast("decimal(19,0)"))
-              / 100.0).alias("total_value"))
+             # decimal cents accumulation (r15; shared helper r16)
+             (F.sum(cents(F.col("value"))) / 100.0).alias("total_value"))
         .select("user_id",
                 F.col("session_window.start").alias("window_start"),
                 F.col("session_window.end").alias("window_end"),
@@ -256,9 +256,8 @@ def q_value_band_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = range_join(ev, "value", bands, granule=25.0)
     return joined.groupBy("band_label", "lo").agg(
         F.count(F.lit(1)).alias("n_events"),
-        # decimal cents accumulation (r15, ADVICE-r14 class)
-        (F.sum(F.round(F.col("value") * 100, 0).cast("decimal(19,0)"))
-         / 100.0).alias("total_value"),
+        # decimal cents accumulation (r15; shared helper r16)
+        (F.sum(cents(F.col("value"))) / 100.0).alias("total_value"),
     )
 
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import q2, q2_sql, qavg, qavg_sql, qsum, qsum_sql
+from ..functions import cents, q2, q2_sql, qavg, qavg_sql, qsum, qsum_sql
 from ..operators.relational import (
     lag_diff,
     pivot_counts,
@@ -151,12 +151,16 @@ FROM orders
 def q_customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Cumulative sum over integer cents: exact, so the window's
     # internal summation strategy (sequential vs segment-tree) can't
-    # drift between engines.
+    # drift between engines. decimal cents (r16, the shared-helper
+    # migration): a whale customer's running total crossing 2^63
+    # cents would ANSI-overflow a long window sum mid-partition while
+    # DuckDB's window sum silently promotes to HUGEINT — same
+    # int64-money class as the group sums (SCALING.md).
     orders = load_table(spark, sf_dir, "orders")
     out = running_total(
         orders, ["o_custkey"],
         [F.col("o_orderdate"), F.col("o_orderkey")],
-        F.round(F.col("o_totalprice") * 100, 0).cast("long"),
+        cents(F.col("o_totalprice")),
         alias="running_cents",
     )
     return out.select("o_orderkey", "o_custkey",
@@ -346,10 +350,15 @@ def q_customers_churned(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- correlated-subquery semantics -------------------------------------------------
 @register(
     "orders_above_customer_average",
+    # HUGEINT on the product side (r16): cents*n at contract-extreme
+    # magnitudes (2e12 cents × ~5M orders) exceeds int64, where DuckDB
+    # BIGINT*BIGINT HARD-ERRORS ("Overflow in multiplication") instead
+    # of promoting — engine and oracle must widen together (the Spark
+    # side is decimal cents × long n → decimal(38,0), exact here).
     oracle="""
 SELECT o.o_orderkey, o.o_custkey
 FROM orders o
-WHERE CAST(round(o.o_totalprice * 100) AS BIGINT)
+WHERE CAST(round(o.o_totalprice * 100) AS HUGEINT)
       * (SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
       > (SELECT sum(CAST(round(i.o_totalprice * 100) AS BIGINT))
          FROM orders i WHERE i.o_custkey = o.o_custkey)
@@ -361,14 +370,18 @@ def q_orders_above_customer_average(spark: SparkSession, sf_dir: str) -> DataFra
     shape: a correlated scalar subquery re-scans per row; the window
     shuffles once on the key). The comparison is cents*n > sum_cents —
     pure integers, so the engines cannot disagree at the boundary.
-    The oracle keeps the CORRELATED formulation, independently
-    validating the decorrelation."""
+    decimal cents (r16, SCALING.md money section): the long form's
+    window sum AND its cents×n product both ANSI-overflow past 2^63
+    at group sizes a 100 TB whale customer reaches; decimal(19,0)
+    cents sum as decimal(29,0) and multiply n exactly within
+    decimal(38,0). The oracle keeps the CORRELATED formulation,
+    independently validating the decorrelation."""
     from pyspark.sql import Window
     orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey")
-    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
     return (
-        orders.select("o_orderkey", "o_custkey", cents.alias("cents"))
+        orders.select("o_orderkey", "o_custkey",
+                      cents(F.col("o_totalprice")).alias("cents"))
         .withColumn("n", F.count(F.lit(1)).over(w))
         .withColumn("s", F.sum("cents").over(w))
         .where(F.col("cents") * F.col("n") > F.col("s"))

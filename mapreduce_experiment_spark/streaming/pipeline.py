@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions import cents
+
 _COUNTER = itertools.count()
 
 
@@ -176,12 +178,11 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            # decimal cents accumulation (r15, ADVICE-r14 class);
+            # decimal cents accumulation (r15; shared helper r16);
             # the streaming agg state holds the decimal sum — every
             # run here starts from a fresh checkpoint, so no state
             # schema migration is implied.
-            (F.sum(F.round(F.col("value") * 100, 0).cast("decimal(19,0)"))
-             / 100.0).alias("total_value"),
+            (F.sum(cents(F.col("value"))) / 100.0).alias("total_value"),
         )
     )
     name = f"stream_hourly_{next(_COUNTER)}"

@@ -4,11 +4,17 @@ A custom per-user session operator the built-in aggregations can't
 express: arbitrary per-session accumulators (exact integer cents,
 event counts, bounds) with explicit keyed state that survives across
 micro-batches. The Python-side accumulation is arbitrary-precision
-(plain ints), but the persisted state column is ``cents long`` —
-the documented per-SESSION cap is int64 (~9.2e18 cents, i.e. ~3M
-contract-extreme ±3e12-cent events in ONE session); the batch-side
-group sums moved to decimal(19,0) in r15, and widening this state
-column to decimal is the queued follow-up if that cap ever binds. State schema holds the trailing open session; each
+(plain ints), and the persisted state column is ``cents
+decimal(38,0)`` (r16, closing the last open site in SCALING.md's
+money-migration ledger): the old ``cents long`` column silently
+round-tripped a past-int64 session total as NULL — the Arrow state
+serializer neither errors nor wraps — so the next batch touching
+that user crashed on ``None`` cents, while every batch-side cents
+sum had already moved to decimal in r15 (the exact crash-vs-value
+asymmetry the migration eliminates; pinned by
+``test_sessionizer_state_survives_int64_overflow``). decimal(38,0)
+holds ±1e38 cents ≈ 3e25 contract-extreme events in ONE session —
+unreachable. State schema holds the trailing open session; each
 batch emits every session touched in that batch (emit-on-batch-close
 with amendment — downstream consumers keep the latest row per
 (user_id, session_id)).
@@ -43,6 +49,7 @@ mode, demonstrated and eviction-tested
 from __future__ import annotations
 
 from collections.abc import Iterator
+from decimal import Decimal
 from typing import Any
 
 import numpy as np
@@ -58,8 +65,29 @@ _OUT_SCHEMA = (
     "user_id long, session_id long, n_events long, "
     "session_start timestamp, session_end timestamp, total_value double"
 )
-# Trailing open session: (session_id, start_us, last_us, n, cents)
-_STATE_SCHEMA = "session_id long, start_us long, last_us long, n long, cents long"
+# Trailing open session: (session_id, start_us, last_us, n, cents).
+# cents is decimal(38,0) — see the module docstring; the state
+# serializer accepts plain Python ints for a decimal column and hands
+# back decimal.Decimal, which _state_cents normalizes to int.
+_STATE_SCHEMA = ("session_id long, start_us long, last_us long, n long, "
+                 "cents decimal(38,0)")
+
+
+def _state_cents(raw) -> int:
+    """Normalize the decimal state column to a plain Python int (the
+    arbitrary-precision accumulator type): ``state.get`` returns
+    decimal.Decimal for a decimal column, and Decimal would poison
+    the emit path's ``/ 100.0`` (Decimal/float is a TypeError)."""
+    return int(raw)
+
+
+def _cents_state(cents: int) -> Decimal:
+    """The write-side mirror of :func:`_state_cents`: the state
+    serializer requires decimal.Decimal for a decimal column — a
+    plain Python int is silently stored as NULL (no error, no wrap;
+    observed on the first multi-batch read-back), the same
+    quiet-corruption shape the decimal widening exists to kill."""
+    return Decimal(cents)
 
 _OUT_DTYPES = {"user_id": "int64", "session_id": "int64",
                "n_events": "int64", "session_start": "datetime64[ns]",
@@ -199,6 +227,7 @@ def _sessionize_group(
     user_id = key[0]
     if state.exists:
         sid, start_us, last_us, n, cents = state.get
+        cents = _state_cents(cents)
     else:
         sid, start_us, last_us, n, cents = 0, None, None, 0, 0
 
@@ -241,7 +270,7 @@ def _sessionize_group(
     if touched:  # trailing amendment — only if this batch changed it
         out.append((user_id, sid, n, start_us, last_us, cents))
 
-    state.update((sid, start_us, last_us, n, cents))
+    state.update((sid, start_us, last_us, n, _cents_state(cents)))
     yield _emit(out)
 
 
@@ -274,8 +303,9 @@ def stateful_session_stats(spark: SparkSession, sf_dir: str,
 # away. It is pinned at session creation and never changes, so
 # amendment rows always carry the same id; start_us is the true lower
 # bound, which an absorbed out-of-order event may widen BELOW sid_us.
+# cents decimal for the same NULL-round-trip reason as _STATE_SCHEMA.
 _EVICT_STATE_SCHEMA = ("sid_us long, start_us long, last_us long, "
-                       "n long, cents long")
+                       "n long, cents decimal(38,0)")
 
 
 def _sessionize_group_evicting(
@@ -294,6 +324,7 @@ def _sessionize_group_evicting(
         return
     if state.exists:
         sid_us, start_us, last_us, n, cents = state.get
+        cents = _state_cents(cents)
     else:
         sid_us, start_us, last_us, n, cents = None, None, None, 0, 0
 
@@ -367,7 +398,7 @@ def _sessionize_group_evicting(
     if touched:  # trailing amendment — only if this batch changed it
         out.append((user_id, sid_us, n, start_us, last_us, cents))
 
-    state.update((sid_us, start_us, last_us, n, cents))
+    state.update((sid_us, start_us, last_us, n, _cents_state(cents)))
     # Event-time deadline: an event extending this session must carry
     # ts <= last + gap, so once the watermark passes that point the
     # session is closed for every admissible event and the state can

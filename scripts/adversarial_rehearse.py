@@ -247,28 +247,12 @@ def build_tpch(rng: random.Random):
       double (< 2^53 even after the revenue multipliers) and well
       inside the moment oracles' HUGEINT / the engine's decimal(38)
       domain (the old ~3e9-cent cap fell when the oracles'
-      squared/cross products were HUGEINT-ified). The revenue-sum
-      queries (volume_shipping, asia_market_share,
-      top_parts_per_nation) accumulate cents in decimal(19,0) as the
-      moment queries do (ADVICE r14 — an int64 sum would ANSI-
-      overflow at ~4.6M contract-extreme rows per group while DuckDB
-      silently promotes to HUGEINT), and the events-value session
-      sums moved to decimal the same round. Residual int64
-      accumulation sites, each bounded far above any fixture this
-      generator emits and queued for decimal when their queries
-      next hold a verification window (r16): the shared qsum/qavg
-      helpers (functions/compare.py — pricing_summary,
-      revenue_by_nation, order_priority_rollup,
-      returnflag_status_cube, nation_order_stats),
-      customer_running_spend's per-customer running window sum,
-      orders_above_customer_average's per-customer window sum and
-      cents*n product (safe below ~4.6M extreme orders per
-      customer; its ORACLE's BIGINT sum/product needs HUGEINT casts
-      in the same change — DuckDB BIGINT multiply hard-errors on
-      overflow rather than promoting), and the stateful
-      sessionizer's `cents long` state column (safe below ~3M
-      extreme events in ONE session; cap documented in
-      streaming/sessions.py).
+      squared/cross products were HUGEINT-ified). Every cents
+      ACCUMULATOR is decimal as of r16 (ADVICE r15: the migration
+      ledger lives in ONE place — SCALING.md's money-accumulation
+      section; this docstring no longer duplicates the queue), so no
+      in-contract group size can overflow an engine-side sum while
+      the oracle promotes.
     - Every other measure/string column may be NULL: aggregates skip
       NULLs identically, and a NULL group key groups NULLs together
       on both engines.

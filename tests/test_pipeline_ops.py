@@ -1800,6 +1800,30 @@ def test_event_value_sums_survive_int64_overflow(spark, tmp_path):
     rows = {r.event_type: r for r in spec.fn(spark, sf).collect()}
     assert rows["click"].total_value == 9.6e16  # 9.6e18 cents / 100
 
+    # ADVICE r15: the OTHER four registered events-surface decimal
+    # sites were only exercised in the non-overflow regime — a
+    # regression back to long in one of them would have passed all
+    # tests. Reuse the same hostile fixture (the cost is paid):
+    # the 3.2M user-1 events all sit within 3000 s, so the session
+    # queries see ONE session whose cents sum is past 2^63, and the
+    # streaming hourly agg re-proves the hot bucket through real
+    # streaming state. (value_band_range_join's in-band values are
+    # bounded by the band edges, so its sum can't overflow on ANY
+    # in-contract fixture — asserted here for the filter path and
+    # shared-helper consistency only.) stateful_streaming_sessions /
+    # _evicting carry the same magnitude through the keyed-state
+    # sessionizers (their decimal STATE column round-trip is pinned
+    # separately by test_sessionizer_state_survives_int64_overflow).
+    for name in ("session_stats", "session_window_stats",
+                 "streaming_hourly_counts", "value_band_range_join",
+                 "stateful_streaming_sessions"):
+        assert_matches(specs[name].fn(spark, sf),
+                       run_oracle(specs[name].oracle, sf), name)
+    # exact expected double: both engines widen the exact integer
+    # cents (9.6e18 + 500 — PAST int64) to double, then divide by 100
+    sess = {r.user_id: r for r in specs["session_stats"].fn(spark, sf).collect()}
+    assert sess[1].total_value == float(9_600_000_000_000_000_500) / 100.0
+
     # the defect, demonstrated: the old long-typed value sum
     # ANSI-overflows on the hot bucket
     cents = F.round(F.col("value") * 100, 0).cast("long")
@@ -1808,6 +1832,265 @@ def test_event_value_sums_survive_int64_overflow(spark, tmp_path):
         spark.read.parquet(f"{sf}/events.parquet") \
             .where(F.col("event_type") == "click") \
             .agg(F.sum(cents)).collect()
+
+
+def test_qsum_group_sums_survive_int64_overflow(spark, tmp_path):
+    """r16, the money-migration's qsum/qavg half: the shared helpers
+    (functions/compare.py) behind pricing_summary, revenue_by_nation,
+    order_priority_rollup, returnflag_status_cube and
+    nation_order_stats accumulated cents as int64 — the same ANSI
+    ARITHMETIC_OVERFLOW class the revenue/events surfaces closed in
+    r15 (crash Spark-side at ~4.6M contract-extreme rows per group,
+    silent HUGEINT promotion in DuckDB). The helpers now accumulate
+    in decimal(19,0); prove all five registered consumers match their
+    oracles on groups whose cents sums are 1e19 — past 2^63 — and
+    demonstrate the old long form dying there."""
+    import duckdb
+    import pyspark.errors
+    import pytest
+
+    from mapreduce_experiment_spark.plans.registry import SPECS
+    from tests.oracle_util import assert_matches, run_oracle
+
+    sf = str(tmp_path)
+    con = duckdb.connect()
+    # Customer and supplier share nation 0 in region ASIA so
+    # revenue_by_nation's c_nationkey = s_nationkey join keeps the
+    # rows; 5M orders and 5M line items at +2e10 dollars (2e12 cents,
+    # the contract extreme) put every money group's sum at 1e19.
+    con.execute(f"""
+        COPY (SELECT * FROM (VALUES (0, 'ASIA')) t(r_regionkey, r_name))
+        TO '{sf}/region.parquet' (FORMAT parquet)""")
+    con.execute(f"""
+        COPY (SELECT * FROM (VALUES (0, 'ANATION', 0))
+              t(n_nationkey, n_name, n_regionkey))
+        TO '{sf}/nation.parquet' (FORMAT parquet)""")
+    con.execute(f"""
+        COPY (SELECT 0::BIGINT AS c_custkey, 'c' AS c_name,
+                     0::INT AS c_nationkey, 0.0 AS c_acctbal,
+                     'BUILDING' AS c_mktsegment)
+        TO '{sf}/customer.parquet' (FORMAT parquet)""")
+    con.execute(f"""
+        COPY (SELECT 1::BIGINT AS s_suppkey, 's' AS s_name,
+                     0::INT AS s_nationkey, 0.0 AS s_acctbal)
+        TO '{sf}/supplier.parquet' (FORMAT parquet)""")
+    con.execute(f"""
+        COPY (SELECT i AS o_orderkey, 0::BIGINT AS o_custkey,
+                     'O' AS o_orderstatus, 2.0e10 AS o_totalprice,
+                     TIMESTAMP '1996-06-01 00:00:00' AS o_orderdate,
+                     '1-URGENT' AS o_orderpriority
+              FROM range(5000000) t(i))
+        TO '{sf}/orders.parquet' (FORMAT parquet)""")
+    con.execute(f"""
+        COPY (SELECT 0::BIGINT AS l_orderkey, 7::BIGINT AS l_partkey,
+                     1::BIGINT AS l_suppkey, i::INT AS l_linenumber,
+                     2.0e10 AS l_quantity, 2.0e10 AS l_extendedprice,
+                     0.0 AS l_discount, 0.0 AS l_tax,
+                     'N' AS l_returnflag, 'O' AS l_linestatus,
+                     TIMESTAMP '1995-06-01 00:00:00' AS l_shipdate
+              FROM range(5000000) t(i))
+        TO '{sf}/lineitem.parquet' (FORMAT parquet)""")
+
+    specs = SPECS()
+    for name in ("pricing_summary", "revenue_by_nation",
+                 "order_priority_rollup", "returnflag_status_cube",
+                 "nation_order_stats"):
+        assert_matches(specs[name].fn(spark, sf),
+                       run_oracle(specs[name].oracle, sf), name)
+    # the groups really are past int64: 5e6 rows × 2e12 cents, and
+    # both engines widen the exact integer before the one /100.0
+    row = specs["pricing_summary"].fn(spark, sf).collect()[0]
+    assert row.sum_base_price == float(10**19) / 100.0
+
+    # the defect, demonstrated: the helpers' old long accumulation
+    # ANSI-overflows on the orders group while the oracle's BIGINT
+    # sum silently promotes to HUGEINT
+    with pytest.raises(pyspark.errors.PySparkException,
+                       match="OVERFLOW|overflow"):
+        spark.read.parquet(f"{sf}/orders.parquet") \
+            .agg(F.sum(F.round(F.col("o_totalprice") * 100, 0)
+                       .cast("long"))).collect()
+    assert run_oracle(
+        "SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS s "
+        "FROM orders", sf).s[0] == 10**19
+
+
+def test_window_money_sums_survive_int64_overflow(spark, tmp_path):
+    """r16, the money-migration's window half: customer_running_spend's
+    running sum and orders_above_customer_average's per-customer sum +
+    cents×n product were long — one whale customer whose spend crosses
+    2^63 cents ANSI-overflows the window sum mid-partition (and the
+    product at even smaller n), while DuckDB's window sum silently
+    promotes to HUGEINT and its BIGINT product HARD-ERRORS — three
+    distinct behaviors for one query. Both plans now ride decimal
+    cents and the above-average oracle multiplies in HUGEINT; prove
+    both registered queries match their oracles on a 3.2M-order
+    customer whose total is 9.6e18+100 cents, and demonstrate the old
+    Spark window sum AND the old BIGINT oracle product dying."""
+    import duckdb
+    import pyspark.errors
+    import pytest
+
+    from pyspark.sql import Window
+
+    from mapreduce_experiment_spark.plans.registry import SPECS
+    from tests.oracle_util import assert_matches, run_oracle
+
+    sf = str(tmp_path)
+    con = duckdb.connect()
+    # One customer, 3.2M orders at +3e10 dollars (3e12 cents, the
+    # contract extreme) plus ONE at 3e10+1: the running sum crosses
+    # int64 around row 3.08M, and exactly the +1 order prices above
+    # the customer average (output stays 1 row while the comparison's
+    # cents×n product is ~9.6e18, past int64).
+    con.execute(f"""
+        COPY (SELECT i AS o_orderkey, 0::BIGINT AS o_custkey,
+                     'O' AS o_orderstatus,
+                     CASE WHEN i = 3200000 THEN 3.0e10 + 1 ELSE 3.0e10 END
+                       AS o_totalprice,
+                     TIMESTAMP '1996-06-01 00:00:00' AS o_orderdate,
+                     '1-URGENT' AS o_orderpriority
+              FROM range(3200001) t(i))
+        TO '{sf}/orders.parquet' (FORMAT parquet)""")
+
+    specs = SPECS()
+    spec = specs["orders_above_customer_average"]
+    assert_matches(spec.fn(spark, sf), run_oracle(spec.oracle, sf),
+                   "orders_above_customer_average")
+    assert [r.o_orderkey for r in spec.fn(spark, sf).collect()] == [3200000]
+
+    # customer_running_spend emits 3.2M rows; value-compare exactly
+    # the rows PAST the int64 boundary (the ones the old form never
+    # reached) and pin the full cardinality separately.
+    spec = specs["customer_running_spend"]
+    edge = 9.3e16  # dollars; int64 max cents is ~9.22e18
+    assert_matches(spec.fn(spark, sf).where(F.col("running_spend") > edge),
+                   run_oracle(f"SELECT * FROM ({spec.oracle}) "
+                              f"WHERE running_spend > {edge}", sf),
+                   "customer_running_spend")
+    assert spec.fn(spark, sf).count() == 3200001
+
+    # defect 1, demonstrated: the old long running sum ANSI-overflows
+    # mid-partition
+    w = (Window.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    old = F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).over(w)
+    with pytest.raises(pyspark.errors.PySparkException,
+                       match="OVERFLOW|overflow"):
+        spark.read.parquet(f"{sf}/orders.parquet") \
+            .select(old.alias("rc")).agg(F.max("rc")).collect()
+    # defect 2, demonstrated: the above-average oracle's old BIGINT
+    # product hard-errors in DuckDB (it cannot promote a multiply),
+    # which is why engine and oracle had to widen together
+    with pytest.raises(duckdb.Error, match="[Oo]verflow"):
+        run_oracle("""
+            SELECT o.o_orderkey FROM orders o
+            WHERE CAST(round(o.o_totalprice * 100) AS BIGINT)
+                  * (SELECT count(*) FROM orders i
+                     WHERE i.o_custkey = o.o_custkey)
+                  > (SELECT sum(CAST(round(i.o_totalprice * 100) AS BIGINT))
+                     FROM orders i WHERE i.o_custkey = o.o_custkey)
+        """, sf)
+
+
+def test_sessionizer_state_survives_int64_overflow(spark, tmp_path):
+    """ADVICE r15: the stateful sessionizers' persisted state column
+    stayed ``cents long`` after every batch-side cents sum moved to
+    decimal — and the failure mode is QUIETER than the batch one: the
+    Arrow state serializer neither errors nor wraps a past-int64
+    value, it round-trips it as NULL, so the NEXT batch touching the
+    user crashes on ``None`` cents (or would silently zero the
+    session if code ever guarded it). The column is now
+    decimal(38,0), written as decimal.Decimal and normalized back to
+    int. Pin the round trip at hostile magnitude through BOTH
+    variants — two single-file micro-batches, one session: b1 puts
+    9.6e18 cents (past int64) into state, b2 amends the same session
+    — and demonstrate the old long state column dying on b2."""
+    import time
+
+    import pandas as pd
+    import pyspark.errors
+    import pytest
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from mapreduce_experiment_spark.streaming.sessions import (
+        _OUT_SCHEMA,
+        _STATE_SCHEMA,
+        _sessionize_group,
+        sessionize_stream_evicting,
+    )
+
+    import duckdb
+
+    d = tmp_path / "events_overflow"
+    d.mkdir()
+    con = duckdb.connect()
+    # b1: 3.2M events in one 30-min span (gap-chain = one session) at
+    # +3e10 dollars each -> 9.6e18 cents > int64 max in state after b1
+    con.execute(f"""
+        COPY (SELECT 1::BIGINT AS user_id, i AS event_id,
+                     TIMESTAMP '2024-01-01 00:00:00'
+                       + INTERVAL (i % 1800) SECOND AS ts,
+                     3.0e10 AS value
+              FROM range(3200000) t(i))
+        TO '{d}/batch1.parquet' (FORMAT parquet)""")
+    # b2: one event 10 min after b1's last (inside the 30-min gap) —
+    # forces the state read-back and amends the session
+    pd.DataFrame({
+        "user_id": [1], "event_id": [3200000],
+        "ts": [pd.Timestamp("2024-01-01 00:39:59")], "value": [1.25],
+    }).to_parquet(d / "batch2.parquet", coerce_timestamps="us")
+    now = time.time()
+    os.utime(d / "batch1.parquet", (now, now))
+    os.utime(d / "batch2.parquet", (now + 1, now + 1))
+
+    schema = "user_id long, event_id long, ts timestamp, value double"
+    exp_n, exp_total = 3_200_001, float(9_600_000_000_000_000_125) / 100.0
+
+    def drive(build, name):
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(str(d)))
+        q = (build(stream)
+             .writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+        fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        if len(fed) != 2:
+            raise AssertionError("expected two single-file batches")
+        rows = spark.table(name).collect()
+        # emit-on-batch-close with amendment: keep the latest row
+        latest = max(rows, key=lambda r: r.n_events)
+        return latest
+
+    gap_us = 30 * 60 * 1_000_000
+
+    def retained(stream):
+        def fn(key, pdfs, state):
+            return _sessionize_group(key, pdfs, state, gap_us)
+        return stream.groupBy("user_id").applyInPandasWithState(
+            fn, _OUT_SCHEMA, _STATE_SCHEMA, "append",
+            GroupStateTimeout.NoTimeout)
+
+    latest = drive(retained, "sess_ovf_retained")
+    assert (latest.n_events, latest.total_value) == (exp_n, exp_total)
+
+    latest = drive(lambda s: sessionize_stream_evicting(s),
+                   "sess_ovf_evicting")
+    assert (latest.n_events, latest.total_value) == (exp_n, exp_total)
+
+    # the defect, demonstrated: with the old long state column, b1's
+    # past-int64 cents round-trip as NULL and b2 dies reading them
+    def old_long_state(stream):
+        def fn(key, pdfs, state):
+            return _sessionize_group(key, pdfs, state, gap_us)
+        return stream.groupBy("user_id").applyInPandasWithState(
+            fn, _OUT_SCHEMA, _STATE_SCHEMA.replace("decimal(38,0)", "long"),
+            "append", GroupStateTimeout.NoTimeout)
+
+    with pytest.raises(pyspark.errors.PySparkException):
+        drive(old_long_state, "sess_ovf_long")
 
 
 def test_priority_word_survives_delimiter_free_input(spark, tmp_path):

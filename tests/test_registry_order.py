@@ -160,9 +160,52 @@ _ROUND_BASE = "d41aa2e"  # r15 driver commit (verdict landed); bump each round
 # in-window change are attested here with a value-neutrality
 # argument, as in prior rounds.
 #
-# Populated as r16 edits land, with a value-neutrality argument per
-# entry; empty at rotation time.
-_ATTESTED_UNCHANGED: set[str] = set()
+# Money-migration batch (the r16 package edit: decimal accumulation
+# in the shared qsum/qavg helpers, the two relational window sums,
+# the sessionizer state column, and consolidation of the r15 inline
+# decimal sites onto the shared cents() helper — ledger: SCALING.md).
+# Every query whose VALUES the edit could move is IN the r16 window.
+# The out-of-window queries attested below fall in three groups:
+#
+# 1. Expression-identical consolidation — their inline
+#    round(x*100)::decimal(19,0) was replaced by the cents() helper,
+#    which builds the SAME expression tree (plan-neutral by
+#    construction), and each is additionally pinned at past-int64
+#    magnitude by a *_survive_int64_overflow test:
+#    volume_shipping, asia_market_share, top_parts_per_nation
+#    (queries_analytics), session_stats, hourly_event_counts
+#    (operators/events), session_window_stats, value_band_range_join
+#    (queries_events), streaming_hourly_counts (streaming/pipeline).
+# 2. stateful_streaming_sessions — its Python-side accumulation
+#    (arbitrary-precision ints) is untouched; only the persisted
+#    state REPRESENTATION widened (long → decimal(38,0)), value-
+#    exactness re-proven by the extended events overflow test and
+#    the sf0.01 oracle sweep.
+# 3. Module-sharing only — they import a touched module (mostly
+#    streaming.pipeline, which gained one import line and one agg
+#    expression inside a function none of them call) but carry no
+#    money arithmetic on any touched path: clean_corpus,
+#    connected_components, dedup_clusters, dedup_survivors,
+#    monthly_retention_cohorts, order_size_distribution,
+#    signup_to_purchase_funnel, stratified_event_sample,
+#    streaming_event_dedup, streaming_minhash_dedup,
+#    streaming_triangle_count, streaming_view_attribution,
+#    triangle_count, triangles.
+#
+# Empirical backstop: complement half rehearsed 50/50 at sf0.01
+# post-change (BENCHNOTES r16).
+_ATTESTED_UNCHANGED: set[str] = {
+    "volume_shipping", "asia_market_share", "top_parts_per_nation",
+    "session_stats", "hourly_event_counts", "session_window_stats",
+    "value_band_range_join", "streaming_hourly_counts",
+    "stateful_streaming_sessions",
+    "clean_corpus", "connected_components", "dedup_clusters",
+    "dedup_survivors", "monthly_retention_cohorts",
+    "order_size_distribution", "signup_to_purchase_funnel",
+    "stratified_event_sample", "streaming_event_dedup",
+    "streaming_minhash_dedup", "streaming_triangle_count",
+    "streaming_view_attribution", "triangle_count", "triangles",
+}
 
 
 def _round_sorted(paths: list[str]) -> list[str]:
