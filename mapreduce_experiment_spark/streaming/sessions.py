@@ -67,8 +67,9 @@ _OUT_SCHEMA = (
 )
 # Trailing open session: (session_id, start_us, last_us, n, cents).
 # cents is decimal(38,0) — see the module docstring; the state
-# serializer accepts plain Python ints for a decimal column and hands
-# back decimal.Decimal, which _state_cents normalizes to int.
+# serializer REQUIRES decimal.Decimal for a decimal column (a plain
+# int is silently stored as NULL — _cents_state) and hands back
+# decimal.Decimal, which _state_cents normalizes to int.
 _STATE_SCHEMA = ("session_id long, start_us long, last_us long, n long, "
                  "cents decimal(38,0)")
 
