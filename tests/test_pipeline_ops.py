@@ -1915,6 +1915,56 @@ def test_qsum_group_sums_survive_int64_overflow(spark, tmp_path):
         "FROM orders", sf).s[0] == 10**19
 
 
+def test_cents_helper_cross_engine_parity(spark, tmp_path):
+    """Direct per-row pin for the shared cents()/cents_sql() pair —
+    the one quantization every money aggregate now rides (r16
+    consolidation). The engines must produce the SAME integer for
+    every in-contract value, including the half-cent traps: exact
+    dyadic halves (0.125*100 = 12.5 — Spark round and DuckDB round
+    are both HALF-AWAY-FROM-ZERO, unlike pandas' half-to-even),
+    negative halves (-0.125 → -13, where a floor(x+0.5) form would
+    give -12), and non-dyadic near-halves whose *100 double is a
+    hair off .5 on both engines identically. A drift here (e.g. a
+    future edit swapping round for floor) would corrupt every money
+    query at once while each query's own oracle test still passed —
+    because both sides go through the SAME helper pair."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from mapreduce_experiment_spark.functions import cents, cents_sql, qsum, qsum_sql
+
+    edge = [0.0, 0.005, -0.005, 0.125, -0.125, 0.015, -0.015,
+            1.005, -1.005, 2.675, -2.675, 0.555, -0.555,
+            2.0e10, -2.0e10, 19999999999.995, -19999999999.995,
+            1e-9, -1e-9, 0.004999999999, 123456789.115]
+    rng = np.random.default_rng(16)
+    rand = (rng.uniform(-1, 1, 200)
+            * 10.0 ** rng.integers(-3, 11, 200)).tolist()
+    vals = edge + rand
+    pd.DataFrame({"i": range(len(vals)), "v": vals}).to_parquet(
+        tmp_path / "vals.parquet")
+
+    got = {r.i: int(r.c) for r in
+           spark.read.parquet(str(tmp_path / "vals.parquet"))
+           .select("i", cents(F.col("v")).alias("c")).collect()}
+    con = duckdb.connect()
+    want = {int(i): int(c) for i, c in con.execute(
+        f"SELECT i, {cents_sql('v')} FROM "
+        f"read_parquet('{tmp_path}/vals.parquet')").fetchall()}
+    assert got == want
+    # the known trap values, pinned explicitly (HALF-AWAY-FROM-ZERO)
+    assert got[3] == 13 and got[4] == -13   # ±0.125 → ±12.5 cents
+    assert got[1] == 1 and got[2] == -1     # ±0.005 (inexact .5-ish)
+
+    # and the aggregate built on it: qsum == qsum_sql exactly
+    s = (spark.read.parquet(str(tmp_path / "vals.parquet"))
+         .agg(qsum(F.col("v")).alias("s")).collect()[0].s)
+    o = con.execute(f"SELECT {qsum_sql('v')} FROM "
+                    f"read_parquet('{tmp_path}/vals.parquet')").fetchone()[0]
+    assert s == o
+
+
 def test_window_money_sums_survive_int64_overflow(spark, tmp_path):
     """r16, the money-migration's window half: customer_running_spend's
     running sum and orders_above_customer_average's per-customer sum +
