@@ -510,19 +510,34 @@ def _assign_to_centroids(corpus: DataFrame,
     cv, cn) — the scoring + argmax core shared by
     :func:`ivf_assignments` (seed-centroid bucketing) and
     :func:`append_ivf_index` (daily-ingest batch assignment), so the
-    two paths can never diverge on tie-breaking."""
+    two paths can never diverge on tie-breaking.
+
+    The argmax is ``max_by`` over a UNIQUE ordering struct
+    ``(cos, -centroid_id)`` — identical selection to the previous
+    row_number window (max cos, ties to the LOWEST centroid id;
+    uniqueness of the struct per vector makes the aggregate
+    order-insensitive, hence deterministic across partial merges).
+    Aggregate, not window, deliberately (r16): each vector's k scored
+    rows are born in ONE input partition (map-side crossJoin
+    fan-out), so the partial aggregate collapses them before the
+    exchange — the shuffle carries ONE row per vector, where the
+    window form shuffled AND sorted all k×N scored rows (k=16 → a
+    16×-inflated corpus-cardinality exchange at 100 TB). The struct
+    ordering buffer makes this a SortAggregate (its sorts are LOCAL,
+    map-side, k·N·log(k·N) CPU — not a shuffle); packing the ordering
+    into one long would buy HashAggregate but impose a hidden
+    centroid_id < 2^32 contract on a shared helper — rejected."""
     scored = (
         corpus.crossJoin(F.broadcast(centroids))
         .select("vec_id", "centroid_id",
                 _cos(F.col("vec"), F.col("cv"), F.col("norm"), F.col("cn"))
                 .alias("cos"))
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cos").desc(), F.col("centroid_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "centroid_id")
+    return scored.groupBy("vec_id").agg(
+        F.max_by(
+            "centroid_id",
+            F.struct(F.col("cos"), (-F.col("centroid_id")).alias("nid")),
+        ).alias("centroid_id")
     )
 
 

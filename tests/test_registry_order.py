@@ -192,9 +192,29 @@ _ROUND_BASE = "d41aa2e"  # r15 driver commit (verdict landed); bump each round
 #    streaming_triangle_count, streaming_view_attribution,
 #    triangle_count, triangles.
 #
+# Late-r16 addition — the _assign_to_centroids argmax rewrite
+# (operators/similarity.py: row_number window → max_by aggregate, a
+# 16× shuffle reduction on the IVF bucketing path at corpus scale):
+#
+# 4. Value-identical by a uniqueness argument (the max_by ordering
+#    struct (cos, -centroid_id) is unique per vector, so the
+#    aggregate selects exactly the window's (cos desc, centroid_id)
+#    head), proven by an exceptAll-both-ways equivalence run against
+#    the old formulation at sf0.01 (symmetric diff 0) and by every
+#    consumer's oracle check re-run post-change:
+#    ivf_assignments, knn_ivf, knn_ivf_maintained, knn_ivf_pruned
+#    (direct or via append_ivf_index). knn_bruteforce,
+#    embedding_near_dups_indexed / _probe merely share the module
+#    (no centroid assignment in their paths). All seven are
+#    r15-greens that rotate into the r17 window for their first
+#    post-change driver verdicts — the r14→r15 late-change precedent.
+#
 # Empirical backstop: complement half rehearsed 50/50 at sf0.01
 # post-change (BENCHNOTES r16).
 _ATTESTED_UNCHANGED: set[str] = {
+    "ivf_assignments", "knn_ivf", "knn_ivf_maintained", "knn_ivf_pruned",
+    "knn_bruteforce", "embedding_near_dups_indexed",
+    "embedding_near_dups_probe",
     "volume_shipping", "asia_market_share", "top_parts_per_nation",
     "session_stats", "hourly_event_counts", "session_window_stats",
     "value_band_range_join", "streaming_hourly_counts",
