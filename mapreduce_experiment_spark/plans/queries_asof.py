@@ -5,7 +5,7 @@ not a mirror of the Spark plan."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join
@@ -38,16 +38,14 @@ ASOF LEFT JOIN clicks c
 def q_purchase_last_click_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     # Right side deduped to unique (user_id, ts) — keeps the as-of
-    # tie-break deterministic across engines.
-    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    # tie-break deterministic across engines. max(event_id) per key,
+    # not a row_number window (r16): identical selection (the oracle's
+    # rn=1 under event_id DESC), but the aggregate partial-combines
+    # map-side and needs no post-shuffle sort.
     clicks = (
         ev.where(F.col("event_type") == "click")
-        .select("user_id", "ts", "event_id")
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("user_id",
-                F.col("ts").alias("click_ts"),
-                F.col("event_id").alias("click_event_id"))
+        .groupBy("user_id", F.col("ts").alias("click_ts"))
+        .agg(F.max("event_id").alias("click_event_id"))
     )
     purchases = ev.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "value")

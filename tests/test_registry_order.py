@@ -209,12 +209,20 @@ _ROUND_BASE = "d41aa2e"  # r15 driver commit (verdict landed); bump each round
 #    r15-greens that rotate into the r17 window for their first
 #    post-change driver verdicts — the r14→r15 late-change precedent.
 #
+# 5. purchase_last_click_asof (late r16, same precedent): the clicks
+#    dedup moved from a row_number window (rn=1 under event_id DESC
+#    per (user_id, ts)) to groupBy.max(event_id) — the identical
+#    selection by definition of max, hash-aggregable with map-side
+#    combine. Oracle-exact at sf0.001 + sf0.01 post-change; the
+#    oracle is DuckDB's NATIVE ASOF JOIN, an independent
+#    implementation, so the check is semantic.
+#
 # Empirical backstop: complement half rehearsed 50/50 at sf0.01
 # post-change (BENCHNOTES r16).
 _ATTESTED_UNCHANGED: set[str] = {
     "ivf_assignments", "knn_ivf", "knn_ivf_maintained", "knn_ivf_pruned",
     "knn_bruteforce", "embedding_near_dups_indexed",
-    "embedding_near_dups_probe",
+    "embedding_near_dups_probe", "purchase_last_click_asof",
     "volume_shipping", "asia_market_share", "top_parts_per_nation",
     "session_stats", "hourly_event_counts", "session_window_stats",
     "value_band_range_join", "streaming_hourly_counts",
