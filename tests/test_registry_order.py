@@ -12,35 +12,38 @@ import os
 
 from mapreduce_experiment_spark.plans.registry import _ORDER, SPECS, WINDOW
 
-# Round 16 contract: steady-state alternate-round cadence, sixth
-# full cycle. The r15 driver verdict landed (CORRECTNESS_r15.json
-# 50/50 green, keys == WINDOW_r15.json), so the r15 window rotates
+# Round 17 contract: steady-state alternate-round cadence, seventh
+# full cycle. The r16 driver verdict landed (CORRECTNESS_r16.json
+# 50/50 green, keys == WINDOW_r16.json), so the r16 window rotates
 # out and the new window is the registry's stalest set: exactly the
-# 50 r14-greens (WINDOW_r14.json keys verbatim — nothing retired or
-# deferred in r15). 50 = 50, zero slack. Every query the r16 money
-# migration touches (qsum/qavg consumers, the two window-sum
-# relational queries, the sessionizer-state consumers) sits inside
-# this window — r16 is their first post-change driver verdict.
+# 50 r15-greens (WINDOW_r15.json keys verbatim — nothing retired or
+# deferred in r16). 50 = 50, zero slack. This window delivers the
+# first post-change driver verdicts for the two late-r16 rewrites
+# (the _assign_to_centroids max_by aggregate and the as-of click
+# dedup aggregate), whose consumers all sit inside it.
 _MUST_BE_IN_WINDOW = {
-    # last driver verdict r14
-    "stateful_streaming_sessions_evicting",
-    "embedding_near_dups_maintained", "account_balance_union",
-    "adjacency", "approx_distinct_counts", "bm25_topk",
-    "candidate_pairs", "canonical_url_groups", "corpus_shuffle",
-    "customer_running_spend", "customers_churned", "customers_retained",
-    "degrees", "edges_derive", "events_json_extract",
-    "exact_dedup_groups", "fingerprints", "grouping_sets_sql",
-    "kmeans_centroids", "kmeans_ivf_assignments", "knn_ivf_trained",
-    "lang_id", "minhash_dedup_pairs", "mktsegment_pivot",
-    "nation_order_stats", "ngram_jaccard_pairs", "order_gap_days",
-    "order_priority_rollup", "order_scalar_functions",
-    "orders_above_customer_average", "pagerank", "parts_never_ordered",
-    "pii_redaction", "pricing_summary", "quality_scores",
-    "repeated_spans", "returnflag_status_cube", "revenue_by_nation",
-    "sessionize_events", "simhash_near_dups", "span_deduped_corpus",
-    "suppliers_with_orders", "symmetrize", "tfidf_doc_pairs",
-    "token_counts", "token_frequencies", "top_customers_per_nation",
-    "top_orders_global", "triangles_faithful", "user_value_scd2",
+    # last driver verdict r15
+    "knn_ivf_maintained", "streaming_minhash_dedup",
+    "stateful_streaming_sessions", "streaming_view_attribution",
+    "knn_ivf_pruned", "embedding_near_dups_indexed",
+    "streaming_event_dedup", "embedding_near_dups_probe",
+    "approx_order_percentiles", "asia_market_share", "clean_corpus",
+    "connected_components", "decontaminated_corpus",
+    "decontamination_external", "decontamination_pairs", "dedup_clusters",
+    "dedup_survivors", "doc_chunks", "event_type_counts_salted",
+    "hourly_event_counts", "ivf_assignments", "knn_bruteforce", "knn_ivf",
+    "lineitem_profile", "media_byte_histograms", "media_frame_sample",
+    "media_metadata", "monthly_retention_cohorts",
+    "nation_participants_full_outer", "order_size_distribution",
+    "packed_sequence_fragments", "packed_sequences",
+    "price_quantity_correlation", "purchase_last_click_asof",
+    "quality_filtered_corpus", "repetition_scores", "session_stats",
+    "session_window_stats", "signup_to_purchase_funnel",
+    "source_mixture_sample", "stratified_event_sample",
+    "streaming_hourly_counts", "streaming_triangle_count",
+    "top_parts_per_nation", "triangle_count", "triangles",
+    "trigram_counts", "value_band_range_join", "value_distribution_stats",
+    "volume_shipping",
 }
 
 # WINDOW is imported from the registry — the single source of truth
@@ -65,14 +68,15 @@ _RETIRED_AFTER_VERDICT: set[str] = set()
 # r13: nothing retired — CORRECTNESS_r12.json keys all remain registered.
 # r14: nothing retired — CORRECTNESS_r13.json keys all remain registered.
 # r15: nothing retired — CORRECTNESS_r14.json keys all remain registered.
-# r16: nothing retired — CORRECTNESS_r15.json keys all remain registered.)
+# r16: nothing retired — CORRECTNESS_r15.json keys all remain registered.
+# r17: nothing retired — CORRECTNESS_r16.json keys all remain registered.)
 
 # New queries that could NOT fit this round's 50-slot window and whose
 # driver verification is therefore deferred EXACTLY one round: they
 # must sit immediately after the window boundary so the next rotation
 # picks them up first, and they carry local oracle gating
 # (test_registry_oracle, sf0.001 + sf0.01) in the meantime.
-# Round 16: nothing new registered (registry at the 100-query
+# Round 17: nothing new registered (registry at the 100-query
 # ceiling; growth requires a funded retirement), so nothing defers.
 _DEFERRED_TO_NEXT_WINDOW: list[str] = []
 
@@ -146,94 +150,21 @@ def test_registry_has_expected_size():
 # either sit inside the window or be explicitly attested unchanged
 # below (a conscious, reviewable act in the diff).
 
-_ROUND_BASE = "d41aa2e"  # r15 driver commit (verdict landed); bump each round
+_ROUND_BASE = "1286622"  # r16 driver commit (verdict landed); bump each round
 
 # Queries living in touched modules whose own plan + oracle are
 # attested unchanged this round (measured against _ROUND_BASE = the
-# r15 driver commit).
+# r16 driver commit).
 #
-# Round 16 plan: the money migration's every target (qsum/qavg
-# consumers in queries_relational/queries_analytics, the two
-# window-sum queries, the sessionizer-state consumers) sits IN the
-# r16 window, so the changes get their driver verdicts this round.
-# Out-of-window queries that merely share a touched MODULE with an
-# in-window change are attested here with a value-neutrality
-# argument, as in prior rounds.
-#
-# Money-migration batch (the r16 package edit: decimal accumulation
-# in the shared qsum/qavg helpers, the two relational window sums,
-# the sessionizer state column, and consolidation of the r15 inline
-# decimal sites onto the shared cents() helper — ledger: SCALING.md).
-# Every query whose VALUES the edit could move is IN the r16 window.
-# The out-of-window queries attested below fall in three groups:
-#
-# 1. Expression-identical consolidation — their inline
-#    round(x*100)::decimal(19,0) was replaced by the cents() helper,
-#    which builds the SAME expression tree (plan-neutral by
-#    construction), and each is additionally pinned at past-int64
-#    magnitude by a *_survive_int64_overflow test:
-#    volume_shipping, asia_market_share, top_parts_per_nation
-#    (queries_analytics), session_stats, hourly_event_counts
-#    (operators/events), session_window_stats, value_band_range_join
-#    (queries_events), streaming_hourly_counts (streaming/pipeline).
-# 2. stateful_streaming_sessions — its Python-side accumulation
-#    (arbitrary-precision ints) is untouched; only the persisted
-#    state REPRESENTATION widened (long → decimal(38,0)), value-
-#    exactness re-proven by the extended events overflow test and
-#    the sf0.01 oracle sweep.
-# 3. Module-sharing only — they import a touched module (mostly
-#    streaming.pipeline, which gained one import line and one agg
-#    expression inside a function none of them call) but carry no
-#    money arithmetic on any touched path: clean_corpus,
-#    connected_components, dedup_clusters, dedup_survivors,
-#    monthly_retention_cohorts, order_size_distribution,
-#    signup_to_purchase_funnel, stratified_event_sample,
-#    streaming_event_dedup, streaming_minhash_dedup,
-#    streaming_triangle_count, streaming_view_attribution,
-#    triangle_count, triangles.
-#
-# Late-r16 addition — the _assign_to_centroids argmax rewrite
-# (operators/similarity.py: row_number window → max_by aggregate, a
-# 16× shuffle reduction on the IVF bucketing path at corpus scale):
-#
-# 4. Value-identical by a uniqueness argument (the max_by ordering
-#    struct (cos, -centroid_id) is unique per vector, so the
-#    aggregate selects exactly the window's (cos desc, centroid_id)
-#    head), proven by an exceptAll-both-ways equivalence run against
-#    the old formulation at sf0.01 (symmetric diff 0) and by every
-#    consumer's oracle check re-run post-change:
-#    ivf_assignments, knn_ivf, knn_ivf_maintained, knn_ivf_pruned
-#    (direct or via append_ivf_index). knn_bruteforce,
-#    embedding_near_dups_indexed / _probe merely share the module
-#    (no centroid assignment in their paths). All seven are
-#    r15-greens that rotate into the r17 window for their first
-#    post-change driver verdicts — the r14→r15 late-change precedent.
-#
-# 5. purchase_last_click_asof (late r16, same precedent): the clicks
-#    dedup moved from a row_number window (rn=1 under event_id DESC
-#    per (user_id, ts)) to groupBy.max(event_id) — the identical
-#    selection by definition of max, hash-aggregable with map-side
-#    combine. Oracle-exact at sf0.001 + sf0.01 post-change; the
-#    oracle is DuckDB's NATIVE ASOF JOIN, an independent
-#    implementation, so the check is semantic.
-#
-# Empirical backstop: complement half rehearsed 50/50 at sf0.01
-# post-change (BENCHNOTES r16).
-_ATTESTED_UNCHANGED: set[str] = {
-    "ivf_assignments", "knn_ivf", "knn_ivf_maintained", "knn_ivf_pruned",
-    "knn_bruteforce", "embedding_near_dups_indexed",
-    "embedding_near_dups_probe", "purchase_last_click_asof",
-    "volume_shipping", "asia_market_share", "top_parts_per_nation",
-    "session_stats", "hourly_event_counts", "session_window_stats",
-    "value_band_range_join", "streaming_hourly_counts",
-    "stateful_streaming_sessions",
-    "clean_corpus", "connected_components", "dedup_clusters",
-    "dedup_survivors", "monthly_retention_cohorts",
-    "order_size_distribution", "signup_to_purchase_funnel",
-    "stratified_event_sample", "streaming_event_dedup",
-    "streaming_minhash_dedup", "streaming_triangle_count",
-    "streaming_view_attribution", "triangle_count", "triangles",
-}
+# Round 17 plan: the rotation itself changes no package code beyond
+# _ORDER (registry.py is rotation infrastructure, excluded from the
+# dep scan); the round's queue (pricing_summary decimal-wall
+# attribution, the streaming/sessions.py fresh-eyes re-read, ADVICE
+# hygiene fixes) is expected to be measurement- and comment-heavy.
+# Any package edit that could move a query's VALUES must target
+# in-window queries or be attested here with a value-neutrality
+# argument at the time the edit lands.
+_ATTESTED_UNCHANGED: set[str] = set()
 
 
 def _round_sorted(paths: list[str]) -> list[str]:
