@@ -548,7 +548,8 @@ def ivf_assignments(embeddings: DataFrame,
     Centroids are the seed vectors ``vec_id < n_centroids`` — a
     deterministic stand-in for k-means (which would converge to
     data-dependent floats and break value-level oracle checks).
-    One broadcast join + one argmax window; no iteration.
+    One broadcast join + one argmax aggregate (``max_by`` with
+    map-side partial combine — r16 rewrite); no iteration.
     """
     v = _prep(embeddings)
     centroids = v.where(F.col("vec_id") < n_centroids).select(

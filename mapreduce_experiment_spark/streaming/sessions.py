@@ -79,6 +79,19 @@ def _state_cents(raw) -> int:
     arbitrary-precision accumulator type): ``state.get`` returns
     decimal.Decimal for a decimal column, and Decimal would poison
     the emit path's ``/ 100.0`` (Decimal/float is a TypeError)."""
+    if raw is None:
+        # The state serializer stores out-of-spec values (a plain int,
+        # a > precision overflow) as NULL with no error — see
+        # _cents_state. A None here means the cents column NULL-round-
+        # tripped (old-schema checkpoint or a write-side regression);
+        # name that failure mode instead of dying with a bare
+        # "int() argument must not be None" TypeError (ADVICE r16).
+        raise ValueError(
+            "session state 'cents' read back NULL: the decimal(38,0) "
+            "state column round-tripped as None — written from a "
+            "non-Decimal value or an incompatible (pre-decimal) "
+            "checkpoint; see _cents_state"
+        )
     return int(raw)
 
 

@@ -2143,6 +2143,27 @@ def test_sessionizer_state_survives_int64_overflow(spark, tmp_path):
         drive(old_long_state, "sess_ovf_long")
 
 
+def test_state_cents_null_roundtrip_is_diagnosable():
+    """ADVICE r16: the state serializer silently stores out-of-spec
+    cents values as NULL (demonstrated above), and ``_state_cents``
+    did a bare ``int(raw)`` — so a NULL round-trip (old-schema
+    checkpoint, future write-side regression) killed the next batch
+    with an opaque "int() argument must not be None" TypeError. Pin
+    the guard: None must raise a ValueError that NAMES the
+    NULL-round-trip failure mode, and legal Decimal/int inputs keep
+    normalizing exactly."""
+    import pytest
+    from decimal import Decimal
+
+    from mapreduce_experiment_spark.streaming.sessions import _state_cents
+
+    with pytest.raises(ValueError, match="round-tripped as None"):
+        _state_cents(None)
+    assert _state_cents(Decimal(9_600_000_000_000_000_125)) \
+        == 9_600_000_000_000_000_125
+    assert _state_cents(42) == 42
+
+
 def test_priority_word_survives_delimiter_free_input(spark, tmp_path):
     """r14 plans review: order_scalar_functions extracted priority_word
     with split('-').getItem(1), which under ANSI (the Spark 4 default)

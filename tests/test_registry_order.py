@@ -164,7 +164,29 @@ _ROUND_BASE = "1286622"  # r16 driver commit (verdict landed); bump each round
 # Any package edit that could move a query's VALUES must target
 # in-window queries or be attested here with a value-neutrality
 # argument at the time the edit lands.
-_ATTESTED_UNCHANGED: set[str] = set()
+#
+# ADVICE r16 hygiene batch (both edits value-neutral by construction):
+#
+# 1. operators/similarity.py — docstring-only: the ivf_assignments
+#    doc still said "argmax window" after the r16 max_by rewrite; no
+#    expression or plan change (bytecode-identical module). Flagged
+#    out-of-window module-sharers attested on that basis:
+#    embedding_near_dups_maintained, kmeans_centroids,
+#    kmeans_ivf_assignments, knn_ivf_trained (user_value_scd2 only
+#    reaches the module transitively through plans imports).
+# 2. streaming/sessions.py — _state_cents gained a None guard that
+#    RAISES a descriptive ValueError where the same input previously
+#    died with an opaque "int() argument must not be None" TypeError.
+#    None was never a legal state value (the write side always stores
+#    Decimal), so no live value path changes; pinned by
+#    test_state_cents_null_roundtrip_is_diagnosable and the module's
+#    unit suite re-run post-change. Out-of-window consumers attested:
+#    sessionize_events, stateful_streaming_sessions_evicting.
+_ATTESTED_UNCHANGED: set[str] = {
+    "embedding_near_dups_maintained", "kmeans_centroids",
+    "kmeans_ivf_assignments", "knn_ivf_trained", "user_value_scd2",
+    "sessionize_events", "stateful_streaming_sessions_evicting",
+}
 
 
 def _round_sorted(paths: list[str]) -> list[str]:
