@@ -2,7 +2,10 @@
 
 from .compare import (
     cents,
+    cents_long,
     cents_sql,
+    chunk_id,
+    dsum,
     q2,
     q2_sql,
     qavg,
@@ -11,5 +14,5 @@ from .compare import (
     qsum_sql,
 )
 
-__all__ = ["cents", "cents_sql", "q2", "q2_sql", "qavg", "qavg_sql",
-           "qsum", "qsum_sql"]
+__all__ = ["cents", "cents_long", "cents_sql", "chunk_id", "dsum",
+           "q2", "q2_sql", "qavg", "qavg_sql", "qsum", "qsum_sql"]

@@ -58,6 +58,70 @@ def cents_sql(expr: str, scale: int = 100) -> str:
     return f"CAST(round(({expr}) * {scale}) AS BIGINT)"
 
 
+# --- two-level money sums (hot-scan mitigation, r17) -----------------------
+#
+# Spark's decimal(29,0) accumulation costs ~318 ns/row/buffer vs
+# ~109 ns for a long add (measured: scripts/attr_pricing.py, sf0.1,
+# min-of-5) — with several money buffers over one huge scan the
+# decimal sums dominate query CPU (71% of pricing_summary's at a
+# 10-task scan). The two-level form keeps the per-ROW adds long and
+# moves the decimal widening to per-CHUNK rows:
+#
+#   level 1: groupBy(keys, chunk_id()) with sum(cents_long(x)) —
+#            long adds, map-side combining, exact;
+#   level 2: groupBy(keys) with dsum("chunk_col") — decimal adds
+#            over ~rows/2^21 chunk sums, where the cost is noise.
+#
+# Overflow safety is DETERMINISTIC, not probabilistic: chunk_id()
+# bounds a chunk to 2^21 rows of ONE scan partition, so a chunk's
+# long sum is bounded by 2^21 * |cents|_max = 4.4e18 at the
+# contracted ±2e12-cent per-row domain — 2.1x under 2^63 (the r16
+# overflow pin's 3e12-cent extreme still clears at 6.3e18). Every
+# step is exact integer arithmetic, so the final values are
+# bit-identical to the single-level qsum/qavg form — same oracle SQL.
+# Use it where MANY money buffers ride one corpus-scale scan
+# (pricing_summary); single-buffer aggregations behind joins
+# (revenue_by_nation) keep the simpler one-level qsum.
+
+# log2 of the max rows per chunk. monotonically_increasing_id() is
+# (partition_index << 33) | row_offset, so ids within a partition are
+# consecutive from p<<33 and shiftright by 21 groups at most 2^21
+# rows; distinct partitions can't collide below 8.6e9 rows per
+# PARTITION (offset overflowing into the partition bits) — ~1 TB+ in
+# one task, far past any sane split size.
+CHUNK_ROWS_LOG2 = 21
+
+
+def chunk_id() -> Column:
+    """Partition-local bounded chunk id for two-level money sums:
+    at most 2^21 rows share a value (see CHUNK_ROWS_LOG2). The id is
+    not deterministic across runs (it inherits the scan's partition
+    layout) — which is fine ONLY under exact integer aggregation,
+    where every chunking yields the same total; do not group
+    non-exact aggregates by it."""
+    return F.shiftright(F.monotonically_increasing_id(), CHUNK_ROWS_LOG2)
+
+
+def cents_long(col: Column, scale: int = 100) -> Column:
+    """Level-1 quantizer: the same ``round(x*scale)`` integer as
+    :func:`cents` (kept textually in lockstep — the per-row parity
+    test pins cents; this is the identical expression with a long
+    cast) but accumulating in int64. ONLY safe summed per
+    :func:`chunk_id` chunk: an unbounded group ANSI-overflows at
+    ~4.6M contract-extreme rows, the exact defect qsum's decimal
+    accumulation closed (SCALING.md)."""
+    return F.round(col * scale, 0).cast("long")
+
+
+def dsum(chunk_sum_col: str) -> Column:
+    """Level-2 accumulator: exact decimal sum over chunk long sums.
+    decimal(19,0) holds any chunk sum (|sum| <= 4.4e18 < 1e19 by the
+    chunk bound) and Spark widens the sum buffer to decimal(29,0) —
+    the same intermediate type, bound (1e29), and final-conversion
+    point as the one-level qsum, so values are bit-identical."""
+    return F.sum(F.col(chunk_sum_col).cast("decimal(19,0)"))
+
+
 def qsum(col: Column, scale: int = 100) -> Column:
     """Exact quantized sum: ``sum(cents(x)) / scale`` (double out)."""
     return F.sum(cents(col, scale)) / float(scale)

@@ -17,7 +17,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import cents, q2, q2_sql, qavg, qavg_sql, qsum, qsum_sql
+from ..functions import (
+    cents,
+    cents_long,
+    chunk_id,
+    dsum,
+    q2,
+    q2_sql,
+    qavg,
+    qavg_sql,
+    qsum,
+    qsum_sql,
+)
 from ..operators.relational import (
     lag_diff,
     pivot_counts,
@@ -52,20 +63,56 @@ GROUP BY l_returnflag, l_linestatus
     headline=True,
 )
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: 5 distinct money buffers + count over one
+    corpus-scale scan — the engine's heaviest money aggregation, so
+    it uses the TWO-LEVEL sum (functions/compare.py): per-chunk long
+    cents (bounded exact int64 — chunk_id() caps a chunk at 2^21
+    rows of one partition), then decimal sums over the tiny chunk-sum
+    set. Values are bit-identical to the one-level qsum/qavg form
+    (exact integer arithmetic at both levels, same decimal(29,0)
+    intermediate, same final double conversion; same oracle SQL), but
+    the per-row decimal accumulation — measured at 318 ns/row/buffer
+    vs 109 for long, 71% of this query's CPU at a 10-task scan
+    (scripts/attr_pricing.py, r17) — drops off the hot path: sf0.1
+    executor CPU 1,090 -> 386 ms, back to ~1.2x the pre-migration r1
+    cost with the overflow safety kept. The level-1 exchange carries
+    one row per (group, chunk) — at 10^12 input rows that is ~6 x
+    500k rows of longs, noise next to the scan."""
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
+    per_chunk = (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
+        .withColumn("_chunk", chunk_id())
+        .groupBy("l_returnflag", "l_linestatus", "_chunk")
         .agg(
-            qsum(F.col("l_quantity")).alias("sum_qty"),
-            qsum(F.col("l_extendedprice")).alias("sum_base_price"),
-            qsum(disc_price).alias("sum_disc_price"),
-            qsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
-            qavg(F.col("l_quantity"), 4).alias("avg_qty"),
-            qavg(F.col("l_extendedprice"), 4).alias("avg_price"),
-            qavg(F.col("l_discount"), 6, scale=10000).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.sum(cents_long(F.col("l_quantity"))).alias("c_qty"),
+            F.sum(cents_long(F.col("l_extendedprice"))).alias("c_price"),
+            F.sum(cents_long(disc_price)).alias("c_disc_price"),
+            F.sum(cents_long(disc_price * (1 + F.col("l_tax"))))
+            .alias("c_charge"),
+            F.sum(cents_long(F.col("l_discount"), 10000)).alias("c_disc"),
+            F.count(F.lit(1)).alias("c_n"),
+        )
+    )
+    n = F.sum("c_n")
+
+    def d_avg(chunk_col: str, p: int, scale: int = 100):
+        # qavg's exact form over the level-2 decimal sum: floor at
+        # the same IEEE-double point as the oracle's HUGEINT path
+        mult = float(10 ** p)
+        return F.floor(dsum(chunk_col) * mult / (scale * n) + 0.5) / mult
+
+    return (
+        per_chunk.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (dsum("c_qty") / 100.0).alias("sum_qty"),
+            (dsum("c_price") / 100.0).alias("sum_base_price"),
+            (dsum("c_disc_price") / 100.0).alias("sum_disc_price"),
+            (dsum("c_charge") / 100.0).alias("sum_charge"),
+            d_avg("c_qty", 4).alias("avg_qty"),
+            d_avg("c_price", 4).alias("avg_price"),
+            d_avg("c_disc", 6, scale=10000).alias("avg_disc"),
+            n.alias("count_order"),
         )
     )
 

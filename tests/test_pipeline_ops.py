@@ -1915,6 +1915,71 @@ def test_qsum_group_sums_survive_int64_overflow(spark, tmp_path):
         "FROM orders", sf).s[0] == 10**19
 
 
+def test_two_level_money_agg_matches_one_level(spark, sf_smoke):
+    """r17 pricing_summary mitigation: the two-level sum (per-chunk
+    long cents -> decimal sum of chunk sums; functions/compare.py)
+    must be BIT-identical to the one-level qsum/qavg form — exact
+    integer arithmetic at both levels, same decimal(29,0)
+    intermediate, same final double conversion. Rebuild the old
+    one-level query inline and compare collected rows exactly; a
+    drift here (e.g. a future edit moving the double conversion
+    point) would silently shift pricing_summary off its oracle."""
+    from mapreduce_experiment_spark.functions import qavg, qsum
+    from mapreduce_experiment_spark.plans.registry import SPECS
+    from mapreduce_experiment_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_smoke, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    one_level = (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            qsum(F.col("l_quantity")).alias("sum_qty"),
+            qsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            qsum(disc_price).alias("sum_disc_price"),
+            qsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            qavg(F.col("l_quantity"), 4).alias("avg_qty"),
+            qavg(F.col("l_extendedprice"), 4).alias("avg_price"),
+            qavg(F.col("l_discount"), 6, scale=10000).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    two_level = SPECS()["pricing_summary"].fn(spark, sf_smoke)
+    key = ["l_returnflag", "l_linestatus"]
+    got = two_level.orderBy(*key).collect()
+    want = one_level.orderBy(*key).collect()
+    assert got == want
+    assert [f.dataType for f in two_level.schema.fields] == \
+        [f.dataType for f in one_level.schema.fields]
+
+
+def test_cents_long_in_lockstep_with_cents(spark, tmp_path):
+    """cents_long (the two-level form's chunk quantizer) must produce
+    the same integer as cents() for every in-contract value — they
+    are textually-parallel expressions in compare.py, and a rounding
+    drift between them would split pricing_summary from every other
+    money surface. Reuses the parity suite's trap values (dyadic
+    halves, negative halves, near-halves)."""
+    import pandas as pd
+
+    from mapreduce_experiment_spark.functions import cents, cents_long
+
+    vals = [0.0, 0.005, -0.005, 0.125, -0.125, 0.015, -0.015,
+            1.005, -1.005, 2.675, -2.675, 0.555, -0.555,
+            2.0e10, -2.0e10, 19999999999.995, -19999999999.995,
+            1e-9, -1e-9, 0.004999999999, 123456789.115]
+    pd.DataFrame({"i": range(len(vals)), "v": vals}).to_parquet(
+        tmp_path / "vals.parquet")
+    rows = (spark.read.parquet(str(tmp_path / "vals.parquet"))
+            .select(cents(F.col("v")).alias("c"),
+                    cents_long(F.col("v")).alias("cl"),
+                    cents(F.col("v"), 10000).alias("c4"),
+                    cents_long(F.col("v"), 10000).alias("cl4"))
+            .collect())
+    for r in rows:
+        assert int(r.c) == r.cl and int(r.c4) == r.cl4
+
+
 def test_cents_helper_cross_engine_parity(spark, tmp_path):
     """Direct per-row pin for the shared cents()/cents_sql() pair —
     the one quantization every money aggregate now rides (r16

@@ -182,10 +182,62 @@ _ROUND_BASE = "1286622"  # r16 driver commit (verdict landed); bump each round
 #    test_state_cents_null_roundtrip_is_diagnosable and the module's
 #    unit suite re-run post-change. Out-of-window consumers attested:
 #    sessionize_events, stateful_streaming_sessions_evicting.
+#
+# r17 pricing_summary two-level-sum mitigation (the verdict's item 2:
+# the decimal accumulation measured at 318 ns/row/buffer = 71% of the
+# query's CPU at a 10-task scan — scripts/attr_pricing.py). Three
+# groups, per the late-r16 precedent:
+#
+# 3. pricing_summary — CHANGED (per-chunk long cents -> decimal sum
+#    of chunk sums; plans/queries_relational.py), value-identical by
+#    exact-integer-arithmetic argument AND proven: collected rows
+#    bit-equal to the one-level form at sf0.001 and sf0.1 (pinned by
+#    test_two_level_money_agg_matches_one_level), oracle-exact at
+#    sf0.001 + sf0.01 (same oracle SQL, untouched), and the r16
+#    overflow pin re-passes at 1e19-cent group sums. Rotates into
+#    the r18 window for its first post-change driver verdict.
+# 4. plans/queries_relational.py module-sharers — the module edit is
+#    q_pricing_summary's body plus an import line; every other query
+#    function in the module is byte-identical: revenue_by_nation,
+#    order_priority_rollup, returnflag_status_cube,
+#    nation_order_stats, customer_running_spend,
+#    orders_above_customer_average, mktsegment_pivot, order_gap_days,
+#    order_scalar_functions, top_customers_per_nation,
+#    top_orders_global, suppliers_with_orders, parts_never_ordered,
+#    customers_churned, customers_retained, account_balance_union,
+#    events_json_extract, user_value_scd2.
+# 5. functions/compare.py + functions/__init__.py consumers — the
+#    edit ADDS helpers (chunk_id, cents_long, dsum) and exports;
+#    every pre-existing helper (cents, qsum, qavg, q2, hash fns) is
+#    byte-identical, so any query not using the new helpers is
+#    plan-unchanged: adjacency, candidate_pairs, canonical_url_groups,
+#    degrees, edges_derive, exact_dedup_groups, minhash_dedup_pairs,
+#    ngram_jaccard_pairs, pagerank, repeated_spans, simhash_near_dups,
+#    span_deduped_corpus, symmetrize, triangles_faithful.
+#
+# Empirical backstop: both rehearsal halves re-run 50/50 at sf0.01
+# post-change (BENCHNOTES r17).
 _ATTESTED_UNCHANGED: set[str] = {
     "embedding_near_dups_maintained", "kmeans_centroids",
     "kmeans_ivf_assignments", "knn_ivf_trained", "user_value_scd2",
     "sessionize_events", "stateful_streaming_sessions_evicting",
+    # group 3
+    "pricing_summary",
+    # group 4 (queries_relational module-sharers)
+    "revenue_by_nation", "order_priority_rollup",
+    "returnflag_status_cube", "nation_order_stats",
+    "customer_running_spend", "orders_above_customer_average",
+    "mktsegment_pivot", "order_gap_days", "order_scalar_functions",
+    "top_customers_per_nation", "top_orders_global",
+    "suppliers_with_orders", "parts_never_ordered",
+    "customers_churned", "customers_retained", "account_balance_union",
+    "events_json_extract",
+    # group 5 (functions additions-only consumers)
+    "adjacency", "candidate_pairs", "canonical_url_groups", "degrees",
+    "edges_derive", "exact_dedup_groups", "minhash_dedup_pairs",
+    "ngram_jaccard_pairs", "pagerank", "repeated_spans",
+    "simhash_near_dups", "span_deduped_corpus", "symmetrize",
+    "triangles_faithful",
 }
 
 
