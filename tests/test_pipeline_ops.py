@@ -255,6 +255,63 @@ def test_sample_frames_rejects_bad_params(spark):
         MM.sample_frames(media, stride=0)
 
 
+def test_media_binary_hostile_payloads(spark):
+    """r15/r16 carried item, closed with coverage instead of a
+    rationale: the media table was the only corpus without
+    adversarial data. Hostile DOCUMENTS do flow through the three
+    registered media queries, but build_media_table ASCII-cleans the
+    text first, so arbitrary BINARY payloads never reach the
+    feature/frame paths that way. Drive them directly: all 256 byte
+    values, high-bit runs, empty, NULL, a single high byte,
+    exact/off-by-one frame-boundary lengths, and a 1 MiB blob — each
+    verified against an independent recomputation (pure-Python byte
+    counting vs the Arrow numpy featurizer; hashlib.md5 vs the JVM
+    md5/substring frame path)."""
+    import hashlib
+
+    payloads = {
+        1: bytes(range(256)),
+        2: b"",
+        3: None,
+        4: b"\xff" * 31,                 # one short of a frame
+        5: b"\x00" * 32,                 # exactly one frame
+        6: b"\xab" * 33,                 # one past a frame boundary
+        7: b"\x80",                      # single high byte
+        8: bytes(range(256)) * 4096,     # 1 MiB
+        9: b"\xde\xad\xbe\xef" * 8 * 9,  # 9 frames -> idx 0, 4, 8
+    }
+    media = spark.createDataFrame(
+        [(i, p) for i, p in payloads.items()],
+        "media_id long, payload binary")
+
+    byid = {r.media_id: r for r in MM.extract_features(media).collect()}
+    assert set(byid) == set(payloads)
+    for i, p in payloads.items():
+        raw = p if p is not None else b""
+        want = [0] * MM.N_BUCKETS
+        for b in raw:
+            want[b % MM.N_BUCKETS] += 1
+        got = [getattr(byid[i], f"b{k}") for k in range(MM.N_BUCKETS)]
+        assert got == want, f"histogram mismatch for media_id {i}"
+
+    got_frames = {(r.media_id, r.frame_idx): r.frame_md5
+                  for r in MM.sample_frames(media).collect()}
+    want_frames = {}
+    for i, p in payloads.items():
+        if not p:
+            continue
+        nf = len(p) // MM.FRAME_BYTES
+        for idx in range(0, nf, MM.FRAME_STRIDE):
+            sl = p[idx * MM.FRAME_BYTES:(idx + 1) * MM.FRAME_BYTES]
+            want_frames[(i, idx)] = hashlib.md5(sl).hexdigest()
+    assert got_frames == want_frames
+    # boundary behavior, stated: 31 bytes -> no frame; 32 and 33 -> one
+    assert (4, 0) not in got_frames
+    assert (5, 0) in got_frames and (6, 0) in got_frames
+    # the 1 MiB blob sampled every 4th of its 32,768 frames
+    assert sum(1 for k in got_frames if k[0] == 8) == 8192
+
+
 def test_corpus_shuffle_rejects_nonpositive_buckets(spark):
     """r14 review: n_buckets <= 0 crashed driver-side with
     ZeroDivisionError; it is a parallelism knob, never legitimately
