@@ -143,9 +143,21 @@ def qavg(col: Column, p: int = 4, scale: int = 100) -> Column:
 
 
 def qavg_sql(expr: str, p: int = 4, scale: int = 100) -> str:
+    # CAST the sum to DOUBLE before the multiply (r17, found by
+    # hostile seed 35): in DuckDB the literal `10000.0` is
+    # DECIMAL(6,1), so `sum(...) * 10000.0` was HUGEINT × DECIMAL =
+    # exact decimal arithmetic — a DIFFERENT spec from qavg's
+    # IEEE-double path, diverging whenever the true quotient sits
+    # within ~1 double-ulp of the +0.5 floor boundary (at a 4e13
+    # quotient the ulp is 0.008, so ~0.8% of contract-extreme groups;
+    # reproduced: S=36,100,076,321,755 cents over n=93 → exact
+    # ...478.4946 floors to ...478, double path to ...479). With the
+    # cast both engines round S to double once and run identical
+    # scalar ops — the lockstep the module docstring promises.
+    # DOUBLE * DECIMAL(6,1) → DOUBLE in DuckDB, so one cast suffices.
     mult = 10 ** p
     return (
-        f"floor(sum({cents_sql(expr, scale)}) * {mult}.0"
+        f"floor(CAST(sum({cents_sql(expr, scale)}) AS DOUBLE) * {mult}.0"
         f" / ({scale} * count(*)) + 0.5) / {mult}.0"
     )
 

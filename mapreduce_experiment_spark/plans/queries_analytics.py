@@ -76,15 +76,24 @@ WITH rev AS (
   JOIN region   ON n_regionkey = r_regionkey
 )
 SELECT order_year,
-       sum(cents) FILTER (WHERE r_name = 'ASIA') * 1.0 AS asia_cents,
-       sum(cents) * 1.0 AS total_cents,
+       -- CAST AS DOUBLE, not * 1.0 (r17, the qavg_sql decimal-literal
+       -- class): * 1.0 made these HUGEINT × DECIMAL = exact
+       -- DECIMAL(38,1), whose double conversion double-rounds
+       -- (unscaled/10) where Spark converts the sum once — a 1-ulp
+       -- divergence seed for the share's floor boundary.
+       CAST(sum(cents) FILTER (WHERE r_name = 'ASIA') AS DOUBLE)
+         AS asia_cents,
+       CAST(sum(cents) AS DOUBLE) AS total_cents,
        CASE WHEN sum(cents) <> 0 THEN
-         CASE WHEN abs(coalesce(sum(cents) FILTER (WHERE r_name = 'ASIA'), 0)
-                       * 1.0 / sum(cents)) < 9.0e12 THEN
-           floor((coalesce(sum(cents) FILTER (WHERE r_name = 'ASIA'), 0) * 1.0
+         CASE WHEN abs(CAST(coalesce(
+                  sum(cents) FILTER (WHERE r_name = 'ASIA'), 0) AS DOUBLE)
+                       / sum(cents)) < 9.0e12 THEN
+           floor((CAST(coalesce(
+                    sum(cents) FILTER (WHERE r_name = 'ASIA'), 0) AS DOUBLE)
                   / sum(cents)) * 1000000 + 0.5) / 1000000.0
          ELSE
-           coalesce(sum(cents) FILTER (WHERE r_name = 'ASIA'), 0) * 1.0
+           CAST(coalesce(
+             sum(cents) FILTER (WHERE r_name = 'ASIA'), 0) AS DOUBLE)
            / sum(cents)
          END
        END AS asia_share

@@ -82,7 +82,8 @@ a AS (SELECT event_type, count(*) AS n, sum(cents) AS s,
 SELECT event_type, n,
        mn / 100.0 AS min_value,
        mx / 100.0 AS max_value,
-       floor(s * 10000.0 / (100 * n) + 0.5) / 10000.0 AS mean_value,
+       floor(CAST(s AS DOUBLE) * 10000.0 / (100 * n) + 0.5) / 10000.0
+         AS mean_value,
        CASE WHEN n > 1 THEN
          CASE WHEN CAST(n * ss - s * s AS DOUBLE)
                    / (CAST(n AS DOUBLE) * (n - 1)) < 9.0e18 THEN

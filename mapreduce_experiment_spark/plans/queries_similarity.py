@@ -422,7 +422,8 @@ a{i} AS MATERIALIZED (
             parts.append(f"""
 c{i + 1} AS MATERIALIZED (
   SELECT a.centroid_id, e.pos,
-         CAST(floor(sum(e.qval) * 1.0 / count(*)) AS BIGINT) AS val
+         CAST(floor(CAST(sum(e.qval) AS DOUBLE) / count(*)) AS BIGINT)
+           AS val
   FROM a{i} a JOIN e USING (vec_id) GROUP BY 1, 2)""")
     return "WITH " + ",".join(parts)
 

@@ -2010,6 +2010,49 @@ def test_two_level_money_agg_matches_one_level(spark, sf_smoke):
         [f.dataType for f in one_level.schema.fields]
 
 
+def test_qavg_floor_boundary_matches_oracle(spark, tmp_path):
+    """Hostile seed 35 finding (r17), pinned: DuckDB parses `10000.0`
+    as DECIMAL(6,1), so qavg_sql's `sum(...) * 10000.0` ran HUGEINT x
+    DECIMAL = EXACT decimal arithmetic while Spark's qavg runs IEEE
+    doubles — a different spec that diverges whenever the true
+    quotient sits within ~1 double-ulp of the +0.5 floor boundary
+    (ulp = 0.008 at a 4e13-cent quotient). Reproduce the exact seed-35
+    group: S = 36,100,076,321,755 cents over n = 93 rows — exact
+    value ...478.4946 floors to ...478, the double path to ...479.
+    The oracle now CASTs the sum to DOUBLE (one conversion, identical
+    scalar ops both engines), and this drives the REGISTERED
+    pricing_summary (two-level d_avg path) against it."""
+    import duckdb
+
+    from mapreduce_experiment_spark.plans.registry import SPECS
+    from tests.oracle_util import assert_matches, run_oracle
+
+    sf = str(tmp_path)
+    con = duckdb.connect()
+    # 92 rows + 1 remainder row summing to exactly S; every per-row
+    # cents value is inside the +-2e12 money-domain contract
+    con.execute(f"""
+        COPY (
+          SELECT 0::BIGINT AS l_orderkey, 1::BIGINT AS l_partkey,
+                 1::BIGINT AS l_suppkey, i::INT AS l_linenumber,
+                 1.0 AS l_quantity,
+                 CASE WHEN i < 92 THEN 3881729000.00
+                      ELSE 3881695217.55 END AS l_extendedprice,
+                 0.0 AS l_discount, 0.0 AS l_tax,
+                 'N' AS l_returnflag, 'O' AS l_linestatus,
+                 TIMESTAMP '1995-06-01 00:00:00' AS l_shipdate
+          FROM range(93) t(i))
+        TO '{sf}/lineitem.parquet' (FORMAT parquet)""")
+    spec = SPECS()["pricing_summary"]
+    assert_matches(spec.fn(spark, sf), run_oracle(spec.oracle, sf),
+                   "pricing_summary")
+    row = spec.fn(spark, sf).collect()[0]
+    # the double-spec value (exact-decimal arithmetic would give
+    # ...478: that is the divergence the oracle cast closes)
+    assert row.count_order == 93
+    assert row.avg_price == 3881728636.7479
+
+
 def test_cents_long_in_lockstep_with_cents(spark, tmp_path):
     """cents_long (the two-level form's chunk quantizer) must produce
     the same integer as cents() for every in-contract value — they
