@@ -2053,6 +2053,56 @@ def test_qavg_floor_boundary_matches_oracle(spark, tmp_path):
     assert row.avg_price == 3881728636.7479
 
 
+def test_qavg_boundary_sweep_cross_engine(spark, tmp_path):
+    """Density follow-up to the seed-35 pin above: ~1,250 groups
+    CRAFTED to land within a few double-ulps of qavg's +0.5 floor
+    boundary at 1e13-1e14-cent quotients (where the ulp, 0.002-0.016,
+    dwarfs everything and random data almost never treads). Measured
+    teeth: against the pre-fix oracle form this sweep diverges on 5
+    of the 1,250 groups (the seed-35 class); with both engines
+    flooring the same IEEE double they must agree on EVERY one. Groups stay in-contract: n >= 60 keeps per-row cents under
+    the ±2e12 domain bound."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from mapreduce_experiment_spark.functions import qavg, qavg_sql
+
+    rng = np.random.default_rng(17)
+    rows_g, rows_c = [], []
+    gid = 0
+    for _ in range(250):
+        n = int(rng.integers(60, 200))
+        x = int(rng.integers(10**13, 10**14))  # target quotient int part
+        den, mult = 100 * n, 10**4
+        s0 = ((2 * x + 1) * den) // (2 * mult)  # quotient ~ x + 0.5
+        for k in (-2, -1, 0, 1, 2):
+            s = s0 + k
+            base = s // n
+            rem = s - base * (n - 1)
+            assert 0 < base <= 2 * 10**12 and 0 < rem <= 2 * 10**12
+            cents_list = [base] * (n - 1) + [rem]
+            rows_g.extend([gid] * n)
+            rows_c.extend(cents_list)
+            gid += 1
+    pd.DataFrame({"g": np.array(rows_g, dtype=np.int64),
+                  "v": np.array(rows_c, dtype=np.float64) / 100.0}
+                 ).to_parquet(tmp_path / "sweep.parquet")
+
+    got = {r.g: r.a for r in
+           spark.read.parquet(str(tmp_path / "sweep.parquet"))
+           .groupBy("g").agg(qavg(F.col("v"), 4).alias("a")).collect()}
+    con = duckdb.connect()
+    want = dict(con.execute(
+        f"SELECT g, {qavg_sql('v', 4)} FROM "
+        f"read_parquet('{tmp_path}/sweep.parquet') GROUP BY g").fetchall())
+    assert len(got) == gid
+    diffs = {g: (got[g], want[g]) for g in want if got[g] != want[g]}
+    assert not diffs, (
+        f"{len(diffs)} boundary groups diverge cross-engine, e.g. "
+        f"{next(iter(diffs.items()))}")
+
+
 def test_cents_long_in_lockstep_with_cents(spark, tmp_path):
     """cents_long (the two-level form's chunk quantizer) must produce
     the same integer as cents() for every in-contract value — they
