@@ -12,38 +12,36 @@ import os
 
 from mapreduce_experiment_spark.plans.registry import _ORDER, SPECS, WINDOW
 
-# Round 17 contract: steady-state alternate-round cadence, seventh
-# full cycle. The r16 driver verdict landed (CORRECTNESS_r16.json
-# 50/50 green, keys == WINDOW_r16.json), so the r16 window rotates
+# Round 18 contract: steady-state alternate-round cadence, eighth
+# full cycle. The r17 driver verdict landed (CORRECTNESS_r17.json
+# 50/50 green, keys == WINDOW_r17.json), so the r17 window rotates
 # out and the new window is the registry's stalest set: exactly the
-# 50 r15-greens (WINDOW_r15.json keys verbatim — nothing retired or
-# deferred in r16). 50 = 50, zero slack. This window delivers the
-# first post-change driver verdicts for the two late-r16 rewrites
-# (the _assign_to_centroids max_by aggregate and the as-of click
-# dedup aggregate), whose consumers all sit inside it.
+# 50 r16-greens (WINDOW_r16.json keys verbatim — nothing retired or
+# deferred in r17). 50 = 50, zero slack. This window delivers the
+# first post-change driver verdicts for the r17 work: pricing_summary
+# (two-level money sum + qavg_sql oracle fix), nation_order_stats
+# (qavg_sql), and the kmeans-CTE oracle-fix consumers
+# (kmeans_centroids, kmeans_ivf_assignments, knn_ivf_trained).
 _MUST_BE_IN_WINDOW = {
-    # last driver verdict r15
-    "knn_ivf_maintained", "streaming_minhash_dedup",
-    "stateful_streaming_sessions", "streaming_view_attribution",
-    "knn_ivf_pruned", "embedding_near_dups_indexed",
-    "streaming_event_dedup", "embedding_near_dups_probe",
-    "approx_order_percentiles", "asia_market_share", "clean_corpus",
-    "connected_components", "decontaminated_corpus",
-    "decontamination_external", "decontamination_pairs", "dedup_clusters",
-    "dedup_survivors", "doc_chunks", "event_type_counts_salted",
-    "hourly_event_counts", "ivf_assignments", "knn_bruteforce", "knn_ivf",
-    "lineitem_profile", "media_byte_histograms", "media_frame_sample",
-    "media_metadata", "monthly_retention_cohorts",
-    "nation_participants_full_outer", "order_size_distribution",
-    "packed_sequence_fragments", "packed_sequences",
-    "price_quantity_correlation", "purchase_last_click_asof",
-    "quality_filtered_corpus", "repetition_scores", "session_stats",
-    "session_window_stats", "signup_to_purchase_funnel",
-    "source_mixture_sample", "stratified_event_sample",
-    "streaming_hourly_counts", "streaming_triangle_count",
-    "top_parts_per_nation", "triangle_count", "triangles",
-    "trigram_counts", "value_band_range_join", "value_distribution_stats",
-    "volume_shipping",
+    # last driver verdict r16
+    "stateful_streaming_sessions_evicting",
+    "embedding_near_dups_maintained", "account_balance_union",
+    "adjacency", "approx_distinct_counts", "bm25_topk",
+    "candidate_pairs", "canonical_url_groups", "corpus_shuffle",
+    "customer_running_spend", "customers_churned", "customers_retained",
+    "degrees", "edges_derive", "events_json_extract",
+    "exact_dedup_groups", "fingerprints", "grouping_sets_sql",
+    "kmeans_centroids", "kmeans_ivf_assignments", "knn_ivf_trained",
+    "lang_id", "minhash_dedup_pairs", "mktsegment_pivot",
+    "nation_order_stats", "ngram_jaccard_pairs", "order_gap_days",
+    "order_priority_rollup", "order_scalar_functions",
+    "orders_above_customer_average", "pagerank", "parts_never_ordered",
+    "pii_redaction", "pricing_summary", "quality_scores",
+    "repeated_spans", "returnflag_status_cube", "revenue_by_nation",
+    "sessionize_events", "simhash_near_dups", "span_deduped_corpus",
+    "suppliers_with_orders", "symmetrize", "tfidf_doc_pairs",
+    "token_counts", "token_frequencies", "top_customers_per_nation",
+    "top_orders_global", "triangles_faithful", "user_value_scd2",
 }
 
 # WINDOW is imported from the registry — the single source of truth
@@ -69,14 +67,15 @@ _RETIRED_AFTER_VERDICT: set[str] = set()
 # r14: nothing retired — CORRECTNESS_r13.json keys all remain registered.
 # r15: nothing retired — CORRECTNESS_r14.json keys all remain registered.
 # r16: nothing retired — CORRECTNESS_r15.json keys all remain registered.
-# r17: nothing retired — CORRECTNESS_r16.json keys all remain registered.)
+# r17: nothing retired — CORRECTNESS_r16.json keys all remain registered.
+# r18: nothing retired — CORRECTNESS_r17.json keys all remain registered.)
 
 # New queries that could NOT fit this round's 50-slot window and whose
 # driver verification is therefore deferred EXACTLY one round: they
 # must sit immediately after the window boundary so the next rotation
 # picks them up first, and they carry local oracle gating
 # (test_registry_oracle, sf0.001 + sf0.01) in the meantime.
-# Round 17: nothing new registered (registry at the 100-query
+# Round 18: nothing new registered (registry at the 100-query
 # ceiling; growth requires a funded retirement), so nothing defers.
 _DEFERRED_TO_NEXT_WINDOW: list[str] = []
 
@@ -150,115 +149,74 @@ def test_registry_has_expected_size():
 # either sit inside the window or be explicitly attested unchanged
 # below (a conscious, reviewable act in the diff).
 
-_ROUND_BASE = "1286622"  # r16 driver commit (verdict landed); bump each round
+_ROUND_BASE = "1d51fab"  # r17 driver commit (verdict landed); bump each round
 
 # Queries living in touched modules whose own plan + oracle are
 # attested unchanged this round (measured against _ROUND_BASE = the
-# r16 driver commit).
+# r17 driver commit).
 #
-# Round 17 plan: the rotation itself changes no package code beyond
+# Round 18 plan: the rotation itself changes no package code beyond
 # _ORDER (registry.py is rotation infrastructure, excluded from the
-# dep scan); the round's queue (pricing_summary decimal-wall
-# attribution, the streaming/sessions.py fresh-eyes re-read, ADVICE
+# dep scan); the round's queue (hostile seeds 70+, the sf1 scale-up
+# measurement, the operators/text.py fresh-eyes re-read, ADVICE
 # hygiene fixes) is expected to be measurement- and comment-heavy.
 # Any package edit that could move a query's VALUES must target
 # in-window queries or be attested here with a value-neutrality
 # argument at the time the edit lands.
 #
-# ADVICE r16 hygiene batch (both edits value-neutral by construction):
+# ADVICE r17 batch:
 #
-# 1. operators/similarity.py — docstring-only: the ivf_assignments
-#    doc still said "argmax window" after the r16 max_by rewrite; no
-#    expression or plan change (bytecode-identical module). Flagged
-#    out-of-window module-sharers attested on that basis:
-#    embedding_near_dups_maintained, kmeans_centroids,
-#    kmeans_ivf_assignments, knn_ivf_trained (user_value_scd2 only
-#    reaches the module transitively through plans imports).
-# 2. streaming/sessions.py — _state_cents gained a None guard that
-#    RAISES a descriptive ValueError where the same input previously
-#    died with an opaque "int() argument must not be None" TypeError.
-#    None was never a legal state value (the write side always stores
-#    Decimal), so no live value path changes; pinned by
-#    test_state_cents_null_roundtrip_is_diagnosable and the module's
-#    unit suite re-run post-change. Out-of-window consumers attested:
-#    sessionize_events, stateful_streaming_sessions_evicting.
+# 1. functions/compare.py — docstring-only: chunk_id()'s warning
+#    extended to cover placement downstream of a nondeterministic
+#    exchange (SPARK-23207 retry class); no expression change
+#    (bytecode-identical module). Out-of-window consumers attested on
+#    that basis: streaming_minhash_dedup, streaming_event_dedup,
+#    streaming_hourly_counts, streaming_view_attribution,
+#    streaming_triangle_count, stateful_streaming_sessions,
+#    session_window_stats, session_stats, sessionize-family and every
+#    other functions-package importer whose own expressions are
+#    untouched (the module exports only byte-identical helpers to
+#    them).
+# 2. plans/queries_similarity.py — ORACLE-SQL-only edit (ADVICE r17
+#    medium): the kmeans-CTE centroid-mean update is exact integer
+#    floor division engine-side (s // cnt over Python ints,
+#    operators/similarity.py), so the r17 DOUBLE-cast form diverges
+#    once per-(centroid,pos) |sum| >= 2^53. Replaced with DuckDB
+#    exact HUGEINT floor division (qsum - ((qsum % n) + n) % n) / n —
+#    bit-exact at ALL magnitudes including negatives. Consumers
+#    kmeans_centroids / kmeans_ivf_assignments / knn_ivf_trained are
+#    IN-window this round (driver verdict lands on the fixed form);
+#    module-sharers with untouched oracles attested out-of-window:
+#    knn_bruteforce, knn_ivf, knn_ivf_pruned, knn_ivf_maintained,
+#    ivf_assignments, embedding_near_dups_indexed/probe/maintained.
 #
-# r17 pricing_summary two-level-sum mitigation (the verdict's item 2:
-# the decimal accumulation measured at 318 ns/row/buffer = 71% of the
-# query's CPU at a 10-task scan — scripts/attr_pricing.py). Three
-# groups, per the late-r16 precedent:
-#
-# 3. pricing_summary — CHANGED (per-chunk long cents -> decimal sum
-#    of chunk sums; plans/queries_relational.py), value-identical by
-#    exact-integer-arithmetic argument AND proven: collected rows
-#    bit-equal to the one-level form at sf0.001 and sf0.1 (pinned by
-#    test_two_level_money_agg_matches_one_level), oracle-exact at
-#    sf0.001 + sf0.01 (same oracle SQL, untouched), and the r16
-#    overflow pin re-passes at 1e19-cent group sums. Rotates into
-#    the r18 window for its first post-change driver verdict.
-# 4. plans/queries_relational.py module-sharers — the module edit is
-#    q_pricing_summary's body plus an import line; every other query
-#    function in the module is byte-identical: revenue_by_nation,
-#    order_priority_rollup, returnflag_status_cube,
-#    nation_order_stats, customer_running_spend,
-#    orders_above_customer_average, mktsegment_pivot, order_gap_days,
-#    order_scalar_functions, top_customers_per_nation,
-#    top_orders_global, suppliers_with_orders, parts_never_ordered,
-#    customers_churned, customers_retained, account_balance_union,
-#    events_json_extract, user_value_scd2.
-# 5. functions/compare.py + functions/__init__.py consumers — the
-#    edit ADDS helpers (chunk_id, cents_long, dsum) and exports;
-#    every pre-existing helper (cents, qsum, qavg, q2, hash fns) is
-#    byte-identical, so any query not using the new helpers is
-#    plan-unchanged: adjacency, candidate_pairs, canonical_url_groups,
-#    degrees, edges_derive, exact_dedup_groups, minhash_dedup_pairs,
-#    ngram_jaccard_pairs, pagerank, repeated_spans, simhash_near_dups,
-#    span_deduped_corpus, symmetrize, triangles_faithful.
-#
-# 6. Hostile-seed-35 oracle lockstep fix (ORACLE-SQL-only edits;
-#    Spark plans untouched): DuckDB parses numeric literals like
-#    10000.0/1.0 as DECIMAL, so four oracles ran exact decimal
-#    arithmetic where the engine runs IEEE doubles — divergent within
-#    ~1 double-ulp of a floor boundary (reproduced by seed 35 on
-#    pricing_summary.avg_price; pinned by
-#    test_qavg_floor_boundary_matches_oracle). The fixed oracles CAST
-#    the exact sum to DOUBLE once, exactly as Spark does — values
-#    identical everywhere except the boundary cases they now get
-#    RIGHT. Out-of-window consumers attested on that basis:
-#    pricing_summary + nation_order_stats (qavg_sql),
-#    kmeans_centroids / kmeans_ivf_assignments / knn_ivf_trained
-#    (the kmeans-CTE centroid mean), grouping_sets_sql
-#    (queries_analytics module-sharer; its own oracle untouched).
-#    In-window consumers (value_distribution_stats,
-#    asia_market_share) get their driver verdicts THIS round. Every
-#    changed-oracle query re-passed test_registry_oracle at sf0.001 +
-#    sf0.01 post-fix; seed 35 re-ran 100/100.
-#
-# Empirical backstop: both rehearsal halves re-run 50/50 at sf0.01
-# post-change (BENCHNOTES r17).
+# Empirical backstop: both rehearsal halves re-run at sf0.01
+# post-change (BENCHNOTES r18).
 _ATTESTED_UNCHANGED: set[str] = {
-    # group 6 addition
-    "grouping_sets_sql",
-    "embedding_near_dups_maintained", "kmeans_centroids",
-    "kmeans_ivf_assignments", "knn_ivf_trained", "user_value_scd2",
-    "sessionize_events", "stateful_streaming_sessions_evicting",
-    # group 3
-    "pricing_summary",
-    # group 4 (queries_relational module-sharers)
-    "revenue_by_nation", "order_priority_rollup",
-    "returnflag_status_cube", "nation_order_stats",
-    "customer_running_spend", "orders_above_customer_average",
-    "mktsegment_pivot", "order_gap_days", "order_scalar_functions",
-    "top_customers_per_nation", "top_orders_global",
-    "suppliers_with_orders", "parts_never_ordered",
-    "customers_churned", "customers_retained", "account_balance_union",
-    "events_json_extract",
-    # group 5 (functions additions-only consumers)
-    "adjacency", "candidate_pairs", "canonical_url_groups", "degrees",
-    "edges_derive", "exact_dedup_groups", "minhash_dedup_pairs",
-    "ngram_jaccard_pairs", "pagerank", "repeated_spans",
-    "simhash_near_dups", "span_deduped_corpus", "symmetrize",
-    "triangles_faithful",
+    # group 1 (functions docstring-only; streaming/session consumers
+    # out of window)
+    "streaming_minhash_dedup", "streaming_event_dedup",
+    "streaming_hourly_counts", "streaming_view_attribution",
+    "streaming_triangle_count", "stateful_streaming_sessions",
+    "session_window_stats", "session_stats",
+    "knn_ivf_maintained", "knn_ivf_pruned", "knn_ivf", "knn_bruteforce",
+    "ivf_assignments", "embedding_near_dups_indexed",
+    "embedding_near_dups_probe", "approx_order_percentiles",
+    "asia_market_share", "clean_corpus", "connected_components",
+    "decontaminated_corpus", "decontamination_external",
+    "decontamination_pairs", "dedup_clusters", "dedup_survivors",
+    "doc_chunks", "event_type_counts_salted", "hourly_event_counts",
+    "lineitem_profile", "media_byte_histograms", "media_frame_sample",
+    "media_metadata", "monthly_retention_cohorts",
+    "nation_participants_full_outer", "order_size_distribution",
+    "packed_sequence_fragments", "packed_sequences",
+    "price_quantity_correlation", "purchase_last_click_asof",
+    "quality_filtered_corpus", "repetition_scores",
+    "signup_to_purchase_funnel", "source_mixture_sample",
+    "stratified_event_sample", "top_parts_per_nation",
+    "triangle_count", "triangles", "trigram_counts",
+    "value_band_range_join", "value_distribution_stats",
+    "volume_shipping",
 }
 
 
