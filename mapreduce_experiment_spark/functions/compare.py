@@ -98,7 +98,14 @@ def chunk_id() -> Column:
     not deterministic across runs (it inherits the scan's partition
     layout) — which is fine ONLY under exact integer aggregation,
     where every chunking yields the same total; do not group
-    non-exact aggregates by it."""
+    non-exact aggregates by it. It must also be assigned DIRECTLY
+    over a deterministic scan (no upstream repartition/shuffle or
+    nondeterministic ordering): downstream of a nondeterministic
+    exchange, a partial stage retry re-chunks only the recomputed map
+    tasks while completed reducers keep old output (the SPARK-23207
+    class), duplicating or losing chunk rows even under exact sums.
+    Task retries over a deterministic parquet scan regenerate
+    identical ids."""
     return F.shiftright(F.monotonically_increasing_id(), CHUNK_ROWS_LOG2)
 
 

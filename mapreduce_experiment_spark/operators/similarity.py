@@ -343,9 +343,12 @@ def kmeans_train(embeddings: DataFrame, k: int = KMEANS_K,
 
     Returns ``(cent_ids, cents)``: surviving centroid ids (ascending)
     and their int64 micro-unit vectors, one row each. Update rule per
-    dimension is ``floor(sum / count)`` (exact integer floor division
-    == DuckDB's floor(sum*1.0/count) for these magnitudes — int sums
-    < 2^53 make the double quotient's floor exact).
+    dimension is ``sum // count`` — EXACT integer floor division over
+    Python ints, valid at every magnitude. The SQL mirror
+    (plans/queries_similarity._kmeans_cte) replays it in exact HUGEINT
+    arithmetic with a floor-mod adjustment; no double rounding on
+    either side (ADVICE r17: a DOUBLE-cast oracle form diverges once
+    per-(centroid,pos) |sum| >= 2^53).
     """
     import numpy as np
 

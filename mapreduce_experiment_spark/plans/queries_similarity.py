@@ -419,11 +419,21 @@ a{i} AS MATERIALIZED (
                               ORDER BY dist, centroid_id) AS rn
     FROM d{i}) WHERE rn = 1)""")
         if i < t:
+            # Centroid update: the engine computes s // cnt over exact
+            # Python ints (floor toward -inf). Mirror it EXACTLY in
+            # integer arithmetic — sum(BIGINT) is HUGEINT in DuckDB, and
+            # subtracting the floor-mod ((s % n) + n) % n makes the
+            # numerator exactly divisible, so `//` (which truncates
+            # toward zero on negatives) lands on the true floor at ALL
+            # magnitudes. The previous floor(CAST(s AS DOUBLE)/n) form
+            # diverged once |s| >= 2^53 (double rounding of s); the
+            # ADVICE r17 counterexample s=2^53+1, n=3 is test-pinned.
             parts.append(f"""
 c{i + 1} AS MATERIALIZED (
   SELECT a.centroid_id, e.pos,
-         CAST(floor(CAST(sum(e.qval) AS DOUBLE) / count(*)) AS BIGINT)
-           AS val
+         CAST((sum(e.qval)
+               - ((sum(e.qval) % count(*)) + count(*)) % count(*))
+              // count(*) AS BIGINT) AS val
   FROM a{i} a JOIN e USING (vec_id) GROUP BY 1, 2)""")
     return "WITH " + ",".join(parts)
 

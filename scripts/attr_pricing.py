@@ -62,11 +62,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 RUNS = int(os.environ.get("ATTR_RUNS", "5"))
 
 
-def cents_long(col, scale: int = 100):
+def cents_long_pre_r16(col, scale: int = 100):
     """The pre-r16 accumulator form: identical projection (round,
     multiply), long cast instead of decimal(19,0) — the ANSI-overflow
     form the migration replaced; safe here (sf0.1 and the 10x read
-    stay ~9 orders below 2^63 per group)."""
+    stay ~9 orders below 2^63 per group). Deliberately NOT the
+    package's functions/compare.py cents_long (a chunk-bounded
+    level-1 quantizer with a different contract): this local must
+    stay frozen as the historical baseline the benchmark measures —
+    do not "clean up" by importing the package export (ADVICE r17)."""
     return F.round(col * scale, 0).cast("long")
 
 
@@ -91,7 +95,7 @@ def _filtered(li: DataFrame) -> DataFrame:
 
 
 def sweep_query(li: DataFrame, kind: str, k: int) -> DataFrame:
-    quant = cents if kind == "decimal" else cents_long
+    quant = cents if kind == "decimal" else cents_long_pre_r16
     aggs = _money_exprs(quant)[:k] + [F.count(F.lit(1)).alias("n")]
     return (_filtered(li)
             .groupBy("l_returnflag", "l_linestatus").agg(*aggs))
@@ -101,7 +105,7 @@ def full_query(li: DataFrame, kind: str) -> DataFrame:
     """The registered pricing_summary shape (5 distinct money buffers
     + count + the post-aggregation qavg arithmetic) with the
     accumulator kind swapped — the long twin IS the pre-r16 query."""
-    quant = cents if kind == "decimal" else cents_long
+    quant = cents if kind == "decimal" else cents_long_pre_r16
     qty = F.col("l_quantity")
     price = F.col("l_extendedprice")
     disc_price = price * (1 - F.col("l_discount"))

@@ -2010,6 +2010,60 @@ def test_two_level_money_agg_matches_one_level(spark, sf_smoke):
         [f.dataType for f in one_level.schema.fields]
 
 
+def test_two_level_chunk_sum_at_contract_extreme(spark, tmp_path):
+    """ADVICE r17: the two-level form narrows overflow headroom vs the
+    one-level decimal sum it replaced — a chunk's long sum ANSI-
+    overflows past 2^63 once per-row |cents| exceeds 2^63/2^21 ~
+    4.39e12, and the compare.py comments argue a 1.46x margin at the
+    documented 3e12-cent contract extreme WITHOUT a pin (the re-used
+    1e19 overflow pin drives only 2e12-cent rows). Lock the extreme:
+    3.2M rows (> 2^21, one parquet scan partition) at 3e12 cents each
+    through the REGISTERED pricing_summary, so at least one chunk is
+    FULL (2^21 rows x 3e12 = 6.29e18, the worst case the margin
+    claims) — and prove the full chunk actually existed rather than
+    assuming the scan layout."""
+    import duckdb
+
+    from mapreduce_experiment_spark.functions import cents_long, chunk_id
+    from mapreduce_experiment_spark.functions.compare import CHUNK_ROWS_LOG2
+    from mapreduce_experiment_spark.plans.registry import SPECS
+    from tests.oracle_util import assert_matches, run_oracle
+
+    sf = str(tmp_path)
+    n = 3_200_000  # > 2^21 = 2,097,152 rows
+    con = duckdb.connect()
+    con.execute(f"""
+        COPY (SELECT 0::BIGINT AS l_orderkey, 7::BIGINT AS l_partkey,
+                     1::BIGINT AS l_suppkey, i::INT AS l_linenumber,
+                     1.0 AS l_quantity, 3.0e10 AS l_extendedprice,
+                     0.0 AS l_discount, 0.0 AS l_tax,
+                     'N' AS l_returnflag, 'O' AS l_linestatus,
+                     TIMESTAMP '1995-06-01 00:00:00' AS l_shipdate
+              FROM range({n}) t(i))
+        TO '{sf}/lineitem.parquet' (FORMAT parquet)""")
+    spec = SPECS()["pricing_summary"]
+    assert_matches(spec.fn(spark, sf), run_oracle(spec.oracle, sf),
+                   "pricing_summary")
+    row = spec.fn(spark, sf).collect()[0]
+    assert row.count_order == n
+    assert row.sum_base_price == n * 3.0e10
+    # a FULL chunk at the extreme, exercised directly: the local[32]
+    # scan splits this small file across cores (no partition reaches
+    # 2^21 rows), so coalesce(1) — a narrow, exchange-free merge that
+    # keeps monotonically_increasing_id consecutive — packs all 3.2M
+    # rows into one partition and fills a chunk to exactly 2^21 rows.
+    # Its long sum is the claimed worst case: 2^21 x 3e12 = 6.29e18,
+    # 1.46x under 2^63, summed under ANSI (an overflow would raise).
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").coalesce(1)
+    chunks = (li.groupBy(chunk_id().alias("c"))
+              .agg(F.count(F.lit(1)).alias("rows"),
+                   F.sum(cents_long(F.col("l_extendedprice")))
+                    .alias("csum"))
+              .collect())
+    assert max(c.rows for c in chunks) == 2 ** CHUNK_ROWS_LOG2
+    assert max(c.csum for c in chunks) == 2 ** CHUNK_ROWS_LOG2 * 3 * 10**12
+
+
 def test_qavg_floor_boundary_matches_oracle(spark, tmp_path):
     """Hostile seed 35 finding (r17), pinned: DuckDB parses `10000.0`
     as DECIMAL(6,1), so qavg_sql's `sum(...) * 10000.0` ran HUGEINT x
@@ -2101,6 +2155,49 @@ def test_qavg_boundary_sweep_cross_engine(spark, tmp_path):
     assert not diffs, (
         f"{len(diffs)} boundary groups diverge cross-engine, e.g. "
         f"{next(iter(diffs.items()))}")
+
+
+def test_kmeans_centroid_oracle_floor_division_exact():
+    """ADVICE r17 (medium), pinned: the kmeans engine update is
+    s // cnt over exact Python ints, so NO double formulation can
+    mirror it — floor(CAST(s AS DOUBLE)/n) diverges once
+    per-(centroid,pos) |s| >= 2^53 (counterexample s=2^53+1, n=3:
+    double path ...330, exact floor ...331). The oracle CTE now uses
+    exact HUGEINT floor division with a floor-mod adjustment; this
+    test (a) proves that form equals Python `//` on hostile (s, n)
+    pairs including negatives and >=2^53 magnitudes, (b) proves the
+    OLD double form actually diverges on the counterexample (teeth),
+    and (c) greps the live CTE source so a regression back to the
+    DOUBLE form fails here, not at a 5.6e8-row scale no oracle run
+    reaches."""
+    import duckdb
+
+    from mapreduce_experiment_spark.plans.queries_similarity import (
+        _kmeans_cte,
+    )
+
+    con = duckdb.connect()
+    cases = [
+        (2**53 + 1, 3), (-(2**53) - 1, 3), (2**53 - 1, 3),
+        (2**60 + 7, 93), (-(2**60) - 7, 93), (7, 3), (-7, 3),
+        (6, 3), (-6, 3), (0, 5), (1, 2), (-1, 2),
+        (2**62, 999), (-(2**62), 999), (2**53, 10), (-(2**53), 10),
+    ]
+    for s, n in cases:
+        got = con.execute(
+            f"SELECT CAST((s - ((s % n) + n) % n) // n AS BIGINT) "
+            f"FROM (SELECT {s}::HUGEINT AS s, {n}::BIGINT AS n)"
+        ).fetchone()[0]
+        assert got == s // n, (s, n, got, s // n)
+    # the double form the fix replaced really is wrong at 2^53+1
+    s, n = 2**53 + 1, 3
+    dbl = con.execute(
+        f"SELECT CAST(floor(CAST({s}::HUGEINT AS DOUBLE) / {n}) "
+        f"AS BIGINT)").fetchone()[0]
+    assert dbl != s // n
+    cte = _kmeans_cte()
+    assert "// count(*)" in cte and "% count(*)" in cte
+    assert "AS DOUBLE) / count(*)" not in cte
 
 
 def test_cents_long_in_lockstep_with_cents(spark, tmp_path):
