@@ -626,9 +626,17 @@ dfr AS (SELECT term, count(*) AS df FROM tfq GROUP BY term),
 dln AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
 st AS (SELECT CAST(count(*) AS DOUBLE) AS _n, avg(dl) AS _avgdl FROM dln),
 w AS (
+  -- CAST(tf AS DOUBLE) before the k1+1 multiply (r18, the r17
+  -- qavg_sql decimal-literal class): {_K1P1} parses as DECIMAL, so
+  -- bare tf * {_K1P1} is BIGINT x DECIMAL = EXACT (tf=3: 6.6 ->
+  -- double 6.6) while Spark computes double(tf) * double(2.2) =
+  -- 6.6000000000000005 — a 1-ulp head start that can flip the micro
+  -- floor. The cast makes both engines run the identical IEEE
+  -- product. ({_K1}/{_B}/{_OMB} multiply doubles, and df + 0.5 is
+  -- dyadic-exact below 2^52 — both verified safe.)
   SELECT doc_id, term,
          CAST(floor(ln(1.0 + (_n - df + 0.5) / (df + 0.5))
-                    * ((tf * {_K1P1})
+                    * ((CAST(tf AS DOUBLE) * {_K1P1})
                        / (tf + {_K1} * ({_OMB} + {_B} * (dl / _avgdl))))
                     * 1000000 + 0.5) AS BIGINT) AS w_micro
   FROM tfq JOIN dfr USING (term) JOIN dln USING (doc_id) CROSS JOIN st),

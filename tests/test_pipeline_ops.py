@@ -2200,6 +2200,50 @@ def test_kmeans_centroid_oracle_floor_division_exact():
     assert "AS DOUBLE) / count(*)" not in cte
 
 
+def test_bm25_oracle_tf_head_is_double_not_decimal():
+    """r18 text-module fresh-eyes finding (the r17 qavg_sql decimal-
+    literal class): DuckDB parses 2.2 as DECIMAL, so the bm25 oracle's
+    bare `tf * 2.2` ran EXACT decimal arithmetic (tf=3 -> 6.6 ->
+    double 6.6) while Spark computes double(tf) * double(2.2) =
+    6.6000000000000005 — a 1-ulp head start that flips the w_micro
+    floor when the product lands within ~1 ulp of the +0.5 boundary.
+    Constructed counterexample (avgdl solved to place the value at a
+    boundary): tf=3, df=5, dl=100, N=400, avgdl=0x1.4c0003779464dp+6
+    -> old form 6,456,804 vs the Spark double path 6,456,805. The
+    oracle now CASTs tf to DOUBLE before the multiply; pin the flip,
+    the fixed form, and the live oracle source."""
+    import math
+
+    import duckdb
+
+    from mapreduce_experiment_spark.plans.registry import SPECS
+
+    con = duckdb.connect()
+    avgdl = float.fromhex("0x1.4c0003779464dp+6")
+    tf, df, dl, n = 3, 5, 100, 400
+    base = (f"ln(1.0 + ({n}.0 - {df} + 0.5) / ({df} + 0.5))"
+            f" * (({{head}}) / ({tf}::BIGINT + 1.2 * (0.25 + 0.75 *"
+            f" ({dl}::BIGINT / {avgdl!r})))) * 1000000 + 0.5")
+    old = con.execute(
+        "SELECT CAST(floor(" + base.format(head=f"{tf}::BIGINT * 2.2")
+        + ") AS BIGINT)").fetchone()[0]
+    new = con.execute(
+        "SELECT CAST(floor("
+        + base.format(head=f"CAST({tf}::BIGINT AS DOUBLE) * 2.2")
+        + ") AS BIGINT)").fetchone()[0]
+    # the identical-scalar-ops IEEE mirror of the Spark plan
+    want = math.floor(
+        math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+        * 1_000_000 + 0.5)
+    assert old != want, "old decimal form no longer diverges here"
+    assert new == want
+    # the registered oracle carries the fix (and not the bare form)
+    sql = SPECS()["bm25_topk"].oracle
+    assert "CAST(tf AS DOUBLE) * 2.2" in sql
+    assert "(tf * 2.2)" not in sql
+
+
 def test_cents_long_in_lockstep_with_cents(spark, tmp_path):
     """cents_long (the two-level form's chunk quantizer) must produce
     the same integer as cents() for every in-contract value — they

@@ -190,6 +190,28 @@ _ROUND_BASE = "1d51fab"  # r17 driver commit (verdict landed); bump each round
 #    knn_bruteforce, knn_ivf, knn_ivf_pruned, knn_ivf_maintained,
 #    ivf_assignments, embedding_near_dups_indexed/probe/maintained.
 #
+# 3. plans/queries_text.py — ORACLE-SQL-only edit (r18 fresh-eyes
+#    re-read of the text module pair, the verdict's item 4): the
+#    bm25_topk oracle's bare `tf * 2.2` was BIGINT x DECIMAL = exact
+#    decimal (the r17 qavg_sql class); now CAST(tf AS DOUBLE) first.
+#    Constructed flip + fixed-form parity pinned by
+#    test_bm25_oracle_tf_head_is_double_not_decimal. bm25_topk is
+#    IN-window (driver verdict lands on the fixed form); every other
+#    query in the module is byte-identical — out-of-window module-
+#    sharers attested on that basis: packed_sequences,
+#    packed_sequence_fragments, decontamination_pairs,
+#    decontamination_external, decontaminated_corpus, doc_chunks,
+#    trigram_counts, quality_filtered_corpus, repetition_scores,
+#    source_mixture_sample (all already in the group-1 blanket).
+#    Audit of the rest of the oracle surface for the same class (all
+#    `* <decimal literal>` sites in plans/functions/streaming): the
+#    profiling/analytics sites already CAST AS DOUBLE (r17 fix);
+#    `x * 1.0 / y` forms are safe (integral decimal -> exact double
+#    conversion below 2^53, then DuckDB `/` collapses to DOUBLE —
+#    verified empirically); jaccard/tfidf floors take double inputs
+#    on both sides; sketches' `exact * 0.05` is Spark-side only
+#    (oracle hardcodes TRUE).
+#
 # Empirical backstop: both rehearsal halves re-run at sf0.01
 # post-change (BENCHNOTES r18).
 _ATTESTED_UNCHANGED: set[str] = {
