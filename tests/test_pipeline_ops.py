@@ -2200,6 +2200,84 @@ def test_kmeans_centroid_oracle_floor_division_exact():
     assert "AS DOUBLE) / count(*)" not in cte
 
 
+def test_asia_share_boundary_sweep_cross_engine(spark, tmp_path):
+    """r18 aimed sweep (verdict item 2: the seed-35 floor-boundary
+    class, pointed at the OTHER rounded ratios): ~500 year-groups
+    CRAFTED so the asia/total share times 1e6 lands exactly ON or
+    within a few integer steps of the +0.5 floor boundary (total =
+    2e6*m, asia = (2k+1)*m makes the true share*1e6 exactly k+0.5;
+    the +-2 asia perturbations probe the ulp neighborhood after the
+    double division rounds). Since the r17 fix, both engines compute
+    floor(double(asia)/double(total)*1e6+0.5) with identical scalar
+    ops, so every group must agree — a hidden exact-decimal path on
+    either side would diverge on ~half these groups. Drives the
+    REGISTERED asia_market_share through its real oracle."""
+    import duckdb
+    import numpy as np
+
+    from mapreduce_experiment_spark.plans.registry import SPECS
+    from tests.oracle_util import assert_matches, run_oracle
+
+    sf = str(tmp_path)
+    con = duckdb.connect()
+    rng = np.random.default_rng(18)
+    # one group per YEAR (the query's group key); pandas ns-timestamp
+    # collection bounds years to 1678..2261 -> 500 usable groups
+    years = list(range(1700, 2200))
+    rows_li, rows_o = [], []
+    for gi, year in enumerate(years):
+        m = int(rng.integers(10**5, 10**6))
+        k = int(rng.integers(1, 999_999))
+        total = 2_000_000 * m          # total cents for the year
+        asia = (2 * k + 1) * m + int(gi % 5) - 2  # k+0.5 boundary +-2
+        other = total - asia
+        assert 0 < asia <= 2 * 10**12 and 0 < other <= 2 * 10**12
+        # two orders per year: one ASIA customer, one non-ASIA
+        ok_a, ok_b = 2 * gi, 2 * gi + 1
+        rows_o.append((ok_a, 0, year))
+        rows_o.append((ok_b, 1, year))
+        rows_li.append((ok_a, asia / 100.0))
+        rows_li.append((ok_b, other / 100.0))
+    con.execute("""CREATE TABLE o(o_orderkey BIGINT, o_custkey BIGINT,
+                                  yr INT)""")
+    con.executemany("INSERT INTO o VALUES (?, ?, ?)", rows_o)
+    con.execute(f"""
+        COPY (SELECT o_orderkey, o_custkey, 'O' AS o_orderstatus,
+                     0.0 AS o_totalprice,
+                     make_timestamp(yr, 6, 1, 0, 0, 0.0) AS o_orderdate,
+                     '1-URGENT' AS o_orderpriority FROM o)
+        TO '{sf}/orders.parquet' (FORMAT parquet)""")
+    con.execute("CREATE TABLE li(l_orderkey BIGINT, price DOUBLE)")
+    con.executemany("INSERT INTO li VALUES (?, ?)", rows_li)
+    con.execute(f"""
+        COPY (SELECT l_orderkey, 1::BIGINT AS l_partkey,
+                     1::BIGINT AS l_suppkey, 1::INT AS l_linenumber,
+                     1.0 AS l_quantity, price AS l_extendedprice,
+                     0.0 AS l_discount, 0.0 AS l_tax,
+                     'N' AS l_returnflag, 'O' AS l_linestatus,
+                     TIMESTAMP '1995-06-01 00:00:00' AS l_shipdate
+              FROM li)
+        TO '{sf}/lineitem.parquet' (FORMAT parquet)""")
+    con.execute(f"""
+        COPY (SELECT * FROM (VALUES (0, 'ASIA'), (1, 'AMERICA'))
+              t(r_regionkey, r_name))
+        TO '{sf}/region.parquet' (FORMAT parquet)""")
+    con.execute(f"""
+        COPY (SELECT * FROM (VALUES (0, 'AN', 0), (1, 'BN', 1))
+              t(n_nationkey, n_name, n_regionkey))
+        TO '{sf}/nation.parquet' (FORMAT parquet)""")
+    con.execute(f"""
+        COPY (SELECT * FROM (VALUES
+                (0::BIGINT, 'ca', 0::INT, 0.0, 'BUILDING'),
+                (1::BIGINT, 'cb', 1::INT, 0.0, 'BUILDING'))
+              t(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment))
+        TO '{sf}/customer.parquet' (FORMAT parquet)""")
+    spec = SPECS()["asia_market_share"]
+    got = spec.fn(spark, sf)
+    assert got.count() == len(years)
+    assert_matches(got, run_oracle(spec.oracle, sf), "asia_market_share")
+
+
 def test_bm25_oracle_tf_head_is_double_not_decimal():
     """r18 text-module fresh-eyes finding (the r17 qavg_sql decimal-
     literal class): DuckDB parses 2.2 as DECIMAL, so the bm25 oracle's
