@@ -131,17 +131,20 @@ def main() -> None:
     # self-check invariants: the scaled input means what it claims
     tc01 = specs["triangle_count"].fn(spark, SF01).collect()[0].n_triangles
     tc1 = specs["triangle_count"].fn(spark, args.out).collect()[0].n_triangles
-    assert tc1 == REPLICAS * tc01, (tc01, tc1)
+    if tc1 != REPLICAS * tc01:
+        raise AssertionError(f"triangle invariant broken: {tc01} -> {tc1}")
     print(f"invariant ok: triangles {tc01} -> {tc1} (= {REPLICAS}x)",
           flush=True)
     p01 = {(r.l_returnflag, r.l_linestatus): (r.count_order, r.sum_qty)
            for r in specs["pricing_summary"].fn(spark, SF01).collect()}
     p1 = {(r.l_returnflag, r.l_linestatus): (r.count_order, r.sum_qty)
           for r in specs["pricing_summary"].fn(spark, args.out).collect()}
-    assert set(p01) == set(p1)
+    if set(p01) != set(p1):
+        raise AssertionError("pricing group-key sets differ across scales")
     for k, (n, s) in p01.items():
-        assert p1[k][0] == REPLICAS * n and abs(
-            p1[k][1] - REPLICAS * s) < 1e-6, (k, (n, s), p1[k])
+        if p1[k][0] != REPLICAS * n or abs(p1[k][1] - REPLICAS * s) >= 1e-6:
+            raise AssertionError(
+                f"pricing invariant broken for {k}: {(n, s)} -> {p1[k]}")
     print(f"invariant ok: pricing groups x{REPLICAS} "
           f"({len(p01)} groups)", flush=True)
     surv = specs["clean_corpus"].fn(spark, args.out).count()
