@@ -61,12 +61,27 @@ def q_approx_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     cols = {"orders": "l_orderkey", "parts": "l_partkey",
             "suppliers": "l_suppkey"}
-    agg = li.agg(
+    # The sketches aggregate SEPARATELY from the exact distincts (r18
+    # optimization round, guide §5/§2.3): mixed into one agg, Spark's
+    # multi-distinct rewrite Expands the input 4x and keys the partial
+    # aggregate by every distinct key value — which allocates the three
+    # rsd=0.01 HLL++ buffers (~13 KB each) PER DISTINCT KEY GROUP
+    # (~190k groups at sf0.1 = ~7 GB of register arrays; measured 190 s
+    # executor CPU / 76 s wall, plans/r18/approx_distinct_counts_before
+    # .txt operator (3)). Split, the HLL pass is a plain two-phase
+    # scalar aggregate (3 buffers per task total) and the exact pass
+    # Expands with only count buffers; the two 1-row results cross-join
+    # back. Values are identical: same aggregates over the same rows,
+    # and HLL++ register maxes are order- and partition-independent.
+    exact = li.agg(
         *[F.countDistinct(c).alias(f"exact_{k}") for k, c in cols.items()],
-        *[F.approx_count_distinct(c, rsd=0.01).alias(f"_approx_{k}")
-          for k, c in cols.items()],
         F.count(F.lit(1)).alias("n_rows"),
     )
+    approx = li.agg(
+        *[F.approx_count_distinct(c, rsd=0.01).alias(f"_approx_{k}")
+          for k, c in cols.items()],
+    )
+    agg = exact.crossJoin(approx)
 
     def within_tol(k: str) -> Column:
         exact = F.col(f"exact_{k}")
