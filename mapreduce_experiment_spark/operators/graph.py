@@ -75,8 +75,13 @@ def canonical_edges(edges: DataFrame,
 
 
 def edge_multiplicity(edges: DataFrame) -> DataFrame:
-    """Unordered-pair multiplicities, self-loops included —
-    the faithful-mode base table: ``(u, v, mult)`` with ``u <= v``."""
+    """Unordered-pair multiplicities, self-loops included:
+    ``(u, v, mult)`` with ``u <= v``. Until r18 this fed the faithful
+    triangle path's literal multiset-adjacency replay; the shipped
+    path now uses the decomposition documented in :func:`triangles`,
+    and the replay survives as the test-side reference proving the
+    decomposition lossless
+    (test_faithful_decomposition_matches_multadj_replay)."""
     return (
         edges.select(F.least("src", "dst").alias("u"),
                      F.greatest("src", "dst").alias("v"))
@@ -254,35 +259,52 @@ def triangles(edges: DataFrame, mode: str = "simple",
             abc.getItem(2).alias("c"),
         )
     if mode == "faithful":
-        m = edge_multiplicity(edges).cache()
-        # multadj(w, x): occurrences of x in w's multiset adjacency.
-        # A self-loop line (w,w) symmetrizes to two entries (T100:29-39),
-        # so its adjacency contribution is doubled.
-        madj = m.select(
-            F.col("u").alias("w"), F.col("v").alias("x"),
-            F.when(F.col("u") == F.col("v"), F.col("mult") * 2)
-             .otherwise(F.col("mult")).alias("m"),
-        )
-        madj = madj.union(
-            madj.where(F.col("w") != F.col("x"))
-                .select(F.col("x").alias("w"), F.col("w").alias("x"), "m")
-        )
-        pair = m.select(F.col("u").alias("x"), F.col("v").alias("y"))
-        ax = madj.select(F.col("w"), F.col("x"), F.col("m").alias("m_x"))
-        ay = madj.select(F.col("w"), F.col("x").alias("y"), F.col("m").alias("m_y"))
-        tri = (
-            pair.join(ax, "x").join(ay, ["w", "y"])
-            .where(
-                ((F.col("x") != F.col("y")) & (F.col("m_x") >= 1) & (F.col("m_y") >= 1))
-                | ((F.col("x") == F.col("y")) & (F.col("m_x") >= 2))
-            )
-        )
-        abc = F.array_sort(F.array("x", "y", "w"))
-        return tri.select(
-            abc.getItem(0).alias("a"),
-            abc.getItem(1).alias("b"),
-            abc.getItem(2).alias("c"),
-        ).distinct()
+        # Degenerate-output DECOMPOSITION (r18 optimization round).
+        # The pre-r18 form replayed the reference's multiset-adjacency
+        # condition literally: pair ⋈ madj ⋈ madj over the UNORIENTED
+        # adjacency — O(Σ d(x)·mult) candidate rows, measured 332 s
+        # executor CPU at sf0.1 where the oriented simple path costs
+        # 73 s for the same clean input. But the condition factors
+        # EXACTLY into three disjoint classes by the output triple's
+        # node-multiset pattern (distinct triples; S = the simple
+        # support graph, L = self-loop nodes):
+        #
+        # - 3 distinct nodes (x<y, w∉{x,y}): {x,y},{w,x},{w,y} ∈ S —
+        #   precisely the simple-mode triangles of the support graph,
+        #   so the degree-oriented plan applies.
+        # - exactly two equal (sorted (ℓ,ℓ,z)): requires madj(ℓ,ℓ)≥1
+        #   ⇒ ℓ ∈ L, plus the edge {ℓ,z} ∈ S. (The x==y branch with
+        #   w≠x needs madj(w,x) ≥ 2 — a multi-edge — but a multi-edge
+        #   is in S and that branch's x is in L, so it is a SUBSET of
+        #   this class: multiplicities beyond existence never add
+        #   triples.)
+        # - all equal ((ℓ,ℓ,ℓ)): madj(ℓ,ℓ) = 2·mult ≥ 2 ⇔ ℓ ∈ L.
+        #
+        # The classes cannot overlap (different node-multiset
+        # patterns) and each is produced exactly once below, so the
+        # union IS the distinct set — no final distinct() needed.
+        # Equivalence to the literal multadj replay is pinned by
+        # test_faithful_decomposition_matches_multadj_replay on random
+        # dirty graphs (self-loops + duplicates) and by the reference
+        # goldens (30k.txt carries a real self-loop). On clean input
+        # L = ∅ and this costs exactly the simple path.
+        ce = canonical_edges(edges).persist()
+        ce.count()  # eager — consumed by the corners path and 2 joins
+        loops = (edges.where(F.col("src") == F.col("dst"))
+                 .select(F.col("src").alias("l")).distinct())
+        simple_tris = triangles(
+            ce.select(F.col("u").alias("src"), F.col("v").alias("dst")),
+            mode="simple", assume_canonical=True)
+        # u < v in ce, so each class-B triple is emitted pre-sorted.
+        bl = ce.join(loops, F.col("u") == F.col("l")).select(
+            F.col("u").alias("a"), F.col("u").alias("b"),
+            F.col("v").alias("c"))
+        br = ce.join(loops, F.col("v") == F.col("l")).select(
+            F.col("u").alias("a"), F.col("v").alias("b"),
+            F.col("v").alias("c"))
+        dd = loops.select(F.col("l").alias("a"), F.col("l").alias("b"),
+                          F.col("l").alias("c"))
+        return simple_tris.unionByName(bl).unionByName(br).unionByName(dd)
     raise ValueError(f"unknown mode: {mode!r} (use 'simple' or 'faithful')")
 
 

@@ -288,6 +288,58 @@ def test_streaming_triangles_cross_run_half_commit_dedups(spark, tmp_path):
     assert tris.count() == 1  # duplicate across run keys collapsed
 
 
+def _faithful_multadj_replay(edges):
+    """The pre-r18 faithful formulation — the literal multiset-
+    adjacency replay of the reference's degenerate semantics — kept as
+    the test reference proving the shipped class-decomposition
+    (operators/graph.py triangles mode='faithful') emits exactly the
+    same distinct triple set on dirty input."""
+    m = G.edge_multiplicity(edges)
+    madj = m.select(
+        F.col("u").alias("w"), F.col("v").alias("x"),
+        F.when(F.col("u") == F.col("v"), F.col("mult") * 2)
+         .otherwise(F.col("mult")).alias("m"),
+    )
+    madj = madj.union(
+        madj.where(F.col("w") != F.col("x"))
+            .select(F.col("x").alias("w"), F.col("w").alias("x"), "m")
+    )
+    pair = m.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    ax = madj.select(F.col("w"), F.col("x"), F.col("m").alias("m_x"))
+    ay = madj.select(F.col("w"), F.col("x").alias("y"),
+                     F.col("m").alias("m_y"))
+    tri = (
+        pair.join(ax, "x").join(ay, ["w", "y"])
+        .where(
+            ((F.col("x") != F.col("y"))
+             & (F.col("m_x") >= 1) & (F.col("m_y") >= 1))
+            | ((F.col("x") == F.col("y")) & (F.col("m_x") >= 2))
+        )
+    )
+    abc = F.array_sort(F.array("x", "y", "w"))
+    return tri.select(
+        abc.getItem(0).alias("a"),
+        abc.getItem(1).alias("b"),
+        abc.getItem(2).alias("c"),
+    ).distinct()
+
+
+@settings(max_examples=15, deadline=None)
+@given(pairs=edge_lists)
+def test_faithful_decomposition_matches_multadj_replay(spark, pairs):
+    """r18: faithful mode is decomposed into simple-support triangles
+    + self-loop classes; on random dirty graphs (duplicates AND
+    self-loops — the (i, i) tuples the strategy generates) it must
+    emit exactly the replay's distinct set, with no duplicate rows
+    (the decomposition claims disjointness, so it ships without a
+    final distinct)."""
+    e = _edges(spark, pairs)
+    got = G.triangles(e, mode="faithful").collect()
+    got_set = {(r.a, r.b, r.c) for r in got}
+    assert len(got) == len(got_set), "duplicate rows — classes overlap"
+    assert got_set == _tri_set(_faithful_multadj_replay(_edges(spark, pairs)))
+
+
 @settings(max_examples=10, deadline=None)
 @given(pairs=edge_lists)
 def test_triangles_invariant_under_orientation_and_duplication(spark, pairs):
