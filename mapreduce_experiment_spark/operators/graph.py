@@ -26,8 +26,10 @@ Scale notes (SURVEY §4, §7 hard parts):
   its lowest-degree corner. This bounds per-node candidate fan-out by
   O(m^0.5) instead of O(max_degree) — the standard literature
   optimization the reference lacks — and is what survives heavy-tailed
-  degree distributions at 100 TB.
-- Edge dedup happens BEFORE the 2-path self-join (the reference
+  degree distributions at 100 TB. Since r18 the closure is a per-edge
+  adjacency-array intersection (no open-triad rows are ever
+  materialized; see :func:`_edge_common_closers`).
+- Edge dedup happens BEFORE the candidate stage (the reference
   dedups only at the very end, after a quadratic candidate explosion:
   4,055,477 raw emissions for 587,314 distinct on 100k.txt).
 - No ``collect()`` anywhere; adjacency lists exist only as a parity
@@ -156,63 +158,96 @@ def candidate_pair_counts(edges: DataFrame) -> DataFrame:
 
 
 # --- §2 rows 6-9: triangle enumeration --------------------------------------
-def _simple_triangle_corners(edges: DataFrame,
-                             assume_canonical: bool = False) -> DataFrame:
-    """Each triangle exactly once as (w, x, y): w the low-(degree,id)
-    corner, (x, y) the closing edge with x < y — NOT yet sorted into
-    canonical (a,b,c) order. Shared by the enumeration (which
-    canonicalizes) and the count (which must not pay for a projection
-    it only counts)."""
-    # The canonical edge set feeds degrees, orientation AND the
-    # closing join — persist it so the upstream scan/dedup (or, in
-    # the derived-edges case, a whole join pipeline) runs once.
-    # At cluster scale this is the deduped simple graph: far
-    # smaller than the raw input and the right thing to keep hot.
-    # (It stays persisted: the RETURNED plan still reads it — an
-    # unpersist here would force three recomputes at execution time;
-    # LRU eviction reclaims it under pressure.)
+def _edge_common_closers(edges: DataFrame,
+                         assume_canonical: bool = False) -> DataFrame:
+    """Each oriented edge with the ARRAY of out-neighbors common to its
+    two endpoints: (w, x, common) where w→x is a degree-oriented edge
+    and ``common`` = N+(w) ∩ N+(x). In the orientation DAG every
+    triangle has a unique source corner w (out-degree 2 within the
+    triangle: w→x, w→y, plus the closing x→y), so each triangle
+    appears exactly once — as y ∈ common on its (w, x) edge. Shared by
+    the enumeration (explodes ``common``), the count (sums sizes — no
+    explode), and faithful mode via the simple path.
+
+    r18 optimization round (guide §1.2 "the distributed algorithm"):
+    this replaces the 2-path self-join + LEFT SEMI closure, which
+    materialized every open triad as a join row — P = Σ C(d+(w), 2)
+    rows (41.1M at sf0.1) probed one-by-one against the closing-edge
+    hash table, and at scale SORTED for the closure's sort-merge join
+    (the 10× probe's only spill: 13 GB of triad sort buffers). The
+    intersection does the same element-level work inside two
+    edge-count-sized joins — no triad rows exist, no O(P) sort, and
+    the only payload crossing an exchange is the adjacency arrays
+    (Σ|N+| = m elements) plus per-edge array copies. Measured (noop
+    sink, scripts/attr_triangle.py): count at sf0.1 79.4 → 65.1 s CPU,
+    enumeration 123.2 → 59.2 s CPU; at the 10× scale point 1,772 →
+    499 s CPU and 98.1 → 26.4 s wall with the spill gone. Orientation
+    bounds every array by O(√m) (max 97 at sf0.1), so per-row memory
+    is small and a hot ``x`` join key carries small arrays."""
+    # The canonical edge set feeds degrees AND orientation — persist
+    # it so the upstream scan/dedup (or, in the derived-edges case, a
+    # whole join pipeline) runs once. At cluster scale this is the
+    # deduped simple graph: far smaller than the raw input and the
+    # right thing to keep hot. (It stays persisted: the RETURNED plan
+    # still reads it — an unpersist here would force recomputes at
+    # execution time; LRU eviction reclaims it under pressure.)
     ce = canonical_edges(edges, assume_canonical).persist()
     # Materialize the cache eagerly: the triangle job consumes ce
-    # in three branches, and a lazily-populated cache lets
+    # in multiple branches, and a lazily-populated cache lets
     # parallel stages race past it and recompute the upstream
     # pipeline (measured ~40% slower at sf0.1).
     ce.count()
-    # Re-shuffle the (small) oriented edge set on its low endpoint
-    # BEFORE the 2-path self-join. Without this, AQE coalesces the
-    # tiny upstream aggregates into a handful of partitions and the
-    # 1000×-exploding triad join inherits that near-serial layout
-    # (measured: ~8.5 s at sf0.1 with ~1 effective task vs ~3 s with
-    # 32). Orientation bounds per-key fan-out by O(sqrt(m)), so
-    # hashing on lo cannot itself create a hot partition.
+    # Re-shuffle the (small) oriented edge set on its low endpoint.
+    # Without this, AQE coalesces the tiny upstream aggregates into a
+    # handful of partitions and the compute-bound intersection stage
+    # inherits that near-serial layout (same class as the pre-r18
+    # triad join's measured 1.3–1.8× regression under AQE coalescing,
+    # BENCHNOTES.md round-5). Orientation bounds per-key fan-out by
+    # O(sqrt(m)), so hashing on lo cannot itself create a hot
+    # partition.
     #
     # The partition COUNT must be explicit: AQE's coalescing targets
-    # bytes (the 64 MB advisory size), but this exchange feeds a
-    # compute-bound join whose output is ~1000× its input — at sf0.1
-    # the ~19 MB shuffle coalesces to 8 tasks on 32 cores and the
-    # closure stage runs 1.3–1.8× slower (measured cold-pair 7.41 vs
-    # 13.33 s, warm 6.17 vs 7.86 s; BENCHNOTES.md round-5 "Queued for
-    # round 6"). 2× the cluster's core count keeps every core busy
-    # through stragglers and scales with the cluster instead of
-    # hard-coding this box; the floor of 64 preserves the measured
-    # local[32] operating point even under smaller test sessions.
+    # bytes (the 64 MB advisory size), but this exchange feeds work
+    # proportional to Σ(|N+(w)|+|N+(x)|) per edge — far more compute
+    # per shuffled byte than byte-based coalescing assumes. 2× the
+    # cluster's core count keeps every core busy through stragglers
+    # and scales with the cluster instead of hard-coding this box;
+    # the floor of 64 preserves the measured local[32] operating
+    # point even under smaller test sessions.
     nparts = max(64, 2 * ce.sparkSession.sparkContext.defaultParallelism)
     o = _oriented(ce).repartition(nparts, F.col("lo"))
-    p1 = o.select(F.col("lo").alias("w"), F.col("hi").alias("x"))
-    p2 = o.select(F.col("lo").alias("w"), F.col("hi").alias("y"))
-    # Open triads from the low corner; x<y dedups the unordered pair.
-    triads = p1.join(p2, "w").where(F.col("x") < F.col("y"))
-    # Close against the undirected canonical edge set. LEFT SEMI: the
-    # closing side is unique pairs and contributes no columns, so semi
-    # ≡ inner here but the probe stops at the first hash hit.
-    closing = ce.select(F.col("u").alias("x"), F.col("v").alias("y"))
-    return triads.join(closing, ["x", "y"], "left_semi")
+    # Out-adjacency arrays, grouped on the SAME key/partitioning as the
+    # repartition above — no extra exchange; the arrays total m
+    # elements and each is O(√m) by orientation.
+    adj = o.groupBy("lo").agg(F.collect_list("hi").alias("nbrs"))
+    e1 = o.join(adj, "lo").select(
+        F.col("lo").alias("w"), F.col("hi").alias("x"),
+        F.col("nbrs").alias("n_lo"))
+    e2 = e1.join(adj.select(F.col("lo").alias("x"),
+                            F.col("nbrs").alias("n_hi")), "x")
+    return e2.select(
+        "w", "x", F.array_intersect("n_lo", "n_hi").alias("common"))
+
+
+def _simple_triangle_corners(edges: DataFrame,
+                             assume_canonical: bool = False) -> DataFrame:
+    """Each triangle exactly once as (w, x, y): w the triangle's
+    low-(degree,id) source corner, x its oriented out-neighbor on this
+    edge, y the closing common out-neighbor — NOT yet sorted into
+    canonical (a,b,c) order (x < y is NOT guaranteed, unlike the
+    pre-r18 triad form; both consumers sort or count). Shared by the
+    enumeration (which canonicalizes) and faithful mode."""
+    ec = _edge_common_closers(edges, assume_canonical)
+    return ec.select("w", "x", F.explode("common").alias("y"))
+
+
 def _oriented(ce: DataFrame) -> DataFrame:
     """Orient each simple edge from its lower-(degree, id) endpoint.
 
     Degree-ordered orientation: out-degree in the oriented graph is
-    O(sqrt(m)) even for hubs, so the 2-path join below cannot explode
-    on heavy-tailed inputs. The reference pairs neighbors of EVERY
-    node including hubs (T100:76-83) — O(d_max²).
+    O(sqrt(m)) even for hubs, so the per-edge adjacency intersection
+    cannot explode on heavy-tailed inputs. The reference pairs
+    neighbors of EVERY node including hubs (T100:76-83) — O(d_max²).
     """
     deg = degrees_from_canonical(ce)
     du = deg.select(F.col("node").alias("u"), F.col("degree").alias("deg_u"))
@@ -236,18 +271,18 @@ def triangles(edges: DataFrame, mode: str = "simple",
               assume_canonical: bool = False) -> DataFrame:
     """Enumerate triangles as canonical ``(a, b, c)``, ``a <= b <= c``.
 
-    ``simple``: 2-path self-join on the degree-oriented edge set,
-    closed by a semi-join against it — the idiomatic replacement for
-    the reference's candidate-generation + sentinel-marker +
-    groupByKey closure (T100:52-153). Each triangle is produced
-    exactly once, so the reference's final ``distinct()`` over 4M raw
-    emissions (T100:164) is unnecessary.
+    ``simple``: per-edge adjacency intersection on the degree-oriented
+    edge set (:func:`_edge_common_closers`) — the idiomatic
+    replacement for the reference's candidate-generation +
+    sentinel-marker + groupByKey closure (T100:52-153). Each triangle
+    is produced exactly once, so the reference's final ``distinct()``
+    over 4M raw emissions (T100:164) is unnecessary.
 
     ``faithful``: reproduces the reference's degenerate self-loop
-    semantics (SURVEY finding 3) from the edge-multiplicity table:
-    sorted(x, y, w) is a triangle iff {x,y} is an input edge and w's
-    multiset adjacency contains x and y at distinct positions. On
-    self-loop-free input the two modes agree (verified against the
+    semantics (SURVEY finding 3) — sorted(x, y, w) is a triangle iff
+    {x,y} is an input edge and w's multiset adjacency contains x and y
+    at distinct positions — via the exact class decomposition below.
+    On self-loop-free input the two modes agree (verified against the
     survey's golden counts).
     """
     if mode == "simple":
@@ -312,14 +347,17 @@ def triangle_count(edges: DataFrame, mode: str = "simple",
                    assume_canonical: bool = False) -> DataFrame:
     """Total triangle count (§2 derived operator; the published metric).
 
-    The simple-mode count skips the canonical (a,b,c) sort projection:
-    the oriented join already yields each triangle exactly once, so
-    the count is over the raw join output — the aggregate sees only
-    row existence, never the materialized sorted array.
+    The simple-mode count never materializes per-triangle rows at all
+    (r18): each oriented edge contributes |N+(w) ∩ N+(x)| — summing
+    the intersection sizes counts every triangle exactly once without
+    the explode or the canonical (a,b,c) sort projection. coalesce(0)
+    matches the pre-r18 count-rows form on an edgeless input (sum over
+    zero rows is NULL, count was 0).
     """
     if mode == "simple":
-        return _simple_triangle_corners(edges, assume_canonical).agg(
-            F.count(F.lit(1)).alias("n_triangles"))
+        return _edge_common_closers(edges, assume_canonical).agg(
+            F.coalesce(F.sum(F.size("common")), F.lit(0))
+            .cast("long").alias("n_triangles"))
     return triangles(edges, mode=mode).agg(
         F.count(F.lit(1)).alias("n_triangles")
     )

@@ -32,10 +32,16 @@ def test_revenue_by_nation_broadcasts_dimensions(spark):
 def test_triangles_join_formulation_broadcasts(spark):
     plan = _plan(spark, "triangles")
     assert "BroadcastHashJoin" in plan
-    # The sentinel-tagging groupByKey pattern would appear as an
-    # ObjectHashAggregate over collect_list — the join formulation
-    # must not contain any list aggregation.
-    assert "collect_list" not in plan
+    # r18: the closure is a per-edge adjacency intersection — the
+    # ORIENTED out-neighbor arrays (collect_list bounded O(sqrt m) by
+    # orientation) intersected per edge. The pre-r18 pin rejected any
+    # collect_list as the sentinel-groupByKey smell; the intersection
+    # form is pinned positively instead, plus the absence of the
+    # unbounded SYMMETRIZED adjacency the reference built (its
+    # aggregate would sit over a union of both edge orientations —
+    # here the list aggregate consumes the oriented repartition).
+    assert "array_intersect" in plan
+    assert "collect_list(hi" in plan
 
 
 def test_top_orders_global_is_take_ordered(spark):
@@ -57,11 +63,19 @@ def test_no_cartesian_in_near_dup_plans(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
-def test_triangle_count_closure_is_semi_join(spark):
-    """The count path must close with LEFT SEMI (probe stops at first
-    hit; no columns materialized from the closing side)."""
+def test_triangle_count_closure_is_intersection_no_explode(spark):
+    """r18: the count path must sum per-edge intersection sizes —
+    never materialize per-triangle rows (no explode/Generate) and
+    never re-grow the pre-r18 open-triad join (whose O(P) rows sorted
+    and spilled 13 GB at the 10x probe)."""
     plan = _plan(spark, "triangle_count")
-    assert "LeftSemi" in plan
+    assert "array_intersect" in plan
+    # derive_edges legitimately explodes per-order part pairs; what
+    # must never appear is an explode OF the intersection result
+    # (that's the enumeration path) — the count consumes sizes only.
+    assert "explode(common" not in plan
+    assert "explode(array_intersect" not in plan
+    assert "LeftSemi" not in plan  # the pre-r18 triad closure
 
 
 def test_triangle_closure_exchange_has_explicit_partition_count(spark):
