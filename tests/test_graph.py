@@ -159,6 +159,30 @@ def test_streaming_triangles_span_batches(spark, tmp_path):
     assert tris.count() == 2  # exactly once — no duplicate emissions
 
 
+def test_streaming_triangles_hub_fallback_path(spark, tmp_path, monkeypatch):
+    """r18: the per-batch closure intersects neighbor arrays only for
+    sub-cap nodes; edges touching a node above MAX_INTERSECT_DEGREE
+    take the row-expansion fallback. Force the cap to 1 so EVERY edge
+    rides the fallback (star node 1 has degree 3) and to 2 for a mixed
+    split — the triangle set must be identical either way."""
+    from mapreduce_experiment_spark.streaming import triangles as ST
+
+    batches = [
+        [(1, 2), (2, 3)],
+        [(1, 3), (1, 4), (2, 4)],  # completes (1,2,3); (1,2,4) via (2,4)
+    ]
+    want = {(1, 2, 3), (1, 2, 4)}
+    for cap in (1, 2, 1 << 16):
+        monkeypatch.setattr(ST, "MAX_INTERSECT_DEGREE", cap)
+        edges_dir = str(tmp_path / f"edges_cap{cap}")
+        for pairs in batches:
+            _edges(spark, pairs).coalesce(1).write.mode("append") \
+                .parquet(edges_dir)
+        tris = ST.streaming_triangles(spark, edges_dir,
+                                      str(tmp_path / f"work_cap{cap}"))
+        assert _tri_set(tris) == want, cap
+
+
 def test_streaming_triangles_batch_replay_is_idempotent(spark, tmp_path):
     """r13 review: foreachBatch is at-least-once, and the old blind
     appends double-emitted a replayed batch's triangles (a run dying
