@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.textfns import hash60, shingles, tokenize, word_ngrams
+from ..functions.textfns import tokenize, word_ngrams
 
 # Fixed stopword inventories (shared with the oracle SQL).
 STOPWORDS = {
@@ -470,13 +470,31 @@ def fingerprints(docs: DataFrame, text_col: str = "text",
                  n: int = 5) -> DataFrame:
     """Single-value rolling-hash fingerprint: min 60-bit hash over
     word n-grams (n=5). Equal fingerprints ⇒ near-identical prefixes
-    of content; used for cheap shard-level dedup sweeps."""
-    grams = shingles(tokenize(F.col(text_col)), n)
-    fp = F.array_min(F.transform(grams, hash60))
-    return (
-        docs.select("doc_id", fp.alias("fingerprint"))
-        .where(F.col("fingerprint").isNotNull())
-    )
+    of content; used for cheap shard-level dedup sweeps.
+
+    r18 optimization round: computed via the exploded codegen path
+    (posexplode + window leads + hash → min aggregate — the same
+    machinery MinHash uses, dedup.exploded_shingle_hashes) instead of
+    ``array_min(transform(shingles(...)))`` + an isNotNull filter.
+    The HOF form ran interpreted (higher-order functions exit
+    whole-stage codegen, so no common-subexpression elimination:
+    tokenize re-split the text several times per evaluation) AND the
+    pushed-down NULL filter evaluated the entire fingerprint
+    expression a second time below the projection (two interpreted
+    full evaluations per doc, plans/r18/fingerprints_before.txt
+    operators (3)+(4)); on the single-row-group local scan that was
+    one task doing everything — measured 12.2 s wall ≈ 11.6 s CPU.
+    The exploded form is whole-stage codegen, hashes each gram once,
+    and parallelizes past the exchange. Values identical: same gram
+    strings (pinned bit-equal for MinHash), min is
+    duplicate-insensitive (the HOF path array_distinct'ed, the
+    exploded path does not), and docs with < n tokens emit no rows —
+    exactly the rows the old isNotNull filter dropped."""
+    from .dedup import exploded_shingle_hashes
+
+    return (exploded_shingle_hashes(docs, "doc_id", text_col, n)
+            .groupBy("doc_id")
+            .agg(F.min("h").alias("fingerprint")))
 
 
 CHUNK_CHARS = 200
