@@ -465,7 +465,12 @@ def connected_components(edges: DataFrame, max_iter: int = 50,
         # The convergence flag rides INSIDE the propagation result, so
         # detecting a fixpoint costs one scan of the just-materialized
         # checkpoint blocks — not a second join-shuffle job per round
-        # (the old labels never need re-reading).
+        # (the old labels never need re-reading). The checkpoint is
+        # LAZY (r18 optimization round): the changed-count below is
+        # the round's first action, so it materializes the checkpoint
+        # blocks as a side effect — one Spark job per round instead of
+        # two (eager checkpoint job + count job), halving the
+        # fixed-overhead floor of every fixpoint round.
         new_labels = (
             labels.join(nbr_min, "node", "left")
             .select(
@@ -477,7 +482,7 @@ def connected_components(edges: DataFrame, max_iter: int = 50,
                 (F.col("nbr_component") < F.col("component"))
                 .alias("changed"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.where(F.col("changed")).count()
         labels = new_labels.select("node", "component")
