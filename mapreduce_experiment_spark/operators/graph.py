@@ -47,11 +47,20 @@ from pyspark.sql import functions as F
 def symmetrize(edges: DataFrame) -> DataFrame:
     """Emit both orientations of every edge (T100:29-39).
 
-    A narrow union of two projections — no shuffle.
+    One narrow in-row explode — no shuffle, and ONE scan of the input.
+    (The pre-r18 union of two projections evaluated the whole upstream
+    subtree twice when it was not cached: for the registered queries
+    over derive_edges that doubled the per-order pair expansion AND
+    its dedup shuffle — adjacency measured 21.6 → 11.4 s executor CPU
+    from this change alone. Row multiset identical: the union was
+    UNION ALL, and explode emits the same two rows per edge.)
     """
-    return edges.select("src", "dst").union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    return edges.select(
+        F.explode(F.array(
+            F.struct(F.col("src"), F.col("dst")),
+            F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        )).alias("e")
+    ).select("e.src", "e.dst")
 
 
 # --- derived: simple-graph normalization (SURVEY finding 3) ---------------
@@ -121,9 +130,12 @@ def adjacency(edges: DataFrame, as_string: bool = False) -> DataFrame:
 
 
 def degrees_from_canonical(ce: DataFrame) -> DataFrame:
+    # In-row explode, not union-of-projections: one scan of ce (which
+    # is NOT always cached — the registered degrees/candidate_pairs
+    # queries reach here with the full derive+dedup pipeline upstream,
+    # and the union form ran it twice; r18 optimization round).
     return (
-        ce.select(F.col("u").alias("node"))
-        .union(ce.select(F.col("v").alias("node")))
+        ce.select(F.explode(F.array(F.col("u"), F.col("v"))).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
