@@ -267,11 +267,28 @@ GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """,
 )
 def q_order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+    # Two-level money sum under the rollup (r18 optimization round —
+    # the composition the r17 BENCHNOTES scope note recorded): the
+    # one-level decimal qsum rode the rollup's Expand ×3, paying the
+    # ~318 ns/row decimal add on every expanded copy. Level 1 groups
+    # exactly (keys, chunk) with long adds; the rollup runs over the
+    # tiny chunk-sum table. Grouping-set semantics are preserved —
+    # every rollup group's sum is a sum of its chunk partials,
+    # including data-NULL key values (their level-1 groups roll up
+    # the same way the raw rows did). Values bit-identical (exact
+    # integer arithmetic at both levels, same decimal(29,0)
+    # intermediate, same oracle).
+    per_chunk = (
         load_table(spark, sf_dir, "orders")
-        .rollup("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n_orders"),
-             qsum(F.col("o_totalprice")).alias("total_price"))
+        .withColumn("_chunk", chunk_id())
+        .groupBy("o_orderstatus", "o_orderpriority", "_chunk")
+        .agg(F.sum(cents_long(F.col("o_totalprice"))).alias("c_price"),
+             F.count(F.lit(1)).alias("c_n"))
+    )
+    return (
+        per_chunk.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.sum("c_n").alias("n_orders"),
+             (dsum("c_price") / 100.0).alias("total_price"))
     )
 
 
@@ -285,11 +302,19 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 """,
 )
 def q_returnflag_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+    # Two-level money sum under the cube — same composition and
+    # rationale as q_order_priority_rollup (the cube's Expand is ×4).
+    per_chunk = (
         load_table(spark, sf_dir, "lineitem")
-        .cube("l_returnflag", "l_linestatus")
-        .agg(F.count(F.lit(1)).alias("n_items"),
-             qsum(F.col("l_quantity")).alias("sum_qty"))
+        .withColumn("_chunk", chunk_id())
+        .groupBy("l_returnflag", "l_linestatus", "_chunk")
+        .agg(F.sum(cents_long(F.col("l_quantity"))).alias("c_qty"),
+             F.count(F.lit(1)).alias("c_n"))
+    )
+    return (
+        per_chunk.cube("l_returnflag", "l_linestatus")
+        .agg(F.sum("c_n").alias("n_items"),
+             (dsum("c_qty") / 100.0).alias("sum_qty"))
     )
 
 
