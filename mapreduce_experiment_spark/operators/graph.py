@@ -460,12 +460,13 @@ def connected_components(edges: DataFrame, max_iter: int = 50,
     # Directed both ways once; reused every iteration.
     sym = ce.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
         ce.select(F.col("v").alias("a"), F.col("u").alias("b"))).persist()
+    # Lazy init checkpoint (r18): round 1's changed-count is the first
+    # action over it, same one-job-per-round rationale as the loop.
     labels = (
-        ce.select(F.col("u").alias("node"))
-        .union(ce.select(F.col("v").alias("node")))
+        ce.select(F.explode(F.array(F.col("u"), F.col("v"))).alias("node"))
         .distinct()
         .select("node", F.col("node").alias("component"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     converged = False
     for _ in range(max_iter):
