@@ -227,11 +227,20 @@ def _edge_common_closers(edges: DataFrame,
     # the floor of 64 preserves the measured local[32] operating
     # point even under smaller test sessions.
     nparts = max(64, 2 * ce.sparkSession.sparkContext.defaultParallelism)
-    o = _oriented(ce).repartition(nparts, F.col("lo"))
+    # Persisted + eagerly materialized, like ce above: the oriented
+    # edge set feeds e1's stream side AND both adj broadcasts, and the
+    # adjacency table feeds two DIFFERENTLY-ALIASED broadcasts whose
+    # subplans do not unify — unpersisted, the executed plan ran the
+    # degrees+orientation+repartition pipeline THREE times and the
+    # collect_list twice (read in the r18 executed plan; the same
+    # double-build the streaming closure measured at 109 → 68 s CPU).
+    # One adj.count() materializes both caches in one job.
+    o = _oriented(ce).repartition(nparts, F.col("lo")).persist()
     # Out-adjacency arrays, grouped on the SAME key/partitioning as the
     # repartition above — no extra exchange; the arrays total m
     # elements and each is O(√m) by orientation.
-    adj = o.groupBy("lo").agg(F.collect_list("hi").alias("nbrs"))
+    adj = o.groupBy("lo").agg(F.collect_list("hi").alias("nbrs")).persist()
+    adj.count()
     e1 = o.join(adj, "lo").select(
         F.col("lo").alias("w"), F.col("hi").alias("x"),
         F.col("nbrs").alias("n_lo"))

@@ -89,10 +89,16 @@ def test_triangle_closure_exchange_has_explicit_partition_count(spark):
 
     plan = _plan(spark, "triangle_count")
     lines = [ln for ln in plan.splitlines()
-             if "hashpartitioning(lo" in ln]
-    assert lines, "closure exchange on lo missing from the plan"
+             if "hashpartitioning(lo" in ln and "REPARTITION_BY_NUM" in ln]
+    # r18: the persisted oriented edge set adds one ENSURE_REQUIREMENTS
+    # exchange over the CACHE feeding the (broadcast) adjacency
+    # aggregate — harmless, it never carries the compute stage. What
+    # the pin protects is that the intersection's stream side inherits
+    # an EXPLICIT >= 64-way repartition rather than AQE byte-based
+    # coalescing, so the REPARTITION_BY_NUM exchange must exist with
+    # an adequate count.
+    assert lines, "explicit repartition-by-num on lo missing from the plan"
     for ln in lines:
-        assert "REPARTITION_BY_NUM" in ln, ln
         n = int(re.search(r"hashpartitioning\(lo#\d+L?, (\d+)\)", ln).group(1))
         assert n >= 64, ln
 
