@@ -181,6 +181,12 @@ def _edge_common_closers(edges: DataFrame,
     the enumeration (explodes ``common``), the count (sums sizes — no
     explode), and faithful mode via the simple path.
 
+    NOTE: oriented edges whose head ``x`` has no out-neighbors in the
+    orientation are OMITTED (the inner join on x drops them) — their
+    intersection is necessarily empty, so both current consumers are
+    unaffected, but a consumer expecting one row per oriented edge
+    must outer-join (r18 ADVICE).
+
     r18 optimization round (guide §1.2 "the distributed algorithm"):
     this replaces the 2-path self-join + LEFT SEMI closure, which
     materialized every open triad as a join row — P = Σ C(d+(w), 2)

@@ -489,7 +489,13 @@ def fingerprints(docs: DataFrame, text_col: str = "text",
     strings (pinned bit-equal for MinHash), min is
     duplicate-insensitive (the HOF path array_distinct'ed, the
     exploded path does not), and docs with < n tokens emit no rows —
-    exactly the rows the old isNotNull filter dropped."""
+    exactly the rows the old isNotNull filter dropped.
+
+    Assumes ``doc_id`` is unique per document (true for every corpus
+    this repo loads, and what the oracle checks): the groupBy
+    collapses duplicate ids to ONE row carrying the min across all
+    their texts, where the pre-r18 per-row projection emitted one
+    fingerprint row per input row (r18 ADVICE)."""
     from .dedup import exploded_shingle_hashes
 
     return (exploded_shingle_hashes(docs, "doc_id", text_col, n)

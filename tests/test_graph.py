@@ -183,6 +183,58 @@ def test_streaming_triangles_hub_fallback_path(spark, tmp_path, monkeypatch):
         assert _tri_set(tris) == want, cap
 
 
+def test_streaming_triangles_hub_cap_crossed_mid_stream(spark, tmp_path,
+                                                        monkeypatch):
+    """r19 delta-state layout: adjacency lives as per-batch DELTA
+    partitions, and a node that grows past MAX_INTERSECT_DEGREE only
+    in a LATER batch has stale delta rows already written from when
+    it was sub-cap — the merge must exclude them (the node's edges
+    take the row-expansion fallback from then on) and the triangle
+    set must be unaffected. Node 1 has degree 2 after batch 0 and
+    degree 4 after batch 1; cap 3 puts the crossing mid-stream."""
+    from mapreduce_experiment_spark.streaming import triangles as ST
+
+    batches = [
+        [(1, 2), (1, 3), (2, 3)],          # tri (1,2,3); d(1)=2
+        [(1, 4), (1, 5), (4, 5), (2, 4)],  # d(1)=4 > cap; completes
+        #                                    (1,4,5) and (1,2,4)
+        [(2, 5), (1, 2)],                  # (1,2) dup; (2,5) completes
+        #                                    (1,2,5) and (2,4,5)
+    ]
+    want = {(1, 2, 3), (1, 4, 5), (1, 2, 4), (1, 2, 5), (2, 4, 5)}
+    for cap in (3, 1 << 16):
+        monkeypatch.setattr(ST, "MAX_INTERSECT_DEGREE", cap)
+        edges_dir = str(tmp_path / f"edges_x{cap}")
+        for pairs in batches:
+            _edges(spark, pairs).coalesce(1).write.mode("append") \
+                .parquet(edges_dir)
+        tris = ST.streaming_triangles(spark, edges_dir,
+                                      str(tmp_path / f"work_x{cap}"))
+        assert _tri_set(tris) == want, cap
+
+
+def test_streaming_triangles_large_batch_antijoin_fallback(spark, tmp_path,
+                                                           monkeypatch):
+    """r19: batches above MAX_BROADCAST_BATCH_EDGES take the shuffled
+    anti-join instead of the broadcast membership probe — force the
+    limit to 1 so every batch rides the fallback; results identical."""
+    from mapreduce_experiment_spark.streaming import triangles as ST
+
+    monkeypatch.setattr(ST, "MAX_BROADCAST_BATCH_EDGES", 1)
+    batches = [
+        [(1, 2), (2, 3)],
+        [(1, 3), (1, 4), (2, 4), (1, 2)],  # (1,2) dup must not re-enter
+    ]
+    edges_dir = str(tmp_path / "edges_lb")
+    for pairs in batches:
+        _edges(spark, pairs).coalesce(1).write.mode("append") \
+            .parquet(edges_dir)
+    tris = ST.streaming_triangles(spark, edges_dir,
+                                  str(tmp_path / "work_lb"))
+    assert _tri_set(tris) == {(1, 2, 3), (1, 2, 4)}
+    assert tris.count() == 2
+
+
 def test_streaming_triangles_batch_replay_is_idempotent(spark, tmp_path):
     """r13 review: foreachBatch is at-least-once, and the old blind
     appends double-emitted a replayed batch's triangles (a run dying
