@@ -163,48 +163,52 @@ WINDOW = 50
 # occupancy stats are implied by the indexed query's oracle-checked
 # candidate set).
 #
-# ROUND 18: steady-state alternate-round cadence, eighth full cycle —
-# the r17 driver verdict landed (CORRECTNESS_r17.json, 50/50 green,
-# keys == WINDOW_r17.json), so the r17 window's queries are all
+# ROUND 19: steady-state alternate-round cadence, ninth full cycle —
+# the r18 driver verdict landed (CORRECTNESS_r18.json, 50/50 green,
+# keys == WINDOW_r18.json), so the r18 window's queries are all
 # freshly verified and rotate out. This window = the registry's
-# stalest set: exactly the 50 r16-greens (WINDOW_r16.json keys,
-# verbatim — nothing retired or deferred in r17, so the arithmetic is
-# 50 = 50, zero slack). This window delivers the FIRST post-change
-# driver verdicts for the r17 work: pricing_summary's two-level money
-# sum (plans/queries_relational.py chunk_id/cents_long/dsum) plus its
-# seed-35 qavg_sql oracle fix, nation_order_stats (qavg_sql consumer),
-# and the kmeans-CTE centroid-mean oracle-fix consumers
-# (kmeans_centroids, kmeans_ivf_assignments, knn_ivf_trained) — all
-# attested value-identical in r17 (bit-equal collect parity + oracle
-# re-runs at sf0.001/sf0.01 + two 100/100 sf0.1 sweeps), now getting
-# the driver's own verdict. Any r18 edit whose VALUES could move a
-# query must target queries inside this window; out-of-window touches
-# are attested with a value-neutrality argument in
-# test_registry_order.py (the attestation file is authoritative — this
-# comment is narrative).
+# stalest set: exactly the 50 r17-greens (WINDOW_r17.json keys,
+# verbatim — nothing retired or deferred in r18, 50 = 50, zero
+# slack). This window delivers the FIRST post-change driver verdicts
+# for the r18 optimization round's heaviest rewrites, which all sit
+# in the r17 half (the r18 VERDICT's item 2 names exactly this):
+# triangle_count / triangles (adjacency-intersection closure),
+# connected_components + clean_corpus / dedup_clusters /
+# dedup_survivors / decontaminated_corpus (lazy checkpoint +
+# assume_canonical), streaming_minhash_dedup (double-evaluation
+# removal), and streaming_triangle_count (r18 degree-capped
+# intersection AND this round's delta-shaped state). Any r19 edit
+# whose VALUES could move a query must target queries inside this
+# window; out-of-window touches are attested with a value-neutrality
+# argument in test_registry_order.py (the attestation file is
+# authoritative — this comment is narrative).
 _ORDER: list[str] = [
-    # -- the 50 r16-greens (WINDOW_r16.json order, verbatim) --
-    "stateful_streaming_sessions_evicting",
-    "embedding_near_dups_maintained", "account_balance_union",
-    "adjacency", "approx_distinct_counts", "bm25_topk",
-    "candidate_pairs", "canonical_url_groups", "corpus_shuffle",
-    "customer_running_spend", "customers_churned", "customers_retained",
-    "degrees", "edges_derive", "events_json_extract",
-    "exact_dedup_groups", "fingerprints", "grouping_sets_sql",
-    "kmeans_centroids", "kmeans_ivf_assignments", "knn_ivf_trained",
-    "lang_id", "minhash_dedup_pairs", "mktsegment_pivot",
-    "nation_order_stats", "ngram_jaccard_pairs", "order_gap_days",
-    "order_priority_rollup", "order_scalar_functions",
-    "orders_above_customer_average", "pagerank", "parts_never_ordered",
-    "pii_redaction", "pricing_summary", "quality_scores",
-    "repeated_spans", "returnflag_status_cube", "revenue_by_nation",
-    "sessionize_events", "simhash_near_dups", "span_deduped_corpus",
-    "suppliers_with_orders", "symmetrize", "tfidf_doc_pairs",
-    "token_counts", "token_frequencies", "top_customers_per_nation",
-    "top_orders_global", "triangles_faithful", "user_value_scd2",
+    # -- the 50 r17-greens (WINDOW_r17.json order, verbatim) --
+    "knn_ivf_maintained", "streaming_minhash_dedup",
+    "stateful_streaming_sessions", "streaming_view_attribution",
+    "knn_ivf_pruned", "embedding_near_dups_indexed",
+    "streaming_event_dedup", "embedding_near_dups_probe",
+    "approx_order_percentiles", "asia_market_share", "clean_corpus",
+    "connected_components", "decontaminated_corpus",
+    "decontamination_external", "decontamination_pairs",
+    "dedup_clusters", "dedup_survivors", "doc_chunks",
+    "event_type_counts_salted", "hourly_event_counts",
+    "ivf_assignments", "knn_bruteforce", "knn_ivf",
+    "lineitem_profile", "media_byte_histograms", "media_frame_sample",
+    "media_metadata", "monthly_retention_cohorts",
+    "nation_participants_full_outer", "order_size_distribution",
+    "packed_sequence_fragments", "packed_sequences",
+    "price_quantity_correlation", "purchase_last_click_asof",
+    "quality_filtered_corpus", "repetition_scores", "session_stats",
+    "session_window_stats", "signup_to_purchase_funnel",
+    "source_mixture_sample", "stratified_event_sample",
+    "streaming_hourly_counts", "streaming_triangle_count",
+    "top_parts_per_nation", "triangle_count", "triangles",
+    "trigram_counts", "value_band_range_join",
+    "value_distribution_stats", "volume_shipping",
     # ---- verification-window boundary: len(_ORDER) == 50, pinned by
     #      test_order_is_exactly_the_window ----
-    # r17-green unchanged queries follow in registration order.
+    # r18-green unchanged queries follow in registration order.
 ]
 
 

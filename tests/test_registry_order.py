@@ -12,36 +12,43 @@ import os
 
 from mapreduce_experiment_spark.plans.registry import _ORDER, SPECS, WINDOW
 
-# Round 18 contract: steady-state alternate-round cadence, eighth
-# full cycle. The r17 driver verdict landed (CORRECTNESS_r17.json
-# 50/50 green, keys == WINDOW_r17.json), so the r17 window rotates
+# Round 19 contract: steady-state alternate-round cadence, ninth
+# full cycle. The r18 driver verdict landed (CORRECTNESS_r18.json
+# 50/50 green, keys == WINDOW_r18.json), so the r18 window rotates
 # out and the new window is the registry's stalest set: exactly the
-# 50 r16-greens (WINDOW_r16.json keys verbatim — nothing retired or
-# deferred in r17). 50 = 50, zero slack. This window delivers the
-# first post-change driver verdicts for the r17 work: pricing_summary
-# (two-level money sum + qavg_sql oracle fix), nation_order_stats
-# (qavg_sql), and the kmeans-CTE oracle-fix consumers
-# (kmeans_centroids, kmeans_ivf_assignments, knn_ivf_trained).
+# 50 r17-greens (WINDOW_r17.json keys verbatim — nothing retired or
+# deferred in r18). 50 = 50, zero slack. This window delivers the
+# first post-change driver verdicts for the r18 optimization round's
+# heaviest rewrites (the r18 VERDICT's item 2 lists exactly these):
+# triangle_count / triangles, connected_components + the dedup/
+# curation chain (clean_corpus, dedup_clusters, dedup_survivors,
+# decontaminated_corpus), streaming_minhash_dedup, and
+# streaming_triangle_count (which additionally carries this round's
+# delta-shaped state rewrite).
 _MUST_BE_IN_WINDOW = {
-    # last driver verdict r16
-    "stateful_streaming_sessions_evicting",
-    "embedding_near_dups_maintained", "account_balance_union",
-    "adjacency", "approx_distinct_counts", "bm25_topk",
-    "candidate_pairs", "canonical_url_groups", "corpus_shuffle",
-    "customer_running_spend", "customers_churned", "customers_retained",
-    "degrees", "edges_derive", "events_json_extract",
-    "exact_dedup_groups", "fingerprints", "grouping_sets_sql",
-    "kmeans_centroids", "kmeans_ivf_assignments", "knn_ivf_trained",
-    "lang_id", "minhash_dedup_pairs", "mktsegment_pivot",
-    "nation_order_stats", "ngram_jaccard_pairs", "order_gap_days",
-    "order_priority_rollup", "order_scalar_functions",
-    "orders_above_customer_average", "pagerank", "parts_never_ordered",
-    "pii_redaction", "pricing_summary", "quality_scores",
-    "repeated_spans", "returnflag_status_cube", "revenue_by_nation",
-    "sessionize_events", "simhash_near_dups", "span_deduped_corpus",
-    "suppliers_with_orders", "symmetrize", "tfidf_doc_pairs",
-    "token_counts", "token_frequencies", "top_customers_per_nation",
-    "top_orders_global", "triangles_faithful", "user_value_scd2",
+    # last driver verdict r17
+    "knn_ivf_maintained", "streaming_minhash_dedup",
+    "stateful_streaming_sessions", "streaming_view_attribution",
+    "knn_ivf_pruned", "embedding_near_dups_indexed",
+    "streaming_event_dedup", "embedding_near_dups_probe",
+    "approx_order_percentiles", "asia_market_share", "clean_corpus",
+    "connected_components", "decontaminated_corpus",
+    "decontamination_external", "decontamination_pairs",
+    "dedup_clusters", "dedup_survivors", "doc_chunks",
+    "event_type_counts_salted", "hourly_event_counts",
+    "ivf_assignments", "knn_bruteforce", "knn_ivf",
+    "lineitem_profile", "media_byte_histograms", "media_frame_sample",
+    "media_metadata", "monthly_retention_cohorts",
+    "nation_participants_full_outer", "order_size_distribution",
+    "packed_sequence_fragments", "packed_sequences",
+    "price_quantity_correlation", "purchase_last_click_asof",
+    "quality_filtered_corpus", "repetition_scores", "session_stats",
+    "session_window_stats", "signup_to_purchase_funnel",
+    "source_mixture_sample", "stratified_event_sample",
+    "streaming_hourly_counts", "streaming_triangle_count",
+    "top_parts_per_nation", "triangle_count", "triangles",
+    "trigram_counts", "value_band_range_join",
+    "value_distribution_stats", "volume_shipping",
 }
 
 # WINDOW is imported from the registry — the single source of truth
@@ -68,7 +75,8 @@ _RETIRED_AFTER_VERDICT: set[str] = set()
 # r15: nothing retired — CORRECTNESS_r14.json keys all remain registered.
 # r16: nothing retired — CORRECTNESS_r15.json keys all remain registered.
 # r17: nothing retired — CORRECTNESS_r16.json keys all remain registered.
-# r18: nothing retired — CORRECTNESS_r17.json keys all remain registered.)
+# r18: nothing retired — CORRECTNESS_r17.json keys all remain registered.
+# r19: nothing retired — CORRECTNESS_r18.json keys all remain registered.)
 
 # New queries that could NOT fit this round's 50-slot window and whose
 # driver verification is therefore deferred EXACTLY one round: they
@@ -149,96 +157,81 @@ def test_registry_has_expected_size():
 # either sit inside the window or be explicitly attested unchanged
 # below (a conscious, reviewable act in the diff).
 
-_ROUND_BASE = "1d51fab"  # r17 driver commit (verdict landed); bump each round
+_ROUND_BASE = "a93354e"  # r18 driver commit (verdict landed); bump each round
 
 # Queries living in touched modules whose own plan + oracle are
 # attested unchanged this round (measured against _ROUND_BASE = the
-# r17 driver commit).
+# r18 driver commit).
 #
-# Round 18 plan: the rotation itself changes no package code beyond
-# _ORDER (registry.py is rotation infrastructure, excluded from the
-# dep scan); the round's queue (hostile seeds 70+, the sf1 scale-up
-# measurement, the operators/text.py fresh-eyes re-read, ADVICE
-# hygiene fixes) is expected to be measurement- and comment-heavy.
-# Any package edit that could move a query's VALUES must target
-# in-window queries or be attested here with a value-neutrality
-# argument at the time the edit lands.
+# Round 19 plan (optimization round 2 of 2): the window carries the
+# r18 rewrites to their driver verdict (VERDICT item 2); the round's
+# own heavy target (streaming_triangle_count delta state) is
+# in-window. Out-of-window optimization targets from the VERDICT's
+# ranked list (pagerank loop state, ngram_jaccard_pairs window pass,
+# _edge_common_closers cache hygiene reaching the graph family, span
+# family A/B) are attested below with value-neutrality arguments +
+# local oracle gates (scripts/check_oracle.py at sf0.001/sf0.01) at
+# the time each edit lands, plus the round-end rehearsal of both
+# halves.
 #
-# ADVICE r17 batch:
+# r19 attestations (each added when its edit landed):
 #
-# 1. functions/compare.py — docstring-only: chunk_id()'s warning
-#    extended to cover placement downstream of a nondeterministic
-#    exchange (SPARK-23207 retry class); no expression change
-#    (bytecode-identical module). Out-of-window consumers attested on
-#    that basis: streaming_minhash_dedup, streaming_event_dedup,
-#    streaming_hourly_counts, streaming_view_attribution,
-#    streaming_triangle_count, stateful_streaming_sessions,
-#    session_window_stats, session_stats, sessionize-family and every
-#    other functions-package importer whose own expressions are
-#    untouched (the module exports only byte-identical helpers to
-#    them).
-# 2. plans/queries_similarity.py — ORACLE-SQL-only edit (ADVICE r17
-#    medium): the kmeans-CTE centroid-mean update is exact integer
-#    floor division engine-side (s // cnt over Python ints,
-#    operators/similarity.py), so the r17 DOUBLE-cast form diverges
-#    once per-(centroid,pos) |sum| >= 2^53. Replaced with DuckDB
-#    exact HUGEINT floor division (qsum - ((qsum % n) + n) % n) / n —
-#    bit-exact at ALL magnitudes including negatives. Consumers
-#    kmeans_centroids / kmeans_ivf_assignments / knn_ivf_trained are
-#    IN-window this round (driver verdict lands on the fixed form);
-#    module-sharers with untouched oracles attested out-of-window:
-#    knn_bruteforce, knn_ivf, knn_ivf_pruned, knn_ivf_maintained,
-#    ivf_assignments, embedding_near_dups_indexed/probe/maintained.
+# 1. operators/graph.py + operators/text.py — DOCSTRING-ONLY edits
+#    (r18 ADVICE items: _edge_common_closers orientation-sink-head
+#    omission note; fingerprints unique-doc_id assumption). No
+#    expression change (bytecode-identical modules). Every
+#    out-of-window query in their import closure attested on that
+#    basis: edges_derive, symmetrize, adjacency, degrees,
+#    candidate_pairs, pagerank, triangles_faithful, lang_id,
+#    quality_scores, token_counts, token_frequencies, pii_redaction,
+#    tfidf_doc_pairs, fingerprints, bm25_topk, and the dedup-module
+#    sharers below.
+# 2. streaming/triangles.py — the r19 delta-state rewrite. Its ONLY
+#    registered consumer (streaming_triangle_count) is IN-window;
+#    sessionize_events / user_value_scd2 /
+#    stateful_streaming_sessions_evicting / exact_dedup_groups /
+#    minhash_dedup_pairs / ngram_jaccard_pairs / simhash_near_dups /
+#    repeated_spans / span_deduped_corpus / canonical_url_groups
+#    reach the changed modules only through package import-graph
+#    closure (no runtime call into any changed function) and are
+#    attested on that basis; their own plans and oracles are
+#    byte-identical at attestation time. Entries here are RE-CHECKED
+#    whenever a later r19 edit touches their modules for real, and
+#    replaced by an explicit argument + local oracle gate then (see
+#    ngram/pagerank/spans notes appended below as they land).
+# 3. operators/graph.py — pagerank loop restructure (VERDICT item 4)
+#    and _edge_common_closers lifecycle (item 6; in-window consumers
+#    triangle_count/triangles, out-of-window triangles_faithful).
+#    Value-neutrality: pagerank keeps the identical integer
+#    fixed-point arithmetic per round (same join/agg/update
+#    expressions, only partitioning + checkpoint mechanics moved);
+#    the closure change swaps persist()+count() for eager
+#    localCheckpoint (same rows). Gated by scripts/check_oracle.py
+#    (pagerank, triangles_faithful, adjacency, degrees, symmetrize,
+#    candidate_pairs, edges_derive) at sf0.001 + sf0.01 at commit
+#    time, plus the round-end rehearsal of both halves.
+# 4. operators/dedup.py — ngram_jaccard_pairs second-window removal
+#    (VERDICT item 3; out-of-window): the per-doc prefix length now
+#    joins the set SIZES from the already-checkpointed shingle-set
+#    table instead of a second count(*) window over the same
+#    partition — identical n per doc by construction (count of
+#    distinct exploded rows == collect_set size). Gated by
+#    check_oracle (ngram_jaccard_pairs, minhash_dedup_pairs,
+#    exact_dedup_groups, canonical_url_groups, simhash_near_dups,
+#    repeated_spans, span_deduped_corpus) at sf0.001 + sf0.01.
 #
-# 3. plans/queries_text.py — ORACLE-SQL-only edit (r18 fresh-eyes
-#    re-read of the text module pair, the verdict's item 4): the
-#    bm25_topk oracle's bare `tf * 2.2` was BIGINT x DECIMAL = exact
-#    decimal (the r17 qavg_sql class); now CAST(tf AS DOUBLE) first.
-#    Constructed flip + fixed-form parity pinned by
-#    test_bm25_oracle_tf_head_is_double_not_decimal. bm25_topk is
-#    IN-window (driver verdict lands on the fixed form); every other
-#    query in the module is byte-identical — out-of-window module-
-#    sharers attested on that basis: packed_sequences,
-#    packed_sequence_fragments, decontamination_pairs,
-#    decontamination_external, decontaminated_corpus, doc_chunks,
-#    trigram_counts, quality_filtered_corpus, repetition_scores,
-#    source_mixture_sample (all already in the group-1 blanket).
-#    Audit of the rest of the oracle surface for the same class (all
-#    `* <decimal literal>` sites in plans/functions/streaming): the
-#    profiling/analytics sites already CAST AS DOUBLE (r17 fix);
-#    `x * 1.0 / y` forms are safe (integral decimal -> exact double
-#    conversion below 2^53, then DuckDB `/` collapses to DOUBLE —
-#    verified empirically); jaccard/tfidf floors take double inputs
-#    on both sides; sketches' `exact * 0.05` is Spark-side only
-#    (oracle hardcodes TRUE).
-#
-# Empirical backstop: both rehearsal halves re-run at sf0.01
-# post-change (BENCHNOTES r18).
+# Empirical backstop: both rehearsal halves re-run at sf0.01 at
+# round close (BENCHNOTES r19).
 _ATTESTED_UNCHANGED: set[str] = {
-    # group 1 (functions docstring-only; streaming/session consumers
-    # out of window)
-    "streaming_minhash_dedup", "streaming_event_dedup",
-    "streaming_hourly_counts", "streaming_view_attribution",
-    "streaming_triangle_count", "stateful_streaming_sessions",
-    "session_window_stats", "session_stats",
-    "knn_ivf_maintained", "knn_ivf_pruned", "knn_ivf", "knn_bruteforce",
-    "ivf_assignments", "embedding_near_dups_indexed",
-    "embedding_near_dups_probe", "approx_order_percentiles",
-    "asia_market_share", "clean_corpus", "connected_components",
-    "decontaminated_corpus", "decontamination_external",
-    "decontamination_pairs", "dedup_clusters", "dedup_survivors",
-    "doc_chunks", "event_type_counts_salted", "hourly_event_counts",
-    "lineitem_profile", "media_byte_histograms", "media_frame_sample",
-    "media_metadata", "monthly_retention_cohorts",
-    "nation_participants_full_outer", "order_size_distribution",
-    "packed_sequence_fragments", "packed_sequences",
-    "price_quantity_correlation", "purchase_last_click_asof",
-    "quality_filtered_corpus", "repetition_scores",
-    "signup_to_purchase_funnel", "source_mixture_sample",
-    "stratified_event_sample", "top_parts_per_nation",
-    "triangle_count", "triangles", "trigram_counts",
-    "value_band_range_join", "value_distribution_stats",
-    "volume_shipping",
+    "edges_derive", "symmetrize", "adjacency", "degrees",
+    "candidate_pairs", "pagerank", "triangles_faithful",
+    "exact_dedup_groups", "minhash_dedup_pairs", "ngram_jaccard_pairs",
+    "simhash_near_dups", "repeated_spans", "span_deduped_corpus",
+    "canonical_url_groups", "lang_id", "quality_scores",
+    "token_counts", "token_frequencies", "pii_redaction",
+    "tfidf_doc_pairs", "fingerprints", "bm25_topk",
+    "sessionize_events", "user_value_scd2",
+    "stateful_streaming_sessions_evicting",
 }
 
 
