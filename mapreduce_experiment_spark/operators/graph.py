@@ -171,7 +171,8 @@ def candidate_pair_counts(edges: DataFrame) -> DataFrame:
 
 # --- §2 rows 6-9: triangle enumeration --------------------------------------
 def _edge_common_closers(edges: DataFrame,
-                         assume_canonical: bool = False) -> DataFrame:
+                         assume_canonical: bool = False,
+                         _input_materialized: bool = False) -> DataFrame:
     """Each oriented edge with the ARRAY of out-neighbors common to its
     two endpoints: (w, x, common) where w→x is a degree-oriented edge
     and ``common`` = N+(w) ∩ N+(x). In the orientation DAG every
@@ -202,19 +203,26 @@ def _edge_common_closers(edges: DataFrame,
     499 s CPU and 98.1 → 26.4 s wall with the spill gone. Orientation
     bounds every array by O(√m) (max 97 at sf0.1), so per-row memory
     is small and a hot ``x`` join key carries small arrays."""
-    # The canonical edge set feeds degrees AND orientation — persist
-    # it so the upstream scan/dedup (or, in the derived-edges case, a
-    # whole join pipeline) runs once. At cluster scale this is the
-    # deduped simple graph: far smaller than the raw input and the
-    # right thing to keep hot. (It stays persisted: the RETURNED plan
-    # still reads it — an unpersist here would force recomputes at
-    # execution time; LRU eviction reclaims it under pressure.)
-    ce = canonical_edges(edges, assume_canonical).persist()
-    # Materialize the cache eagerly: the triangle job consumes ce
-    # in multiple branches, and a lazily-populated cache lets
-    # parallel stages race past it and recompute the upstream
-    # pipeline (measured ~40% slower at sf0.1).
-    ce.count()
+    # The canonical edge set feeds degrees AND orientation — cut and
+    # materialize it once so the upstream scan/dedup (or, in the
+    # derived-edges case, a whole join pipeline) runs once. At
+    # cluster scale this is the deduped simple graph: far smaller
+    # than the raw input and the right thing to keep hot.
+    #
+    # r19 cache-lifecycle fix (r18 VERDICT "What's wrong" #2 / ADVICE):
+    # eager localCheckpoint instead of persist()+count() — the same
+    # materialization job and the same blocks, but GC-scoped (the
+    # ContextCleaner frees them when the returned plan is dropped)
+    # rather than a plan-keyed CacheManager entry that outlived every
+    # invocation. Nothing downstream reuses ce's (u,v)-hash
+    # partitioning, so the checkpoint's partitioning loss is free.
+    # ``_input_materialized=True`` (faithful mode) skips even that:
+    # the caller already checkpointed the edge set and this call's
+    # canonical_edges is a pure column rename of it (the r18 ADVICE's
+    # "second persisted copy").
+    ce = canonical_edges(edges, assume_canonical)
+    if not _input_materialized:
+        ce = ce.localCheckpoint(eager=True)
     # Re-shuffle the (small) oriented edge set on its low endpoint.
     # Without this, AQE coalesces the tiny upstream aggregates into a
     # handful of partitions and the compute-bound intersection stage
@@ -233,20 +241,32 @@ def _edge_common_closers(edges: DataFrame,
     # the floor of 64 preserves the measured local[32] operating
     # point even under smaller test sessions.
     nparts = max(64, 2 * ce.sparkSession.sparkContext.defaultParallelism)
-    # Persisted + eagerly materialized, like ce above: the oriented
-    # edge set feeds e1's stream side AND both adj broadcasts, and the
-    # adjacency table feeds two DIFFERENTLY-ALIASED broadcasts whose
-    # subplans do not unify — unpersisted, the executed plan ran the
-    # degrees+orientation+repartition pipeline THREE times and the
-    # collect_list twice (read in the r18 executed plan; the same
-    # double-build the streaming closure measured at 109 → 68 s CPU).
-    # One adj.count() materializes both caches in one job.
-    o = _oriented(ce).repartition(nparts, F.col("lo")).persist()
+    # The oriented edge set feeds e1's stream side AND both adj
+    # broadcasts, and the adjacency table feeds two
+    # DIFFERENTLY-ALIASED broadcasts whose subplans do not unify —
+    # unmaterialized, the executed plan ran the degrees+orientation+
+    # repartition pipeline THREE times and the collect_list twice
+    # (read in the r18 executed plan; the same double-build the
+    # streaming closure measured at 109 → 68 s CPU).
+    #
+    # r19 lifecycle: o is persisted only long enough to derive adj on
+    # its exchange-free partitioning (the groupBy below reuses the
+    # repartition's hash(lo) layout — cached-plan partitioning IS
+    # visible statically, unlike a checkpoint's), then both survive
+    # to the returned plan as eager localCheckpoints: GC-scoped RDD
+    # blocks (ContextCleaner-freed with the result) instead of the
+    # pre-r19 THREE CacheManager entries per invocation that nothing
+    # ever unpersisted (r18 VERDICT What's-wrong #2). The extra cost
+    # is one in-memory copy of o's blocks (no shuffle — fingerprint
+    # pins unchanged); the checkpoint RDDs keep the 2×cores physical
+    # partition layout for the intersection stage.
+    o_p = _oriented_repartitioned(ce, nparts).persist()
     # Out-adjacency arrays, grouped on the SAME key/partitioning as the
     # repartition above — no extra exchange; the arrays total m
     # elements and each is O(√m) by orientation.
-    adj = o.groupBy("lo").agg(F.collect_list("hi").alias("nbrs")).persist()
-    adj.count()
+    adj = _out_adjacency(o_p).localCheckpoint(eager=True)
+    o = o_p.localCheckpoint(eager=True)  # copy from the cache, no shuffle
+    o_p.unpersist()
     e1 = o.join(adj, "lo").select(
         F.col("lo").alias("w"), F.col("hi").alias("x"),
         F.col("nbrs").alias("n_lo"))
@@ -256,15 +276,33 @@ def _edge_common_closers(edges: DataFrame,
         "w", "x", F.array_intersect("n_lo", "n_hi").alias("common"))
 
 
+def _oriented_repartitioned(ce: DataFrame, nparts: int) -> DataFrame:
+    """The oriented edge set, explicitly REPARTITION_BY_NUM on its low
+    endpoint — the pre-checkpoint subplan of the closure's stream
+    side. Factored so the plan pins (test_plans) can explain the
+    ACTUAL code path: since the r19 checkpoint lifecycle the final
+    query plan truncates at the checkpoint scan, so the r6
+    explicit-partition-count contract is pinned on this subplan."""
+    return _oriented(ce).repartition(nparts, F.col("lo"))
+
+
+def _out_adjacency(o: DataFrame) -> DataFrame:
+    """Out-neighbor arrays per oriented low endpoint (bounded O(√m)
+    by the degree orientation) — the closure's build side, factored
+    for the same plan-pin reason as :func:`_oriented_repartitioned`."""
+    return o.groupBy("lo").agg(F.collect_list("hi").alias("nbrs"))
+
+
 def _simple_triangle_corners(edges: DataFrame,
-                             assume_canonical: bool = False) -> DataFrame:
+                             assume_canonical: bool = False,
+                             _input_materialized: bool = False) -> DataFrame:
     """Each triangle exactly once as (w, x, y): w the triangle's
     low-(degree,id) source corner, x its oriented out-neighbor on this
     edge, y the closing common out-neighbor — NOT yet sorted into
     canonical (a,b,c) order (x < y is NOT guaranteed, unlike the
     pre-r18 triad form; both consumers sort or count). Shared by the
     enumeration (which canonicalizes) and faithful mode."""
-    ec = _edge_common_closers(edges, assume_canonical)
+    ec = _edge_common_closers(edges, assume_canonical, _input_materialized)
     return ec.select("w", "x", F.explode("common").alias("y"))
 
 
@@ -295,7 +333,8 @@ def _oriented(ce: DataFrame) -> DataFrame:
 
 
 def triangles(edges: DataFrame, mode: str = "simple",
-              assume_canonical: bool = False) -> DataFrame:
+              assume_canonical: bool = False,
+              _input_materialized: bool = False) -> DataFrame:
     """Enumerate triangles as canonical ``(a, b, c)``, ``a <= b <= c``.
 
     ``simple``: per-edge adjacency intersection on the degree-oriented
@@ -313,7 +352,8 @@ def triangles(edges: DataFrame, mode: str = "simple",
     survey's golden counts).
     """
     if mode == "simple":
-        tri = _simple_triangle_corners(edges, assume_canonical)
+        tri = _simple_triangle_corners(edges, assume_canonical,
+                                       _input_materialized)
         abc = F.array_sort(F.array("w", "x", "y"))
         return tri.select(
             abc.getItem(0).alias("a"),
@@ -350,13 +390,19 @@ def triangles(edges: DataFrame, mode: str = "simple",
         # dirty graphs (self-loops + duplicates) and by the reference
         # goldens (30k.txt carries a real self-loop). On clean input
         # L = ∅ and this costs exactly the simple path.
-        ce = canonical_edges(edges).persist()
-        ce.count()  # eager — consumed by the corners path and 2 joins
+        # Eager localCheckpoint, not persist (r19 cache-lifecycle fix):
+        # consumed by the corners path and 2 joins; GC-scoped, so no
+        # CacheManager entry outlives the returned plan. The simple
+        # path below is told the input is already materialized so it
+        # does not checkpoint a second copy of the same edge set (the
+        # r18 ADVICE item).
+        ce = canonical_edges(edges).localCheckpoint(eager=True)
         loops = (edges.where(F.col("src") == F.col("dst"))
                  .select(F.col("src").alias("l")).distinct())
         simple_tris = triangles(
             ce.select(F.col("u").alias("src"), F.col("v").alias("dst")),
-            mode="simple", assume_canonical=True)
+            mode="simple", assume_canonical=True,
+            _input_materialized=True)
         # u < v in ce, so each class-B triple is emitted pre-sorted.
         bl = ce.join(loops, F.col("u") == F.col("l")).select(
             F.col("u").alias("a"), F.col("u").alias("b"),

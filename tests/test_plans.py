@@ -34,14 +34,13 @@ def test_triangles_join_formulation_broadcasts(spark):
     assert "BroadcastHashJoin" in plan
     # r18: the closure is a per-edge adjacency intersection — the
     # ORIENTED out-neighbor arrays (collect_list bounded O(sqrt m) by
-    # orientation) intersected per edge. The pre-r18 pin rejected any
-    # collect_list as the sentinel-groupByKey smell; the intersection
-    # form is pinned positively instead, plus the absence of the
-    # unbounded SYMMETRIZED adjacency the reference built (its
-    # aggregate would sit over a union of both edge orientations —
-    # here the list aggregate consumes the oriented repartition).
+    # orientation) intersected per edge. r19: the arrays live behind
+    # an eager localCheckpoint (GC-scoped lifecycle), so the final
+    # plan shows the intersection over checkpoint scans; the
+    # collect_list itself is pinned on the factored build-side
+    # subplan in test_triangle_closure_exchange_has_explicit_
+    # partition_count below.
     assert "array_intersect" in plan
-    assert "collect_list(hi" in plan
 
 
 def test_top_orders_global_is_take_ordered(spark):
@@ -87,20 +86,37 @@ def test_triangle_closure_exchange_has_explicit_partition_count(spark):
     cores, 1.3-1.8x wall at sf0.1)."""
     import re
 
-    plan = _plan(spark, "triangle_count")
+    from pyspark.sql import functions as F
+
+    from mapreduce_experiment_spark.operators import graph as G
+
+    # r19: the closure's oriented/adjacency tables are eager
+    # localCheckpoints, so the FINAL query plan truncates at their
+    # ExistingRDD scans — the repartition contract is pinned on the
+    # factored pre-checkpoint subplans the operator itself builds
+    # (_oriented_repartitioned / _out_adjacency), and the physical
+    # partition count is additionally pinned on the executed result:
+    # the checkpointed stream side must RETAIN the >= 64-way layout.
+    ce = G.canonical_edges(
+        spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src long, dst long"))
+    nparts = max(64, 2 * spark.sparkContext.defaultParallelism)
+    o_p = G._oriented_repartitioned(ce, nparts)
+    plan = o_p._jdf.queryExecution().sparkPlan().toString()
     lines = [ln for ln in plan.splitlines()
              if "hashpartitioning(lo" in ln and "REPARTITION_BY_NUM" in ln]
-    # r18: the persisted oriented edge set adds one ENSURE_REQUIREMENTS
-    # exchange over the CACHE feeding the (broadcast) adjacency
-    # aggregate — harmless, it never carries the compute stage. What
-    # the pin protects is that the intersection's stream side inherits
-    # an EXPLICIT >= 64-way repartition rather than AQE byte-based
-    # coalescing, so the REPARTITION_BY_NUM exchange must exist with
-    # an adequate count.
-    assert lines, "explicit repartition-by-num on lo missing from the plan"
+    assert lines, f"explicit repartition-by-num on lo missing:\n{plan}"
     for ln in lines:
         n = int(re.search(r"hashpartitioning\(lo#\d+L?, (\d+)\)", ln).group(1))
         assert n >= 64, ln
+    adj_plan = G._out_adjacency(o_p)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert "collect_list(hi" in adj_plan
+    # The physical >= 64-way layout survives the eager localCheckpoint
+    # (an RDD checkpoint is partition-preserving even though the
+    # PLANNER forgets the partitioning — plans/r19/
+    # localcheckpoint_partitioning_probe.txt), so the compute-bound
+    # intersection stage keeps the explicit parallelism.
+    assert o_p.localCheckpoint(eager=True).rdd.getNumPartitions() == nparts
 
 
 def test_range_join_is_equi_join(spark):
@@ -292,6 +308,10 @@ def test_no_driver_collect_outside_bounded_state_sites():
         # key/value rows — O(config keys), never data
         ("operators/similarity.py", "validate_srp_index_config"),
         ("operators/similarity.py", "compact_srp_index"),
+        # r19: distinct Hive partition VALUES of the triangle out_dir
+        # (the run-key probe deciding whether the cross-run crash
+        # window can exist) — O(micro-batches) strings, never data
+        ("streaming/triangles.py", "streaming_triangles"),
     }
     pkg = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
