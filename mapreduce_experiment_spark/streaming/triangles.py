@@ -219,13 +219,18 @@ def _process_batch(batch: DataFrame, batch_key: str, state_dir: str,
     # duplicate-free delta arrays — O(n) rows instead of the 2m-row
     # collect_list the pre-r19 shape re-ran per batch; per-group
     # buffers stay ≤ MAX_INTERSECT_DEGREE elements (hubs excluded).
-    # Persisted per batch: the fast path consumes the arrays under
-    # TWO differently-projected joins (u side, v side) whose
-    # broadcast subplans do not unify (the r18 A/B: unpersisted, the
-    # aggregate built twice — 109 s → 68 s executor CPU).
+    # Checkpointed per batch: the fast path consumes the arrays under
+    # TWO differently-projected joins (u side, v side). A persist
+    # stopped the aggregate building twice (the r18 A/B: 109 → 68 s
+    # executor CPU) but the two BROADCASTS still built separately;
+    # an eager localCheckpoint makes both broadcasts hang off the
+    # same LogicalRDD leaf, so the second becomes a ReusedExchange
+    # (the same unification the r19 triangle-closure lifecycle
+    # measured), and the blocks are ContextCleaner-freed after the
+    # batch instead of living in the CacheManager.
     adj = (adj_all.groupBy("a")
            .agg(F.flatten(F.collect_list("nbrs")).alias("nbrs"))
-           .persist())
+           .localCheckpoint(eager=True))
     # Fast path: both endpoints sub-cap — one array intersection per
     # new edge, no candidate rows. w ≠ u/v holds by construction (the
     # canonical edge set has no self-loops, so u ∉ N(u)).
@@ -287,7 +292,7 @@ def _process_batch(batch: DataFrame, batch_key: str, state_dir: str,
         os.path.join(adj_dir, f"batch_key={batch_key}"))
     new.write.mode("overwrite").parquet(
         os.path.join(state_dir, f"batch_key={batch_key}"))
-    for df in (new_raw, new, degd, hubs, adjd, adj):
+    for df in (new_raw, new, degd, hubs, adjd):
         df.unpersist()
     if any_hubs:
         all_edges.unpersist()
